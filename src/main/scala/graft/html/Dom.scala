@@ -1,0 +1,197 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** DOM node kinds — mirrors the reference's node taxonomy
+  * (reference: source/myhtml/tree.h:78-95, node types via tag ids
+  * MyHTML_TAG__TEXT/_COMMENT/_DOCTYPE in source/myhtml/tag_init.c).
+  */
+object NodeKind {
+  final val Document = 0
+  final val Element  = 1
+  final val Text     = 2
+  final val Comment  = 3
+  final val Doctype  = 4
+}
+
+object Ns {
+  final val HTML   = 0
+  final val SVG    = 1
+  final val MathML = 2
+  val names: Array[String] = Array("html", "svg", "math")
+}
+
+/** A single attribute; document order is preserved (the reference keeps
+  * attrs as an ordered linked list, source/myhtml/token.h:60-73). */
+final case class DomAttr(var name: String, var value: String, var ns: Int = Ns.HTML)
+
+/** Mutable first-child/next-sibling style DOM node, re-expressed with a
+  * children buffer (reference: source/myhtml/tree.h:78-95).
+  *
+  * `rawBegin` is the char offset of the node's source text in the
+  * normalized document (reference keeps raw byte positions on tokens,
+  * source/myhtml/token.h:80-84, exposed via myhtml_node_raw_position
+  * api.h:1379) — this is where extracted span offsets come from.
+  */
+final class Node(
+    val kind: Int,
+    var name: String,
+    var ns: Int = Ns.HTML
+) {
+  var parent: Node = _
+  val children: ArrayBuffer[Node] = new ArrayBuffer[Node](4)
+  var attrs: ArrayBuffer[DomAttr] = _
+  var text: String = ""
+  var rawBegin: Int = -1
+  // doctype fields
+  var publicId: String = _
+  var systemId: String = _
+
+  def attr(key: String): Option[String] = {
+    if (attrs == null) return None
+    var i = 0
+    while (i < attrs.length) {
+      if (attrs(i).name == key) return Some(attrs(i).value)
+      i += 1
+    }
+    None
+  }
+
+  def hasAttr(key: String): Boolean = attr(key).isDefined
+
+  def setAttr(key: String, value: String): Unit = {
+    if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
+    attrs.find(_.name == key) match {
+      case Some(a) => a.value = value
+      case None    => attrs += DomAttr(key, value)
+    }
+  }
+
+  def appendChild(c: Node): Unit = {
+    if (c.parent != null) c.remove()
+    c.parent = this
+    children += c
+  }
+
+  def insertBefore(c: Node, ref: Node): Unit = {
+    if (c.parent != null) c.remove()
+    val i = children.indexOf(ref)
+    c.parent = this
+    if (i < 0) children += c else children.insert(i, c)
+  }
+
+  def remove(): Unit = {
+    if (parent != null) {
+      val i = parent.children.indexOf(this)
+      if (i >= 0) parent.children.remove(i)
+      parent = null
+    }
+  }
+
+  def lastChild: Node = if (children.isEmpty) null else children.last
+
+  def firstChild: Node = if (children.isEmpty) null else children.head
+
+  def nextSibling: Node = {
+    if (parent == null) null
+    else {
+      val i = parent.children.indexOf(this)
+      if (i >= 0 && i + 1 < parent.children.length) parent.children(i + 1) else null
+    }
+  }
+
+  def prevSibling: Node = {
+    if (parent == null) null
+    else {
+      val i = parent.children.indexOf(this)
+      if (i > 0) parent.children(i - 1) else null
+    }
+  }
+
+  /** Pre-order DFS over the subtree rooted here, excluding `this`
+    * (reference iterative DFS: source/myhtml/myhtml.c:435-483). */
+  def descendants: Iterator[Node] = new Iterator[Node] {
+    private val stack: ArrayBuffer[Node] = {
+      val b = new ArrayBuffer[Node](children.length)
+      var i = children.length - 1
+      while (i >= 0) { b += children(i); i -= 1 }
+      b
+    }
+    def hasNext: Boolean = stack.nonEmpty
+    def next(): Node = {
+      val n = stack.remove(stack.length - 1)
+      var i = n.children.length - 1
+      while (i >= 0) { stack += n.children(i); i -= 1 }
+      n
+    }
+  }
+
+  /** Ancestor chain from parent to root. */
+  def ancestors: Iterator[Node] = Iterator.iterate(parent)(_.parent).takeWhile(_ != null)
+
+  def isElement(n: String): Boolean =
+    kind == NodeKind.Element && ns == Ns.HTML && name == n
+
+  override def toString: String = kind match {
+    case NodeKind.Element  => s"<${Ns.names(ns)}:$name>"
+    case NodeKind.Text     => s"#text(${text.take(20)})"
+    case NodeKind.Comment  => s"#comment(${text.take(20)})"
+    case NodeKind.Doctype  => s"#doctype($name)"
+    case NodeKind.Document => "#document"
+  }
+}
+
+object Node {
+  def document(): Node = new Node(NodeKind.Document, "#document")
+  def element(name: String, ns: Int = Ns.HTML): Node = new Node(NodeKind.Element, name, ns)
+  def text(s: String, rawBegin: Int = -1): Node = {
+    val n = new Node(NodeKind.Text, "#text"); n.text = s; n.rawBegin = rawBegin; n
+  }
+  def comment(s: String): Node = {
+    val n = new Node(NodeKind.Comment, "#comment"); n.text = s; n
+  }
+  def doctype(name: String, pub: String, sys: String): Node = {
+    val n = new Node(NodeKind.Doctype, name); n.publicId = pub; n.systemId = sys; n
+  }
+}
+
+/** CSS attribute-selector semantics over the DOM
+  * (reference: source/myhtml/myhtml.c:922-1301 — six match modes, each
+  * with a case-insensitive variant). */
+object AttrMatch {
+  sealed trait Mode
+  case object Eq extends Mode                // [k=v]    myhtml.c:922-926
+  case object WhitespaceSep extends Mode     // [k~=v]   myhtml.c:927-951
+  case object Begin extends Mode             // [k^=v]   myhtml.c:952-959
+  case object End extends Mode               // [k$=v]   myhtml.c:960-967
+  case object Contain extends Mode           // [k*=v]   myhtml.c:968-984
+  case object HyphenSep extends Mode         // [k|=v]   myhtml.c:985-1001
+
+  def mode(s: String): Mode = s match {
+    case "eq" | "="        => Eq
+    case "ws" | "~="       => WhitespaceSep
+    case "begin" | "^="    => Begin
+    case "end" | "$="      => End
+    case "contains" | "*=" => Contain
+    case "hyphen" | "|="   => HyphenSep
+    case other => throw new IllegalArgumentException(s"unknown attr match mode: $other")
+  }
+
+  def matches(actual: String, expected: String, m: Mode, ci: Boolean): Boolean = {
+    val a = if (ci) actual.toLowerCase else actual
+    val e = if (ci) expected.toLowerCase else expected
+    m match {
+      case Eq            => a == e
+      case Begin         => e.nonEmpty && a.startsWith(e)
+      case End           => e.nonEmpty && a.endsWith(e)
+      case Contain       => e.nonEmpty && a.contains(e)
+      case WhitespaceSep => e.nonEmpty && a.split("[ \t\n\f\r]+").contains(e)
+      case HyphenSep     => a == e || a.startsWith(e + "-")
+    }
+  }
+
+  def select(root: Node, key: String, value: String, m: Mode, ci: Boolean = false): Seq[Node] =
+    root.descendants.filter { n =>
+      n.kind == NodeKind.Element && n.attr(key).exists(v => matches(v, value, m, ci))
+    }.toSeq
+}

@@ -1,0 +1,138 @@
+package graft.html
+
+import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
+
+/** Charset sniffing + decode.
+  *
+  * Reference: source/myencoding/detect.c — BOM (detect.c:164-231), WHATWG
+  * meta-prescan (detect.c:559-996), UTF-8 validity scoring
+  * (detect.c:78-134), Cyrillic trigram heuristics (detect.c:25-50,
+  * 233-337). Decoders: we use JDK charsets for the long tail instead of
+  * re-porting the 40 per-byte state machines (encoding.c, 1244 LoC) —
+  * behavioral parity is pinned to UTF-8 / windows-1252 / UTF-16, where
+  * the JDK matches WHATWG exactly (SURVEY §2.1 S9 decision).
+  */
+object Encodings {
+
+  /** BOM detection (reference detect.c:164-231). Returns (charsetName,
+    * bomLength) or null. */
+  def detectBom(bytes: Array[Byte]): (String, Int) = {
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF && (bytes(1) & 0xFF) == 0xBB &&
+        (bytes(2) & 0xFF) == 0xBF) ("UTF-8", 3)
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
+      ("UTF-16LE", 2)
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      ("UTF-16BE", 2)
+    else null
+  }
+
+  /** WHATWG meta-prescan over the first `limit` bytes (reference
+    * prescan_stream_to_determine_encoding, detect.c:559-996).
+    * Scans for <meta charset=...> / <meta http-equiv="content-type"
+    * content="...charset=...">; skips comments and other tags. */
+  def prescanMeta(bytes: Array[Byte], limit: Int = 1024): Option[String] = {
+    val n = math.min(bytes.length, limit)
+    val s = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        i = if (e < 0) s.length else e + 3
+      } else if (s.startsWith("<meta", i) && i + 5 < s.length &&
+                 (s.charAt(i + 5) == ' ' || s.charAt(i + 5) == '\t' ||
+                  s.charAt(i + 5) == '\n' || s.charAt(i + 5) == '\f' ||
+                  s.charAt(i + 5) == '/')) {
+        val end = s.indexOf('>', i)
+        val tag = if (end < 0) s.substring(i) else s.substring(i, end)
+        // charset=... attribute
+        val mCharset = "charset\\s*=\\s*[\"']?([a-z0-9_:.\\-]+)".r
+        val httpEquiv = tag.contains("http-equiv") && tag.contains("content-type")
+        val direct = mCharset.findAllMatchIn(tag).toList
+        val got: Option[String] =
+          if (tag.contains(" charset") || tag.contains("\tcharset") ||
+              tag.contains(";charset") || tag.contains("; charset") || httpEquiv)
+            direct.lastOption.map(_.group(1))
+          else direct.headOption.filter(_ => tag.contains("charset")).map(_.group(1))
+        got match {
+          case Some(cs0) =>
+            // x-user-defined and utf-16 get rewritten per spec
+            val cs = cs0 match {
+              case "utf-16" | "utf-16le" | "utf-16be" => "utf-8"
+              case other => other
+            }
+            if (Charset.isSupported(cs)) return Some(Charset.forName(cs).name())
+            return None
+          case None =>
+        }
+        i = if (end < 0) s.length else end + 1
+      } else if (s.charAt(i) == '<') {
+        val e = s.indexOf('>', i)
+        i = if (e < 0) s.length else e + 1
+      } else i += 1
+    }
+    None
+  }
+
+  /** UTF-8 validity heuristic (reference detect_utf_8, detect.c:78-134):
+    * ratio of well-formed multibyte sequences. */
+  def looksLikeUtf8(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    var bad = 0
+    var multi = 0
+    val n = math.min(bytes.length, 4096)
+    val windowTruncated = bytes.length > n
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else {
+        val need =
+          if ((b & 0xE0) == 0xC0) 1
+          else if ((b & 0xF0) == 0xE0) 2
+          else if ((b & 0xF8) == 0xF0) 3
+          else -1
+        if (need < 0) { bad += 1; i += 1 }
+        else {
+          var ok = true
+          var j = 1
+          while (j <= need && ok) {
+            if (i + j >= n) ok = windowTruncated // cut off by window, not by data
+            else if ((bytes(i + j) & 0xC0) != 0x80) { ok = false }
+            j += 1
+          }
+          if (ok) { multi += 1; i += need + 1 } else { bad += 1; i += 1 }
+        }
+      }
+    }
+    bad == 0 || (multi > 0 && bad.toDouble / (multi + bad) < 0.1)
+  }
+
+  /** Full sniff: BOM → meta-prescan → UTF-8 heuristic → windows-1252
+    * fallback (the WHATWG default for legacy content). */
+  def sniff(bytes: Array[Byte]): String = {
+    val bom = detectBom(bytes)
+    if (bom != null) return bom._1
+    prescanMeta(bytes) match {
+      case Some(cs) => cs
+      case None => if (looksLikeUtf8(bytes)) "UTF-8" else "windows-1252"
+    }
+  }
+
+  /** Decode with the sniffed (or given) charset; never throws — bad bytes
+    * become U+FFFD ("is not afraid of binary files and other trash",
+    * /root/reference/Changes:33). */
+  def decode(bytes: Array[Byte], charsetName: String = null): String = {
+    val name = if (charsetName != null) charsetName else sniff(bytes)
+    val bomLen = detectBom(bytes) match {
+      case null => 0
+      case (cs, l) if cs == name => l
+      case _ => 0
+    }
+    val cs =
+      try Charset.forName(name)
+      catch { case _: Exception => StandardCharsets.UTF_8 }
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, bomLen, bytes.length - bomLen)).toString
+  }
+}

@@ -1,0 +1,161 @@
+package graft.html
+
+/** Static tag metadata, the Spark-side analog of the reference's compiled
+  * tag table (source/myhtml/tag_init.c — 272 entries of per-namespace
+  * category bits + data_parser tokenizer state; lookup source/myhtml/tag.c:125-144).
+  * We keep name-keyed Sets/Maps instead of a binary-search id table: the
+  * JIT turns these into perfect-hash lookups and the kernel is per-row
+  * JVM code, not a plan node.
+  */
+object Tags {
+
+  /** HTML5 "special" category — elements that end-tag/implied-end logic
+    * treats specially (reference encodes this as category bits per tag,
+    * source/myhtml/myosi.h:101-111 + tag_init.c). */
+  val special: Set[String] = Set(
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "keygen", "li",
+    "link", "listing", "main", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "section", "select", "source", "style", "summary",
+    "table", "tbody", "td", "template", "textarea", "tfoot", "th", "thead",
+    "title", "tr", "track", "ul", "wbr", "xmp"
+  )
+
+  /** SVG specials in foreign-content end-of-scope handling. */
+  val svgSpecial: Set[String] = Set("foreignObject", "desc", "title")
+  val mathmlSpecial: Set[String] = Set("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
+
+  /** Formatting elements tracked on the active-formatting list
+    * (reference: tree.c:1324-1557; spec list). */
+  val formatting: Set[String] = Set(
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u"
+  )
+
+  /** Void elements (reference: myhtml_node_is_void switch,
+    * source/myhtml/myhtml.c:760-789 — 16 tags). */
+  val void: Set[String] = Set(
+    "area", "base", "br", "col", "command", "embed", "hr", "img", "input",
+    "keygen", "link", "menuitem", "meta", "param", "source", "track", "wbr"
+  )
+
+  /** Tags whose contents tokenize as RAWTEXT (reference data_parser state
+    * per tag: tag_init.c:562,754,762,770,986,1170). noscript is RAWTEXT
+    * only when scripting is enabled; we model scripting=off like a
+    * non-executing consumer, except the tree builder may still opt in. */
+  val rawtext: Set[String] = Set("style", "xmp", "iframe", "noembed", "noframes")
+
+  /** RCDATA tags (charrefs decoded, no markup): tag_init.c:1058,1098. */
+  val rcdata: Set[String] = Set("title", "textarea")
+
+  /** Default scope barrier set (HTML ns) — "has an element in scope"
+    * (reference: tree.c:705-757 via category bits). */
+  val scopeBase: Set[String] = Set(
+    "applet", "caption", "html", "table", "td", "th", "marquee", "object",
+    "template"
+  )
+  // foreign-content barriers for the base scope
+  val scopeBaseMathML: Set[String] = Set("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
+  val scopeBaseSVG: Set[String] = Set("foreignObject", "desc", "title")
+
+  val listItemScopeExtra: Set[String] = Set("ol", "ul")
+  val buttonScopeExtra: Set[String] = Set("button")
+  val tableScope: Set[String] = Set("html", "table", "template")
+
+  /** "Generate implied end tags" set (reference: tree.c:1068-1157). */
+  val impliedEnd: Set[String] = Set(
+    "dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"
+  )
+
+  /** "Generate all implied end tags thoroughly" set. */
+  val impliedEndThorough: Set[String] = impliedEnd ++ Set(
+    "caption", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr"
+  )
+
+  /** Heading tags. */
+  val headings: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Elements that close an open <p> when they start (subset of in-body
+    * rules, reference rules.c:735-1965). */
+  val closesP: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "center", "details",
+    "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+    "footer", "header", "hgroup", "main", "menu", "nav", "ol", "p",
+    "section", "summary", "ul", "h1", "h2", "h3", "h4", "h5", "h6", "pre",
+    "listing", "form", "plaintext", "table", "hr", "xmp"
+  )
+
+  /** SVG tag-name case adjustments (foreign content; reference:
+    * myhtml_token_adjust_svg_tags via static table, token.h:141-143 —
+    * spec table, public WHATWG data). */
+  val svgTagAdjust: Map[String, String] = Map(
+    "altglyph" -> "altGlyph", "altglyphdef" -> "altGlyphDef",
+    "altglyphitem" -> "altGlyphItem", "animatecolor" -> "animateColor",
+    "animatemotion" -> "animateMotion", "animatetransform" -> "animateTransform",
+    "clippath" -> "clipPath", "feblend" -> "feBlend",
+    "fecolormatrix" -> "feColorMatrix", "fecomponenttransfer" -> "feComponentTransfer",
+    "fecomposite" -> "feComposite", "feconvolvematrix" -> "feConvolveMatrix",
+    "fediffuselighting" -> "feDiffuseLighting", "fedisplacementmap" -> "feDisplacementMap",
+    "fedistantlight" -> "feDistantLight", "fedropshadow" -> "feDropShadow",
+    "feflood" -> "feFlood", "fefunca" -> "feFuncA", "fefuncb" -> "feFuncB",
+    "fefuncg" -> "feFuncG", "fefuncr" -> "feFuncR",
+    "fegaussianblur" -> "feGaussianBlur", "feimage" -> "feImage",
+    "femerge" -> "feMerge", "femergenode" -> "feMergeNode",
+    "femorphology" -> "feMorphology", "feoffset" -> "feOffset",
+    "fepointlight" -> "fePointLight", "fespecularlighting" -> "feSpecularLighting",
+    "fespotlight" -> "feSpotLight", "fetile" -> "feTile",
+    "feturbulence" -> "feTurbulence", "foreignobject" -> "foreignObject",
+    "glyphref" -> "glyphRef", "lineargradient" -> "linearGradient",
+    "radialgradient" -> "radialGradient", "textpath" -> "textPath"
+  )
+
+  /** SVG attribute case adjustments (spec table). */
+  val svgAttrAdjust: Map[String, String] = Map(
+    "attributename" -> "attributeName", "attributetype" -> "attributeType",
+    "basefrequency" -> "baseFrequency", "baseprofile" -> "baseProfile",
+    "calcmode" -> "calcMode", "clippathunits" -> "clipPathUnits",
+    "diffuseconstant" -> "diffuseConstant", "edgemode" -> "edgeMode",
+    "filterunits" -> "filterUnits", "glyphref" -> "glyphRef",
+    "gradienttransform" -> "gradientTransform", "gradientunits" -> "gradientUnits",
+    "kernelmatrix" -> "kernelMatrix", "kernelunitlength" -> "kernelUnitLength",
+    "keypoints" -> "keyPoints", "keysplines" -> "keySplines",
+    "keytimes" -> "keyTimes", "lengthadjust" -> "lengthAdjust",
+    "limitingconeangle" -> "limitingConeAngle", "markerheight" -> "markerHeight",
+    "markerunits" -> "markerUnits", "markerwidth" -> "markerWidth",
+    "maskcontentunits" -> "maskContentUnits", "maskunits" -> "maskUnits",
+    "numoctaves" -> "numOctaves", "pathlength" -> "pathLength",
+    "patterncontentunits" -> "patternContentUnits",
+    "patterntransform" -> "patternTransform", "patternunits" -> "patternUnits",
+    "pointsatx" -> "pointsAtX", "pointsaty" -> "pointsAtY",
+    "pointsatz" -> "pointsAtZ", "preservealpha" -> "preserveAlpha",
+    "preserveaspectratio" -> "preserveAspectRatio",
+    "primitiveunits" -> "primitiveUnits", "refx" -> "refX", "refy" -> "refY",
+    "repeatcount" -> "repeatCount", "repeatdur" -> "repeatDur",
+    "requiredextensions" -> "requiredExtensions",
+    "requiredfeatures" -> "requiredFeatures", "specularconstant" -> "specularConstant",
+    "specularexponent" -> "specularExponent", "spreadmethod" -> "spreadMethod",
+    "startoffset" -> "startOffset", "stddeviation" -> "stdDeviation",
+    "stitchtiles" -> "stitchTiles", "surfacescale" -> "surfaceScale",
+    "systemlanguage" -> "systemLanguage", "tablevalues" -> "tableValues",
+    "targetx" -> "targetX", "targety" -> "targetY",
+    "textlength" -> "textLength", "viewbox" -> "viewBox",
+    "viewtarget" -> "viewTarget", "xchannelselector" -> "xChannelSelector",
+    "ychannelselector" -> "yChannelSelector", "zoomandpan" -> "zoomAndPan"
+  )
+
+  /** MathML attribute adjustment. */
+  val mathmlAttrAdjust: Map[String, String] = Map("definitionurl" -> "definitionURL")
+
+  /** Media-bearing tags and their ref attribute, used by the extractor to
+    * emit `media` spans (north-star media passthrough; reference has no
+    * media concept — this is the interleaved-payload extension). */
+  val mediaRefAttr: Map[String, String] = Map(
+    "img" -> "src", "video" -> "src", "audio" -> "src", "embed" -> "src",
+    "source" -> "src", "iframe" -> "src", "track" -> "src"
+  )
+}

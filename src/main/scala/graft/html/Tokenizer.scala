@@ -1,0 +1,506 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML5 tokenizer.
+  *
+  * Spec-equivalent re-expression of the reference's 70-state
+  * function-pointer machine (source/myhtml/tokenizer.c:85-89 dispatch;
+  * states enum source/myhtml/myosi.h:126-199; script sub-machine
+  * tokenizer_script.c; doctype tokenizer_doctype.c; EOF flush table
+  * tokenizer_end.c). Instead of a per-character state table we use
+  * grouped scanners — one per content model — which the JIT compiles to
+  * tight loops; EOF handling is folded into each scanner (the reference
+  * keeps a parallel `state_f[state + LAST_ENTRY]` table for the same
+  * purpose, tokenizer.c:161-176).
+  *
+  * Content-model switching (RCDATA/RAWTEXT/SCRIPT/PLAINTEXT) is done by
+  * the tree builder setting `state` — the single tokenizer↔builder
+  * feedback edge (reference: tree.c:2247-2255 / tokenizer.c:357-374).
+  */
+object ContentModel {
+  final val DATA = 0
+  final val RCDATA = 1
+  final val RAWTEXT = 2
+  final val SCRIPT = 3
+  final val PLAINTEXT = 4
+}
+
+final class Tokenizer(src0: String, sink: TokenSink) {
+  import ContentModel._
+
+  val src: String = TextPrep.normalize(src0)
+  private val len = src.length
+
+  /** Content model; the tree builder mutates this (generic raw-text
+    * element algorithm, reference tree.c:2247). */
+  var state: Int = DATA
+  /** Last emitted start tag name — "appropriate end tag" checks
+    * (reference tmp_tag_id, tokenizer.c:440-483). */
+  var lastStartTag: String = null
+
+  private var pos = 0
+  private var eofEmitted = false
+
+  // reusable text buffer
+  private val text = new java.lang.StringBuilder(256)
+  private var textStart = -1
+
+  def run(): Unit = {
+    while (!eofEmitted) step()
+  }
+
+  private def flushText(): Unit = {
+    if (text.length > 0) {
+      sink.process(CharsTok(text.toString, textStart))
+      text.setLength(0)
+    }
+    textStart = -1
+  }
+
+  private def appendText(c: Char, at: Int): Unit = {
+    if (textStart < 0) textStart = at
+    text.append(c)
+  }
+
+  private def appendText(s: String, at: Int): Unit = {
+    if (s.isEmpty) return
+    if (textStart < 0) textStart = at
+    text.append(s)
+  }
+
+  private def emitEof(): Unit = {
+    flushText()
+    eofEmitted = true
+    sink.process(EofTok)
+  }
+
+  @inline private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def step(): Unit = state match {
+    case DATA      => stepData()
+    case PLAINTEXT => stepPlaintext()
+    case RCDATA    => stepRawish(decodeCharrefs = true)
+    case RAWTEXT   => stepRawish(decodeCharrefs = false)
+    case SCRIPT    => stepScript()
+  }
+
+  // ---------------------------------------------------------------- DATA
+
+  private def stepData(): Unit = {
+    while (pos < len) {
+      val c = src.charAt(pos)
+      if (c == '<') {
+        if (handleTagOpen()) return // state may have changed
+      } else if (c == '&') {
+        val m = Entities.decode(src, pos + 1, inAttribute = false)
+        if (m == null) { appendText('&', pos); pos += 1 }
+        else { appendText(m._1, pos); pos += 1 + m._2 }
+      } else {
+        // NUL stays in DATA (tree builder drops/replaces it per mode)
+        appendText(c, pos)
+        pos += 1
+      }
+    }
+    emitEof()
+  }
+
+  /** At '<' in DATA. Returns true if the content model may have changed
+    * (a start tag was emitted) and the dispatch loop must re-enter. */
+  private def handleTagOpen(): Boolean = {
+    val start = pos
+    if (pos + 1 >= len) { appendText('<', pos); pos += 1; return false }
+    val c1 = src.charAt(pos + 1)
+    if (isAsciiLetter(c1)) {
+      flushText()
+      pos += 1
+      emitTag(start, isEnd = false)
+      true
+    } else if (c1 == '/') {
+      if (pos + 2 >= len) {
+        // EOF after "</": emit "</" as text (spec end-tag-open EOF)
+        appendText("</", pos); pos = len; return false
+      }
+      val c2 = src.charAt(pos + 2)
+      if (isAsciiLetter(c2)) {
+        flushText()
+        pos += 2
+        emitTag(start, isEnd = true)
+        true
+      } else if (c2 == '>') {
+        pos += 3 // "</>" dropped entirely (missing-end-tag-name)
+        false
+      } else {
+        flushText()
+        pos += 2
+        bogusComment(start)
+        false
+      }
+    } else if (c1 == '!') {
+      flushText()
+      markupDeclaration(start)
+      true // builder may have reacted to comment/doctype; harmless
+    } else if (c1 == '?') {
+      flushText()
+      pos += 1
+      bogusComment(start)
+      false
+    } else {
+      appendText('<', pos)
+      pos += 1
+      false
+    }
+  }
+
+  // --------------------------------------------------------- tag parsing
+
+  /** Parse a tag at `pos` pointing at the first name char; '<'('/') are
+    * already consumed. Emits the token unless EOF truncates the tag
+    * (spec: eof-in-tag emits only EOF — reference tokenizer_end.c). */
+  private def emitTag(rawBegin: Int, isEnd: Boolean): Unit = {
+    val t = parseTagBody(rawBegin, isEnd)
+    if (t == null) { emitEof(); return }
+    t match {
+      case st: StartTagTok =>
+        lastStartTag = st.name
+        sink.process(st)
+      case et: EndTagTok =>
+        sink.process(et)
+      case _ =>
+    }
+  }
+
+  /** Returns null on EOF-in-tag. */
+  private def parseTagBody(rawBegin: Int, isEnd: Boolean): Token = {
+    // tag name
+    val nameSb = new java.lang.StringBuilder(8)
+    var c: Char = 0
+    while (pos < len && {
+      c = src.charAt(pos)
+      !(TextPrep.isWhitespace(c) || c == '/' || c == '>')
+    }) {
+      nameSb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar
+                    else if (c == 0) '�' else c)
+      pos += 1
+    }
+    if (pos >= len) return null
+    val name = nameSb.toString
+    val attrs = new ArrayBuffer[DomAttr](4)
+    var selfClosing = false
+
+    var done = false
+    while (!done) {
+      // skip whitespace
+      while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
+      if (pos >= len) return null
+      c = src.charAt(pos)
+      if (c == '>') { pos += 1; done = true }
+      else if (c == '/') {
+        pos += 1
+        if (pos < len && src.charAt(pos) == '>') { selfClosing = true; pos += 1; done = true }
+        // else: unexpected-solidus-in-tag, reconsume in before-attr-name
+      } else {
+        // attribute name
+        val an = new java.lang.StringBuilder(8)
+        if (c == '=') { an.append('='); pos += 1 } // unexpected-equals: goes into name
+        var brk = false
+        while (!brk && pos < len) {
+          c = src.charAt(pos)
+          if (TextPrep.isWhitespace(c) || c == '/' || c == '>' || c == '=') brk = true
+          else {
+            an.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar
+                      else if (c == 0) '�' else c)
+            pos += 1
+          }
+        }
+        if (pos >= len) return null
+        // after attribute name
+        while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
+        if (pos >= len) return null
+        var value = ""
+        if (src.charAt(pos) == '=') {
+          pos += 1
+          while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
+          if (pos >= len) return null
+          val q = src.charAt(pos)
+          if (q == '"' || q == '\'') {
+            pos += 1
+            val vs = new java.lang.StringBuilder(16)
+            var vb = false
+            while (!vb && pos < len) {
+              c = src.charAt(pos)
+              if (c == q) { pos += 1; vb = true }
+              else if (c == '&') {
+                val m = Entities.decode(src, pos + 1, inAttribute = true)
+                if (m == null) { vs.append('&'); pos += 1 }
+                else { vs.append(m._1); pos += 1 + m._2 }
+              } else { vs.append(if (c == 0) '�' else c); pos += 1 }
+            }
+            if (!vb) return null
+            value = vs.toString
+          } else {
+            // unquoted
+            val vs = new java.lang.StringBuilder(16)
+            var vb = false
+            while (!vb && pos < len) {
+              c = src.charAt(pos)
+              if (TextPrep.isWhitespace(c) || c == '>') vb = true
+              else if (c == '&') {
+                val m = Entities.decode(src, pos + 1, inAttribute = true)
+                if (m == null) { vs.append('&'); pos += 1 }
+                else { vs.append(m._1); pos += 1 + m._2 }
+              } else { vs.append(if (c == 0) '�' else c); pos += 1 }
+            }
+            if (pos >= len) return null
+            value = vs.toString
+          }
+        }
+        val anm = an.toString
+        if (anm.nonEmpty && !attrs.exists(_.name == anm))
+          attrs += DomAttr(anm, value) // duplicate-attribute: first wins
+      }
+    }
+    if (isEnd) EndTagTok(name, rawBegin)
+    else StartTagTok(name, attrs, selfClosing, rawBegin)
+  }
+
+  // ------------------------------------------------- markup declarations
+
+  private def markupDeclaration(rawBegin: Int): Unit = {
+    // pos at '<', pos+1 at '!'
+    if (src.startsWith("--", pos + 2)) { pos += 4; comment(rawBegin) }
+    else if (src.regionMatches(true, pos + 2, "DOCTYPE", 0, 7)) { pos += 9; doctype() }
+    else if (src.startsWith("[CDATA[", pos + 2)) {
+      if (sink.inForeignContent) { pos += 9; cdata(rawBegin) }
+      else { pos += 2; bogusComment(rawBegin) }
+    } else { pos += 2; bogusComment(rawBegin) }
+  }
+
+  /** Bogus comment: data = everything from `pos` to '>' or EOF
+    * (reference tokenizer.c bogus comment states). */
+  private def bogusComment(rawBegin: Int): Unit = {
+    val end = src.indexOf('>', pos)
+    val data =
+      if (end < 0) { val d = src.substring(pos); pos = len; d }
+      else { val d = src.substring(pos, end); pos = end + 1; d }
+    sink.process(CommentTok(data.replace('\u0000', '�'), rawBegin))
+  }
+
+  /** Proper comment; pos just after "<!--" (reference tokenizer.c:1457-1672). */
+  private def comment(rawBegin: Int): Unit = {
+    // spec shortcuts: "<!-->" and "<!--->"
+    if (pos < len && src.charAt(pos) == '>') {
+      pos += 1; sink.process(CommentTok("", rawBegin)); return
+    }
+    if (src.startsWith("->", pos)) {
+      pos += 2; sink.process(CommentTok("", rawBegin)); return
+    }
+    // scan for "-->" or "--!>"
+    var i = pos
+    var endData = -1
+    var consumedTo = -1
+    var found = false
+    while (!found && i < len) {
+      val j = src.indexOf("--", i)
+      if (j < 0) found = true // EOF
+      else if (j + 2 < len && src.charAt(j + 2) == '>') {
+        endData = j; consumedTo = j + 3; found = true
+      } else if (j + 3 < len && src.charAt(j + 2) == '!' && src.charAt(j + 3) == '>') {
+        endData = j; consumedTo = j + 4; found = true
+      } else i = j + 1
+    }
+    val data =
+      if (endData < 0) { val d = src.substring(pos); pos = len; d }
+      else { val d = src.substring(pos, endData); pos = consumedTo; d }
+    sink.process(CommentTok(data.replace('\u0000', '�'), rawBegin))
+  }
+
+  /** CDATA section in foreign content; pos just after "<![CDATA["
+    * (reference tokenizer.c:708-750). */
+  private def cdata(rawBegin: Int): Unit = {
+    val end = src.indexOf("]]>", pos)
+    val data =
+      if (end < 0) { val d = src.substring(pos); pos = len; d }
+      else { val d = src.substring(pos, end); pos = end + 3; d }
+    if (data.nonEmpty) sink.process(CharsTok(data, rawBegin))
+  }
+
+  // -------------------------------------------------------------- DOCTYPE
+
+  /** pos just after "<!DOCTYPE" (reference tokenizer_doctype.c:27-510). */
+  private def doctype(): Unit = {
+    var name: String = null
+    var publicId: String = null
+    var systemId: String = null
+    var forceQuirks = false
+
+    def skipWs(): Unit = while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
+
+    def emit(): Unit = sink.process(DoctypeTok(name, publicId, systemId, forceQuirks))
+
+    def bogusToGt(): Unit = {
+      val end = src.indexOf('>', pos)
+      pos = if (end < 0) len else end + 1
+    }
+
+    skipWs()
+    if (pos >= len) { forceQuirks = true; emit(); emitEof(); return }
+    if (src.charAt(pos) == '>') { pos += 1; forceQuirks = true; emit(); return }
+    // name
+    val nb = new java.lang.StringBuilder(8)
+    var c: Char = 0
+    while (pos < len && { c = src.charAt(pos); !(TextPrep.isWhitespace(c) || c == '>') }) {
+      nb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else if (c == 0) '�' else c)
+      pos += 1
+    }
+    name = nb.toString
+    if (pos >= len) { forceQuirks = true; emit(); emitEof(); return }
+    skipWs()
+    if (pos >= len) { forceQuirks = true; emit(); emitEof(); return }
+    if (src.charAt(pos) == '>') { pos += 1; emit(); return }
+
+    var abrupt = false
+    var eofInDoctype = false
+    def quotedId(): String = {
+      val q = src.charAt(pos)
+      if (q != '"' && q != '\'') return null
+      pos += 1
+      val sb = new java.lang.StringBuilder(16)
+      while (pos < len) {
+        val ch = src.charAt(pos)
+        if (ch == q) { pos += 1; return sb.toString }
+        if (ch == '>') { forceQuirks = true; abrupt = true; pos += 1; return sb.toString }
+        sb.append(if (ch == 0) '�' else ch)
+        pos += 1
+      }
+      forceQuirks = true
+      eofInDoctype = true
+      sb.toString
+    }
+
+    if (src.regionMatches(true, pos, "PUBLIC", 0, 6)) {
+      pos += 6
+      skipWs()
+      if (pos >= len) { forceQuirks = true; emit(); emitEof(); return }
+      publicId = quotedId()
+      if (publicId == null) { forceQuirks = true; bogusToGt(); emit(); return }
+      if (eofInDoctype) { emit(); emitEof(); return }
+      if (abrupt) { emit(); return }
+      skipWs()
+      if (pos >= len) { forceQuirks = true; emit(); emitEof(); return }
+      if (src.charAt(pos) == '>') { pos += 1; emit(); return }
+      systemId = quotedId()
+      if (systemId == null) { forceQuirks = true; bogusToGt(); emit(); return }
+      if (eofInDoctype) { emit(); emitEof(); return }
+      if (abrupt) { emit(); return }
+    } else if (src.regionMatches(true, pos, "SYSTEM", 0, 6)) {
+      pos += 6
+      skipWs()
+      if (pos >= len) { forceQuirks = true; emit(); emitEof(); return }
+      systemId = quotedId()
+      if (systemId == null) { forceQuirks = true; bogusToGt(); emit(); return }
+      if (eofInDoctype) { emit(); emitEof(); return }
+      if (abrupt) { emit(); return }
+    } else {
+      forceQuirks = true
+      bogusToGt()
+      emit()
+      return
+    }
+    skipWs()
+    if (pos >= len) { emit(); emitEof(); return }
+    if (src.charAt(pos) == '>') { pos += 1; emit(); return }
+    bogusToGt() // chars after system id: bogus but NOT force-quirks
+    emit()
+  }
+
+  // ------------------------------------------------------ PLAINTEXT
+
+  private def stepPlaintext(): Unit = {
+    if (pos < len) {
+      appendText(src.substring(pos).replace('\u0000', '�'), pos)
+      pos = len
+    }
+    emitEof()
+  }
+
+  // ------------------------------------------- RCDATA / RAWTEXT scanners
+
+  /** True if "</" at `i` begins an appropriate end tag (matches
+    * lastStartTag, followed by ws / '/' / '>'). */
+  private def appropriateEndTagAt(i: Int): Boolean = {
+    if (lastStartTag == null) return false
+    val nameLen = lastStartTag.length
+    if (!src.regionMatches(true, i + 2, lastStartTag, 0, nameLen)) return false
+    val after = i + 2 + nameLen
+    if (after >= len) return false // EOF right after name: stays text per spec
+    val c = src.charAt(after)
+    TextPrep.isWhitespace(c) || c == '/' || c == '>'
+  }
+
+  private def stepRawish(decodeCharrefs: Boolean): Unit = {
+    while (pos < len) {
+      val c = src.charAt(pos)
+      if (c == '<' && pos + 1 < len && src.charAt(pos + 1) == '/' &&
+          appropriateEndTagAt(pos)) {
+        flushText()
+        val rawBegin = pos
+        pos += 2
+        emitTag(rawBegin, isEnd = true)
+        state = DATA // builder normally does this; keep in lockstep
+        return
+      } else if (c == '&' && decodeCharrefs) {
+        val m = Entities.decode(src, pos + 1, inAttribute = false)
+        if (m == null) { appendText('&', pos); pos += 1 }
+        else { appendText(m._1, pos); pos += 1 + m._2 }
+      } else {
+        appendText(if (c == 0) '�' else c, pos)
+        pos += 1
+      }
+    }
+    emitEof()
+  }
+
+  // -------------------------------------------------- SCRIPT_DATA states
+
+  /** Script data incl. escaped / double-escaped sub-machine
+    * (reference tokenizer_script.c:24-600, 18 states compressed to a
+    * 3-mode scanner with identical observable behavior). */
+  private def stepScript(): Unit = {
+    var mode = 0 // 0 normal, 1 escaped, 2 double-escaped
+    @inline def delimAt(i: Int): Boolean =
+      i >= len || { val c = src.charAt(i); TextPrep.isWhitespace(c) || c == '/' || c == '>' }
+    while (pos < len) {
+      val c = src.charAt(pos)
+      if (c == '<') {
+        if (mode != 2 && pos + 1 < len && src.charAt(pos + 1) == '/' &&
+            appropriateEndTagAt(pos)) {
+          flushText()
+          val rawBegin = pos
+          pos += 2
+          emitTag(rawBegin, isEnd = true)
+          state = DATA
+          return
+        } else if (mode == 2 && src.regionMatches(true, pos, "</script", 0, 8) &&
+                   delimAt(pos + 8)) {
+          // double-escape end: text, back to escaped
+          appendText(src.substring(pos, pos + 8), pos); pos += 8; mode = 1
+        } else if (mode == 0 && src.startsWith("<!--", pos)) {
+          appendText("<!--", pos); pos += 4; mode = 1
+        } else if (mode == 1 && src.regionMatches(true, pos, "<script", 0, 7) &&
+                   delimAt(pos + 7)) {
+          appendText(src.substring(pos, pos + 7), pos); pos += 7; mode = 2
+        } else {
+          appendText('<', pos); pos += 1
+        }
+      } else if (c == '-' && mode != 0 && src.startsWith("-->", pos)) {
+        appendText("-->", pos); pos += 3; mode = 0
+      } else {
+        appendText(if (c == 0) '�' else c, pos)
+        pos += 1
+      }
+    }
+    emitEof()
+  }
+}

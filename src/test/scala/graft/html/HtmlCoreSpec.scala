@@ -1,0 +1,643 @@
+package graft.html
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tree-builder golden fixtures in html5lib `.dat` dump style
+  * (FIXTURES.md §4) — each pair is (input html, expected dump). */
+class TreeBuilderSpec extends AnyFunSuite {
+
+  private def check(html: String, expected: String): Unit = {
+    val doc = HtmlParser.parse(html)
+    assert(Serializer.dump(doc).stripTrailing == expected.stripTrailing,
+      s"\ninput: $html\ngot:\n${Serializer.dump(doc)}")
+  }
+
+  test("implied html/head/body around bare text") {
+    check("Hello",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     "Hello"""".stripMargin('#'))
+  }
+
+  test("basic document") {
+    check("<html><head><title>T</title></head><body><h1>Hi</h1><p>Para</p></body></html>",
+      """| <html>
+        #|   <head>
+        #|     <title>
+        #|       "T"
+        #|   <body>
+        #|     <h1>
+        #|       "Hi"
+        #|     <p>
+        #|       "Para"""".stripMargin('#'))
+  }
+
+  test("adoption agency: <b>...<i>...</b>...</i> misnesting (tree.c:1611)") {
+    check("<p>1<b>2<i>3</b>4</i>5</p>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <p>
+        #|       "1"
+        #|       <b>
+        #|         "2"
+        #|         <i>
+        #|           "3"
+        #|       <i>
+        #|         "4"
+        #|       "5"""".stripMargin('#'))
+  }
+
+  test("adoption agency: <a><div><a> re-homing") {
+    check("<a>1<div>2<a>3</a></div></a>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <a>
+        #|       "1"
+        #|     <div>
+        #|       <a>
+        #|         "2"
+        #|       <a>
+        #|         "3"""".stripMargin('#'))
+  }
+
+  test("foster parenting: text leaks out of <table> (tree.c:1895)") {
+    check("<table>foo<td>x</td></table>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     "foo"
+        #|     <table>
+        #|       <tbody>
+        #|         <tr>
+        #|           <td>
+        #|             "x"""".stripMargin('#'))
+  }
+
+  test("table with implied tbody + rows") {
+    check("<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <table>
+        #|       <tbody>
+        #|         <tr>
+        #|           <td>
+        #|             "a"
+        #|           <td>
+        #|             "b"
+        #|         <tr>
+        #|           <td>
+        #|             "c"""".stripMargin('#'))
+  }
+
+  test("Noah's Ark: 4th identical <b> evicted from AFE (tree.c:1463)") {
+    check("<p><b><b><b><b>x</p><p>y</p>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <p>
+        #|       <b>
+        #|         <b>
+        #|           <b>
+        #|             <b>
+        #|               "x"
+        #|     <p>
+        #|       <b>
+        #|         <b>
+        #|           <b>
+        #|             "y"""".stripMargin('#'))
+  }
+
+  test("implied end tags: li/p/dd (tree.c:1068)") {
+    check("<ul><li>a<li>b</ul><p>c<p>d<dl><dd>e<dd>f</dl>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <ul>
+        #|       <li>
+        #|         "a"
+        #|       <li>
+        #|         "b"
+        #|     <p>
+        #|       "c"
+        #|     <p>
+        #|       "d"
+        #|     <dl>
+        #|       <dd>
+        #|         "e"
+        #|       <dd>
+        #|         "f"""".stripMargin('#'))
+  }
+
+  test("RCDATA: title keeps markup as text (tag_init.c:1098)") {
+    check("<title>a<b>c</title><body>x",
+      """| <html>
+        #|   <head>
+        #|     <title>
+        #|       "a<b>c"
+        #|   <body>
+        #|     "x"""".stripMargin('#'))
+  }
+
+  test("RAWTEXT: style content not parsed, no charref decode") {
+    check("<style>a &amp; <div></style><p>b</p>",
+      """| <html>
+        #|   <head>
+        #|     <style>
+        #|       "a &amp; <div>"
+        #|   <body>
+        #|     <p>
+        #|       "b"""".stripMargin('#'))
+  }
+
+  test("script data escaped: <!-- --> does not end script (tokenizer_script.c)") {
+    check("""<script><!-- var a = "</x>"; --></script><p>k</p>""",
+      """| <html>
+        #|   <head>
+        #|     <script>
+        #|       "<!-- var a = "</x>"; -->"
+        #|   <body>
+        #|     <p>
+        #|       "k"""".stripMargin('#'))
+  }
+
+  test("script data double-escaped: inner <script> swallows </script>") {
+    check("<script><!--<script></script>--></script>after",
+      """| <html>
+        #|   <head>
+        #|     <script>
+        #|       "<!--<script></script>-->"
+        #|   <body>
+        #|     "after"""".stripMargin('#'))
+  }
+
+  test("pre first-newline suppression (rules.c:3854)") {
+    check("<pre>\nfoo</pre><pre>\n\nbar</pre>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <pre>
+        #|       "foo"
+        #|     <pre>
+        #|       "
+        #bar"""".stripMargin('#'))
+  }
+
+  test("comments in tree + bogus comment from <?") {
+    check("<!--top--><p>a<!-- mid -->b</p><?php x?>",
+      """| <!-- top -->
+        #| <html>
+        #|   <head>
+        #|   <body>
+        #|     <p>
+        #|       "a"
+        #|       <!--  mid  -->
+        #|       "b"
+        #|     <!-- ?php x? -->""".stripMargin('#'))
+  }
+
+  test("void elements don't nest") {
+    check("""<p>a<br>b<img src="u">c<hr>d</p>""",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <p>
+        #|       "a"
+        #|       <br>
+        #|       "b"
+        #|       <img>
+        #|         src="u"
+        #|       "c"
+        #|     <hr>
+        #|     "d"
+        #|     <p>""".stripMargin('#'))
+  }
+
+  test("attributes: case, duplicates (first wins), unquoted, entities") {
+    val doc = HtmlParser.parse(
+      """<div ID=a id=b data-x=1&amp;2 title="&copy; ok" href=x&copy=2></div>""")
+    val div = doc.descendants.find(_.isElement("div")).get
+    assert(div.attr("id").contains("a"))
+    assert(div.attr("data-x").contains("1&2"))
+    assert(div.attr("title").contains("© ok"))
+    // &copy followed by '=' in attribute: NOT decoded (legacy attr rule)
+    assert(div.attr("href").contains("x&copy=2"))
+  }
+
+  test("foreign content: svg with self-closing, case adjust, CDATA") {
+    check("<svg><rect/><foreignObject><div>h</div></foreignObject>" +
+      "<![CDATA[a<b]]></svg><p>x</p>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <svg svg>
+        #|       <svg rect>
+        #|       <svg foreignObject>
+        #|         <div>
+        #|           "h"
+        #|       "a<b"
+        #|     <p>
+        #|       "x"""".stripMargin('#'))
+  }
+
+  test("foreign content: breakout tag pops to HTML (rules.c:3652)") {
+    check("<svg><g><div>x</div>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <svg svg>
+        #|       <svg g>
+        #|     <div>
+        #|       "x"""".stripMargin('#'))
+  }
+
+  test("svg camelCase tag adjustment") {
+    check("<svg><lineargradient></lineargradient></svg>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <svg svg>
+        #|       <svg linearGradient>""".stripMargin('#'))
+  }
+
+  test("select: nested select closes, option/optgroup implied ends") {
+    check("<select><option>a<option>b<optgroup><option>c</select>d",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <select>
+        #|       <option>
+        #|         "a"
+        #|       <option>
+        #|         "b"
+        #|       <optgroup>
+        #|         <option>
+        #|           "c"
+        #|     "d"""".stripMargin('#'))
+  }
+
+  test("frameset replaces body when frameset-ok") {
+    check("<html><frameset><frame></frameset>",
+      """| <html>
+        #|   <head>
+        #|   <frameset>
+        #|     <frame>""".stripMargin('#'))
+  }
+
+  test("headings auto-close each other") {
+    check("<h1>a<h2>b</h2>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <h1>
+        #|       "a"
+        #|     <h2>
+        #|       "b"""".stripMargin('#'))
+  }
+
+  test("button in scope closes previous button") {
+    check("<button>a<button>b</button>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <button>
+        #|       "a"
+        #|     <button>
+        #|       "b"""".stripMargin('#'))
+  }
+
+  test("fragment parsing with tr context (myhtml.c:240)") {
+    val root = HtmlParser.parseFragment("<td>x</td><td>y</td>", "tr")
+    val names = root.descendants.filter(_.kind == NodeKind.Element).map(_.name).toList
+    assert(names == List("td", "td"))
+  }
+
+  test("fragment parsing in title context is RCDATA") {
+    val root = HtmlParser.parseFragment("<b>not-a-tag", "title")
+    assert(root.children.length == 1 && root.children.head.kind == NodeKind.Text)
+    assert(root.children.head.text == "<b>not-a-tag")
+  }
+
+  test("quirks mode determination (rules.c:85)") {
+    assert(HtmlParser.parseWithQuirks("<!DOCTYPE html><p>x")._2 == QuirksMode.NoQuirks)
+    assert(HtmlParser.parseWithQuirks("<p>x")._2 == QuirksMode.Quirks)
+    assert(HtmlParser.parseWithQuirks(
+      "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\"><p>x")._2 ==
+      QuirksMode.Quirks)
+    assert(HtmlParser.parseWithQuirks(
+      "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\" " +
+        "\"http://www.w3.org/TR/html4/loose.dtd\"><p>x")._2 == QuirksMode.Limited)
+    assert(HtmlParser.parseWithQuirks("<!DOCTYPE foo><p>x")._2 == QuirksMode.Quirks)
+  }
+
+  test("in table: quirks mode table inside p does not close p") {
+    val (doc, _) = HtmlParser.parseWithQuirks("<p>a<table><tr><td>b</table>c")
+    val p = doc.descendants.find(_.isElement("p")).get
+    assert(p.descendants.exists(_.isElement("table")))
+  }
+
+  test("template: contents kept, mode stack (tree.c:2084)") {
+    check("<template><td>t</td></template><p>x</p>",
+      """| <html>
+        #|   <head>
+        #|     <template>
+        #|       <td>
+        #|         "t"
+        #|   <body>
+        #|     <p>
+        #|       "x"""".stripMargin('#'))
+  }
+
+  test("plaintext swallows everything") {
+    check("<plaintext><p>not</p>",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <plaintext>
+        #|       "<p>not</p>"""".stripMargin('#'))
+  }
+
+  test("after body comments attach to html") {
+    check("<html><body><p>x</p></body><!--tail-->",
+      """| <html>
+        #|   <head>
+        #|   <body>
+        #|     <p>
+        #|       "x"
+        #|   <!-- tail -->""".stripMargin('#'))
+  }
+}
+
+/** Tokenizer-level fixtures (FIXTURES.md §3) using a collector sink —
+  * the reference's token-callback surface (examples/callback.pl). */
+class TokenizerSpec extends AnyFunSuite {
+
+  private def tokens(html: String, model: Int = ContentModel.DATA,
+                     lastStart: String = null): List[Token] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[Token]
+    val sink = new TokenSink { def process(t: Token): Unit = buf += t }
+    val tk = new Tokenizer(html, sink)
+    tk.state = model
+    if (lastStart != null) tk.lastStartTag = lastStart
+    tk.run()
+    buf.toList
+  }
+
+  test("text + start/end tags with raw offsets (token.h:80)") {
+    val ts = tokens("ab<p id=1>cd</p>")
+    assert(ts == List(
+      CharsTok("ab", 0),
+      StartTagTok("p", scala.collection.mutable.ArrayBuffer(DomAttr("id", "1")), false, 2),
+      CharsTok("cd", 10),
+      EndTagTok("p", 12),
+      EofTok))
+  }
+
+  test("named charrefs: longest match, missing semicolon, history (charef.c:63)") {
+    assert(tokens("&amp;").head == CharsTok("&", 0))
+    assert(tokens("&amp x").head == CharsTok("& x", 0))
+    assert(tokens("&ampx").head == CharsTok("&x", 0))
+    assert(tokens("&notin;").head == CharsTok("∉", 0))
+    assert(tokens("&notit;").head == CharsTok("¬it;", 0))
+    assert(tokens("&unknown;").head == CharsTok("&unknown;", 0))
+    assert(tokens("&copy").head == CharsTok("©", 0))
+  }
+
+  test("numeric charrefs: hex, dec, C1 remap, out of range (data_process.c:231)") {
+    assert(tokens("&#65;").head == CharsTok("A", 0))
+    assert(tokens("&#x41;").head == CharsTok("A", 0))
+    assert(tokens("&#X41;").head == CharsTok("A", 0))
+    assert(tokens("&#153;").head == CharsTok("™", 0))   // C1 remap 0x99
+    assert(tokens("&#0;").head == CharsTok("\uFFFD", 0))
+    assert(tokens("&#x110000;").head == CharsTok("\uFFFD", 0))
+    assert(tokens("&#xD800;").head == CharsTok("\uFFFD", 0))
+    assert(tokens("&#65")  // missing semicolon still decodes
+      .head == CharsTok("A", 0))
+  }
+
+  test("CRLF normalization (mystring.c:24)") {
+    assert(tokens("a\r\nb\rc").head == CharsTok("a\nb\nc", 0))
+  }
+
+  test("self-closing flag (and / in unquoted value is NOT self-closing)") {
+    val ts = tokens("<br/><img src=\"x\"/><a href=y/>")
+    assert(ts.collect { case s: StartTagTok => s.selfClosing } ==
+      List(true, true, false)) // spec: unquoted "y/" swallows the slash
+    assert(ts.collect { case s: StartTagTok if s.name == "a" => s.attr("href") } ==
+      List(Some("y/")))
+  }
+
+  test("comment variants incl. --!> recovery (tokenizer.c:1457)") {
+    assert(tokens("<!--a-->") == List(CommentTok("a", 0), EofTok))
+    assert(tokens("<!---->") == List(CommentTok("", 0), EofTok))
+    assert(tokens("<!--a--!>x") == List(CommentTok("a", 0), CharsTok("x", 9), EofTok))
+    assert(tokens("<!-->") == List(CommentTok("", 0), EofTok))
+    assert(tokens("<!--->") == List(CommentTok("", 0), EofTok))
+    assert(tokens("<!--a-b--c-->") == List(CommentTok("a-b--c", 0), EofTok))
+  }
+
+  test("EOF flush: unterminated comment/tag/doctype (tokenizer_end.c)") {
+    assert(tokens("<!--never") == List(CommentTok("never", 0), EofTok))
+    assert(tokens("<p") == List(EofTok)) // eof-in-tag drops the token
+    assert(tokens("ab<") == List(CharsTok("ab<", 0), EofTok))
+    assert(tokens("ab</") == List(CharsTok("ab</", 0), EofTok))
+    val dt = tokens("<!DOCTYPE htm").head.asInstanceOf[DoctypeTok]
+    assert(dt.name == "htm" && dt.forceQuirks)
+  }
+
+  test("doctype with public/system ids (tokenizer_doctype.c)") {
+    val dt = tokens("<!DOCTYPE html PUBLIC \"pub\" 'sys'>").head.asInstanceOf[DoctypeTok]
+    assert(dt == DoctypeTok("html", "pub", "sys", false))
+    val dt2 = tokens("<!doctype HTML sYsTeM 'abc'>").head.asInstanceOf[DoctypeTok]
+    assert(dt2 == DoctypeTok("html", null, "abc", false))
+    val dt3 = tokens("<!DOCTYPE html BOGUS zzz>").head.asInstanceOf[DoctypeTok]
+    assert(dt3.forceQuirks)
+  }
+
+  test("bogus comment from </ + non-letter and <?") {
+    assert(tokens("</ x>") == List(CommentTok(" x", 0), EofTok))
+    assert(tokens("<?xml version='1.0'?>") ==
+      List(CommentTok("?xml version='1.0'?", 0), EofTok))
+    assert(tokens("</>") == List(EofTok)) // dropped entirely
+  }
+
+  test("RCDATA initial state (fixture-style initialState support)") {
+    val ts = tokens("x<b>&amp;</textarea>y", ContentModel.RCDATA, "textarea")
+    assert(ts == List(CharsTok("x<b>&", 0), EndTagTok("textarea", 9),
+      CharsTok("y", 20), EofTok))
+  }
+
+  test("RAWTEXT: no charref decode, case-insensitive end tag") {
+    val ts = tokens("a&amp;b</STYLE>c", ContentModel.RAWTEXT, "style")
+    assert(ts == List(CharsTok("a&amp;b", 0), EndTagTok("style", 7),
+      CharsTok("c", 15), EofTok))
+  }
+
+  test("NUL handling: FFFD in rawtext, kept in data for builder") {
+    assert(tokens("a\u0000b", ContentModel.RAWTEXT, "style").head ==
+      CharsTok("a\uFFFDb", 0))
+  }
+}
+
+/** Extraction golden tests (FIXTURES.md §5; semantics from
+  * examples/clear_text.pl:34-60 + media/kind extensions). */
+class ExtractorSpec extends AnyFunSuite {
+
+  test("clear_text semantics: skip script/style/textarea/comments, drop ws-only") {
+    val html =
+      """<html><head><style>.x{}</style><script>var a;</script></head>
+        |<body><h1>Title</h1>
+        |<!-- hidden --><p>Body text</p>
+        |<textarea>ignored</textarea>
+        |<ul><li>One</li><li>Two</li></ul>
+        |<pre>raw  text</pre>
+        |</body></html>""".stripMargin
+    val spans = Extractor.extractHtml(html)
+    assert(spans.map(s => (s.kind, s.text)) == Seq(
+      ("heading", "Title"),
+      ("text", "Body text"),
+      ("list_item", "One"),
+      ("list_item", "Two"),
+      ("pre", "raw  text")))
+  }
+
+  test("media passthrough in document order with refs") {
+    val html = """<p>a<img src="m://1">b</p><video src="m://2"></video>"""
+    val spans = Extractor.extractHtml(html)
+    assert(spans.map(s => (s.kind, s.text, s.media_ref)) == Seq(
+      ("text", "a", ""),
+      ("media", "", "m://1"),
+      ("text", "b", ""),
+      ("media", "", "m://2")))
+  }
+
+  test("offsets point into the source (raw positions, api.h:1379)") {
+    val html = "<p>abc</p><p>def</p>"
+    val spans = Extractor.extractHtml(html)
+    assert(spans.map(_.offset) == Seq(3, 13))
+    assert(spans.forall(s => html.substring(s.offset, s.offset + 3) == s.text))
+  }
+
+  test("boilerplate: link-dominated short blocks dropped") {
+    val html =
+      """<body><nav><a href="/">Home</a> <a href="/x">X</a></nav>
+        |<article><p>This is a long enough real paragraph of content here.</p>
+        |<p><a href="/more">more</a></p></article></body>""".stripMargin
+    val strict = Extractor.extractHtml(html, Extractor.Strict)
+    val boiler = Extractor.extractHtml(html, Extractor.Boiler)
+    assert(strict.exists(_.text == "Home"))
+    assert(!boiler.exists(_.text == "Home"))
+    assert(boiler.exists(_.text.startsWith("This is a long")))
+    assert(!boiler.exists(_.text == "more"))
+  }
+
+  test("robustness: binary garbage never throws (Changes:33)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      Extractor.extractHtml(s) // must not throw
+    }
+  }
+
+  test("attr selectors: 6 CSS modes (myhtml.c:922-1301)") {
+    val doc = HtmlParser.parse(
+      """<div class="a b c" lang="en-US" href="http://x/y.png" id="m1">t</div>""")
+    import AttrMatch._
+    assert(select(doc, "class", "b", WhitespaceSep).nonEmpty)
+    assert(select(doc, "class", "a b c", Eq).nonEmpty)
+    assert(select(doc, "lang", "en", HyphenSep).nonEmpty)
+    assert(select(doc, "href", "http", Begin).nonEmpty)
+    assert(select(doc, "href", ".png", End).nonEmpty)
+    assert(select(doc, "href", "x/y", Contain).nonEmpty)
+    assert(select(doc, "class", "B", WhitespaceSep).isEmpty)
+    assert(select(doc, "class", "B", WhitespaceSep, ci = true).nonEmpty)
+  }
+}
+
+/** Serializer tests (serialization.c semantics). */
+class SerializerSpec extends AnyFunSuite {
+
+  test("roundtrip: serialize(parse(x)) is stable after first pass") {
+    val inputs = Seq(
+      "<p>a<b>c</b></p>",
+      "<table>x<td>y</td></table>",
+      "<ul><li>1<li>2</ul>",
+      "<div id=a title='q\"r'>&lt;esc&gt;</div>",
+      "<svg><rect/></svg>"
+    )
+    inputs.foreach { in =>
+      val once = Serializer.innerHtml(HtmlParser.parse(in))
+      val twice = Serializer.innerHtml(HtmlParser.parse(once))
+      assert(once == twice, s"not idempotent for: $in\nonce:  $once\ntwice: $twice")
+    }
+  }
+
+  test("text and attribute escaping (serialization.c:322-459)") {
+    val doc = HtmlParser.parse("""<p title="a&quot;b">x&lt;y&amp;z</p>""")
+    val html = Serializer.innerHtml(doc)
+    assert(html.contains("""title="a&quot;b""""))
+    assert(html.contains("x&lt;y&amp;z"))
+  }
+
+  test("rawtext children serialized verbatim (serialization.c:283)") {
+    val doc = HtmlParser.parse("<script>if (a<b) {}</script>")
+    assert(Serializer.innerHtml(doc).contains("<script>if (a<b) {}</script>"))
+  }
+
+  test("void elements: no end tag (serialization.c:254)") {
+    val doc = HtmlParser.parse("<p>a<br>b</p>")
+    val html = Serializer.innerHtml(doc)
+    assert(html.contains("<br>") && !html.contains("</br>"))
+  }
+
+  test("doctype serialization") {
+    val doc = HtmlParser.parse("<!DOCTYPE html><p>x</p>")
+    assert(Serializer.innerHtml(doc).startsWith("<!DOCTYPE html>"))
+  }
+}
+
+/** Encoding detection (detect.c). */
+class EncodingsSpec extends AnyFunSuite {
+  import java.nio.charset.StandardCharsets._
+
+  test("BOM detection (detect.c:164)") {
+    assert(Encodings.detectBom(Array(0xEF, 0xBB, 0xBF, 'a').map(_.toByte)) == ("UTF-8", 3))
+    assert(Encodings.detectBom(Array(0xFF, 0xFE, 0, 0).map(_.toByte)) == ("UTF-16LE", 2))
+    assert(Encodings.detectBom(Array(0xFE, 0xFF, 0, 0).map(_.toByte)) == ("UTF-16BE", 2))
+    assert(Encodings.detectBom("plain".getBytes(UTF_8)) == null)
+  }
+
+  test("meta prescan finds charset (detect.c:559)") {
+    val html = """<html><head><meta charset="windows-1251"></head>"""
+    assert(Encodings.prescanMeta(html.getBytes(ISO_8859_1)).contains("windows-1251"))
+    val he = """<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-2">"""
+    assert(Encodings.prescanMeta(he.getBytes(ISO_8859_1)).contains("ISO-8859-2"))
+    assert(Encodings.prescanMeta("<p>no meta</p>".getBytes(ISO_8859_1)).isEmpty)
+    // commented-out meta is skipped
+    val c = """<!-- <meta charset="koi8-r"> --><meta charset="utf-8">"""
+    assert(Encodings.prescanMeta(c.getBytes(ISO_8859_1)).contains("UTF-8"))
+  }
+
+  test("utf-8 heuristic + windows-1252 fallback (detect.c:78)") {
+    assert(Encodings.sniff("héllo wörld".getBytes(UTF_8)) == "UTF-8")
+    val w1252 = "caf\u00e9".getBytes(ISO_8859_1) // lone 0xE9: invalid UTF-8
+    assert(Encodings.sniff(w1252) == "windows-1252")
+  }
+
+  test("decode never throws on garbage") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(100))(rnd.nextInt(256).toByte)
+      Encodings.decode(bytes)
+    }
+  }
+
+  test("decode honors BOM and meta") {
+    val utf16 = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "hi".getBytes(UTF_16LE)
+    assert(Encodings.decode(utf16) == "hi")
+  }
+}
