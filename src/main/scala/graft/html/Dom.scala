@@ -39,7 +39,17 @@ final class Node(
     var ns: Int = Ns.HTML
 ) {
   var parent: Node = _
-  val children: ArrayBuffer[Node] = new ArrayBuffer[Node](4)
+  // children allocated lazily: text/comment leaves dominate real DOMs and
+  // must not pay an array allocation (hot-path GC pressure at 10^9 rows)
+  private var _children: ArrayBuffer[Node] = _
+  def children: ArrayBuffer[Node] = {
+    if (_children == null) _children = new ArrayBuffer[Node](4)
+    _children
+  }
+  @inline def hasChildren: Boolean = _children != null && _children.nonEmpty
+  @inline def childCount: Int = if (_children == null) 0 else _children.length
+  /** Read access without forcing allocation; caller checks childCount. */
+  @inline def childAt(i: Int): Node = _children(i)
   var attrs: ArrayBuffer[DomAttr] = _
   var text: String = ""
   var rawBegin: Int = -1
@@ -82,29 +92,33 @@ final class Node(
 
   def remove(): Unit = {
     if (parent != null) {
-      val i = parent.children.indexOf(this)
-      if (i >= 0) parent.children.remove(i)
+      if (parent._children != null) {
+        val i = parent._children.indexOf(this)
+        if (i >= 0) parent._children.remove(i)
+      }
       parent = null
     }
   }
 
-  def lastChild: Node = if (children.isEmpty) null else children.last
+  def lastChild: Node = if (childCount == 0) null else _children.last
 
-  def firstChild: Node = if (children.isEmpty) null else children.head
+  def firstChild: Node = if (childCount == 0) null else _children.head
 
   def nextSibling: Node = {
-    if (parent == null) null
+    if (parent == null || parent._children == null) null
     else {
-      val i = parent.children.indexOf(this)
-      if (i >= 0 && i + 1 < parent.children.length) parent.children(i + 1) else null
+      val cs = parent._children
+      val i = cs.indexOf(this)
+      if (i >= 0 && i + 1 < cs.length) cs(i + 1) else null
     }
   }
 
   def prevSibling: Node = {
-    if (parent == null) null
+    if (parent == null || parent._children == null) null
     else {
-      val i = parent.children.indexOf(this)
-      if (i > 0) parent.children(i - 1) else null
+      val cs = parent._children
+      val i = cs.indexOf(this)
+      if (i > 0) cs(i - 1) else null
     }
   }
 
@@ -112,16 +126,16 @@ final class Node(
     * (reference iterative DFS: source/myhtml/myhtml.c:435-483). */
   def descendants: Iterator[Node] = new Iterator[Node] {
     private val stack: ArrayBuffer[Node] = {
-      val b = new ArrayBuffer[Node](children.length)
-      var i = children.length - 1
-      while (i >= 0) { b += children(i); i -= 1 }
+      val b = new ArrayBuffer[Node](childCount)
+      var i = childCount - 1
+      while (i >= 0) { b += _children(i); i -= 1 }
       b
     }
     def hasNext: Boolean = stack.nonEmpty
     def next(): Node = {
       val n = stack.remove(stack.length - 1)
-      var i = n.children.length - 1
-      while (i >= 0) { stack += n.children(i); i -= 1 }
+      var i = n.childCount - 1
+      while (i >= 0) { stack += n._children(i); i -= 1 }
       n
     }
   }

@@ -32,53 +32,58 @@ final case class ExtractConfig(
   * skip comment/script/style/textarea subtrees, drop whitespace-only
   * text) extended per the north star with media passthrough, span kinds
   * from the nearest block ancestor, and optional boilerplate scoring.
+  *
+  * The walk is allocation-free per node (span kind is inherited down
+  * instead of scanning an ancestor path) — this function runs once per
+  * document at 10^12-row scale.
   */
 object Extractor {
 
   val Strict: ExtractConfig = ExtractConfig()
   val Boiler: ExtractConfig = ExtractConfig(boilerplate = true)
 
-  /** Block-kind mapping: nearest block ancestor decides the span kind. */
-  private def kindFor(ancestorsAndSelf: List[String]): String = {
-    var cur = ancestorsAndSelf
-    while (cur.nonEmpty) {
-      val n = cur.head
-      if (Tags.headings.contains(n)) return "heading"
-      if (n == "li") return "list_item"
-      if (n == "pre" || n == "listing") return "pre"
-      cur = cur.tail
+  private final val KindText = "text"
+
+  /** Kind for children of element `name`, given the inherited kind —
+    * equivalent to "nearest block ancestor decides" computed top-down. */
+  @inline private def childKind(name: String, inherited: String): String =
+    name match {
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+      case "li" => "list_item"
+      case "pre" | "listing" => "pre"
+      case _ => inherited
     }
-    "text"
-  }
 
   /** Extract spans from a parsed document (or fragment root). */
   def extract(doc: Node, cfg: ExtractConfig = Strict): Seq[Span] = {
     val out = new ArrayBuffer[Span](16)
-    // path of HTML-ns element names from the current node up (head=nearest)
-    def walk(n: Node, path: List[String], depth: Int): Unit = {
+    def walk(n: Node, kind: String, depth: Int): Unit = {
       if (depth > cfg.maxTagDepth) return
-      n.kind match {
+      (n.kind: @annotation.switch) match {
         case NodeKind.Comment => // skip subtree (clear_text.pl:36)
         case NodeKind.Doctype =>
         case NodeKind.Text =>
           if (!TextPrep.isWhitespaceOnly(n.text))
-            out += Span(kindFor(path), n.text, "", math.max(n.rawBegin, 0))
-        case NodeKind.Element | NodeKind.Document =>
-          val name = if (n.kind == NodeKind.Element && n.ns == Ns.HTML) n.name else null
-          if (name != null && cfg.skipTags.contains(name)) return
-          if (name != null) {
-            Tags.mediaRefAttr.get(name).foreach { attrKey =>
-              n.attr(attrKey).foreach { ref =>
-                if (ref.nonEmpty)
-                  out += Span("media", "", ref, math.max(n.rawBegin, 0))
-              }
+            out += Span(kind, n.text, "", if (n.rawBegin > 0) n.rawBegin else 0)
+        case _ => // Element | Document
+          var k = kind
+          if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
+            val name = n.name
+            if (cfg.skipTags.contains(name)) return
+            val refAttr = Tags.mediaRefAttr.getOrElse(name, null)
+            if (refAttr != null) {
+              val ref = n.attr(refAttr)
+              if (ref.isDefined && ref.get.nonEmpty)
+                out += Span("media", "", ref.get, if (n.rawBegin > 0) n.rawBegin else 0)
             }
+            k = childKind(name, kind)
           }
-          val childPath = if (name != null) name :: path else path
-          n.children.foreach(walk(_, childPath, depth + 1))
+          var i = 0
+          val cc = n.childCount
+          while (i < cc) { walk(n.childAt(i), k, depth + 1); i += 1 }
       }
     }
-    walk(doc, Nil, 0)
+    walk(doc, KindText, 0)
     if (cfg.boilerplate) stripBoilerplate(doc, out, cfg) else out.toSeq
   }
 
@@ -102,13 +107,14 @@ object Extractor {
   private def stripBoilerplate(doc: Node, spans: ArrayBuffer[Span],
                                cfg: ExtractConfig): Seq[Span] = {
     // per-block stats: total text chars, text chars under <a>
-    final case class Stat(var text: Int = 0, var link: Int = 0)
+    final class Stat { var text = 0; var link = 0 }
     val stats = new java.util.IdentityHashMap[Node, Stat]()
     def collect(n: Node, block: Node, inLink: Boolean): Unit = {
       n.kind match {
         case NodeKind.Text =>
           if (block != null && !TextPrep.isWhitespaceOnly(n.text)) {
-            val s = stats.computeIfAbsent(block, _ => Stat())
+            var s = stats.get(block)
+            if (s == null) { s = new Stat; stats.put(block, s) }
             s.text += n.text.length
             if (inLink) s.link += n.text.length
           }
@@ -116,8 +122,11 @@ object Extractor {
           if (n.ns == Ns.HTML && cfg.skipTags.contains(n.name)) return
           val nb = if (n.ns == Ns.HTML && blockTags.contains(n.name)) n else block
           val il = inLink || (n.ns == Ns.HTML && n.name == "a")
-          n.children.foreach(collect(_, nb, il))
-        case NodeKind.Document => n.children.foreach(collect(_, block, inLink))
+          var i = 0
+          while (i < n.childCount) { collect(n.childAt(i), nb, il); i += 1 }
+        case NodeKind.Document =>
+          var i = 0
+          while (i < n.childCount) { collect(n.childAt(i), block, inLink); i += 1 }
         case _ =>
       }
     }
@@ -135,32 +144,35 @@ object Extractor {
     }
     if (dropped.isEmpty) return spans.toSeq
 
-    // re-walk emitting only spans whose nearest block is kept; cheapest
-    // correct approach: recompute extraction with a drop predicate.
+    // re-walk emitting only spans whose nearest block is kept
     val out = new ArrayBuffer[Span](spans.length)
-    def walk(n: Node, path: List[String], blocked: Boolean): Unit = {
+    def walk(n: Node, kind: String, blocked: Boolean): Unit = {
       n.kind match {
         case NodeKind.Comment | NodeKind.Doctype =>
         case NodeKind.Text =>
           if (!blocked && !TextPrep.isWhitespaceOnly(n.text))
-            out += Span(kindFor(path), n.text, "", math.max(n.rawBegin, 0))
-        case NodeKind.Element | NodeKind.Document =>
-          val name = if (n.kind == NodeKind.Element && n.ns == Ns.HTML) n.name else null
-          if (name != null && cfg.skipTags.contains(name)) return
+            out += Span(kind, n.text, "", if (n.rawBegin > 0) n.rawBegin else 0)
+        case _ =>
+          var k = kind
           val nowBlocked = blocked || dropped.containsKey(n)
-          if (name != null && !nowBlocked) {
-            Tags.mediaRefAttr.get(name).foreach { attrKey =>
-              n.attr(attrKey).foreach { ref =>
-                if (ref.nonEmpty)
-                  out += Span("media", "", ref, math.max(n.rawBegin, 0))
+          if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
+            val name = n.name
+            if (cfg.skipTags.contains(name)) return
+            if (!nowBlocked) {
+              val refAttr = Tags.mediaRefAttr.getOrElse(name, null)
+              if (refAttr != null) {
+                val ref = n.attr(refAttr)
+                if (ref.isDefined && ref.get.nonEmpty)
+                  out += Span("media", "", ref.get, if (n.rawBegin > 0) n.rawBegin else 0)
               }
             }
+            k = childKind(name, kind)
           }
-          val childPath = if (name != null) name :: path else path
-          n.children.foreach(walk(_, childPath, nowBlocked))
+          var i = 0
+          while (i < n.childCount) { walk(n.childAt(i), k, nowBlocked); i += 1 }
       }
     }
-    walk(doc, Nil, blocked = false)
+    walk(doc, KindText, blocked = false)
     out.toSeq
   }
 }

@@ -64,7 +64,9 @@ object Serializer {
   }
 
   private def serialize(n: Node, sb: java.lang.StringBuilder): Unit = n.kind match {
-    case NodeKind.Document => n.children.foreach(serialize(_, sb))
+    case NodeKind.Document =>
+      var i = 0
+      while (i < n.childCount) { serialize(n.childAt(i), sb); i += 1 }
     case NodeKind.Doctype =>
       sb.append("<!DOCTYPE ").append(n.name)
       if (n.publicId != null) {
@@ -87,7 +89,8 @@ object Serializer {
       }
       sb.append('>')
       if (!(n.ns == Ns.HTML && Tags.void.contains(n.name))) {
-        n.children.foreach(serialize(_, sb))
+        var i = 0
+        while (i < n.childCount) { serialize(n.childAt(i), sb); i += 1 }
         sb.append("</").append(n.name).append('>')
       }
   }

@@ -42,9 +42,14 @@ final class Tokenizer(src0: String, sink: TokenSink) {
   private var pos = 0
   private var eofEmitted = false
 
-  // reusable text buffer
+  // reusable buffers (one tokenizer instance per document — per-token
+  // allocation is the GC hot spot at 10^9 rows; reference pools the
+  // same way via mchar_async, SURVEY §2.6 X4)
   private val text = new java.lang.StringBuilder(256)
   private var textStart = -1
+  private val nameBuf = new java.lang.StringBuilder(16)
+  private val attrNameBuf = new java.lang.StringBuilder(16)
+  private val attrValBuf = new java.lang.StringBuilder(32)
 
   def run(): Unit = {
     while (!eofEmitted) step()
@@ -171,10 +176,13 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     }
   }
 
+  private val emptyAttrs = new ArrayBuffer[DomAttr](0)
+
   /** Returns null on EOF-in-tag. */
   private def parseTagBody(rawBegin: Int, isEnd: Boolean): Token = {
     // tag name
-    val nameSb = new java.lang.StringBuilder(8)
+    val nameSb = nameBuf
+    nameSb.setLength(0)
     var c: Char = 0
     while (pos < len && {
       c = src.charAt(pos)
@@ -186,7 +194,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     }
     if (pos >= len) return null
     val name = nameSb.toString
-    val attrs = new ArrayBuffer[DomAttr](4)
+    var attrs: ArrayBuffer[DomAttr] = null
     var selfClosing = false
 
     var done = false
@@ -202,7 +210,8 @@ final class Tokenizer(src0: String, sink: TokenSink) {
         // else: unexpected-solidus-in-tag, reconsume in before-attr-name
       } else {
         // attribute name
-        val an = new java.lang.StringBuilder(8)
+        val an = attrNameBuf
+        an.setLength(0)
         if (c == '=') { an.append('='); pos += 1 } // unexpected-equals: goes into name
         var brk = false
         while (!brk && pos < len) {
@@ -226,7 +235,8 @@ final class Tokenizer(src0: String, sink: TokenSink) {
           val q = src.charAt(pos)
           if (q == '"' || q == '\'') {
             pos += 1
-            val vs = new java.lang.StringBuilder(16)
+            val vs = attrValBuf
+            vs.setLength(0)
             var vb = false
             while (!vb && pos < len) {
               c = src.charAt(pos)
@@ -241,7 +251,8 @@ final class Tokenizer(src0: String, sink: TokenSink) {
             value = vs.toString
           } else {
             // unquoted
-            val vs = new java.lang.StringBuilder(16)
+            val vs = attrValBuf
+            vs.setLength(0)
             var vb = false
             while (!vb && pos < len) {
               c = src.charAt(pos)
@@ -257,12 +268,20 @@ final class Tokenizer(src0: String, sink: TokenSink) {
           }
         }
         val anm = an.toString
-        if (anm.nonEmpty && !attrs.exists(_.name == anm))
+        var dup = false
+        if (attrs != null) {
+          var ai = 0
+          while (ai < attrs.length && !dup) { dup = attrs(ai).name == anm; ai += 1 }
+        }
+        if (anm.nonEmpty && !dup) {
+          if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
           attrs += DomAttr(anm, value) // duplicate-attribute: first wins
+        }
       }
     }
     if (isEnd) EndTagTok(name, rawBegin)
-    else StartTagTok(name, attrs, selfClosing, rawBegin)
+    else StartTagTok(name, if (attrs == null) emptyAttrs else attrs,
+      selfClosing, rawBegin)
   }
 
   // ------------------------------------------------- markup declarations

@@ -82,6 +82,16 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private var pendingTableRaw = -1
   private var pendingHasNonWs = false
 
+
+  // static guard sets — hoisted so token dispatch never allocates
+  private val inHeadNoscriptPass = Set("basefont", "bgsound", "link", "meta", "noframes", "style")
+  private val tableTextTags = Set("table", "tbody", "tfoot", "thead", "tr")
+  private val captionInterrupt = Set("caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr")
+  private val captionIgnoreEnd = Set("body", "col", "colgroup", "html", "tbody", "td", "tfoot", "th", "thead", "tr")
+  private val cellIgnoreEnd = Set("body", "caption", "col", "colgroup", "html")
+  private val cellCloseEnd = Set("table", "tbody", "tfoot", "thead", "tr")
+  private val selectTableTags = Set("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th")
+
   private def currentNode: Node = if (stack.isEmpty) null else stack.last
 
   private def adjustedCurrentNode: Node =
@@ -171,8 +181,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     val n = Node.element(tok.name, ns)
     n.rawBegin = tok.rawBegin
     if (tok.attrs.nonEmpty) {
-      n.attrs = new ArrayBuffer[DomAttr](tok.attrs.length)
-      tok.attrs.foreach(a => n.attrs += DomAttr(a.name, a.value, a.ns))
+      val src = tok.attrs
+      val dst = new ArrayBuffer[DomAttr](src.length)
+      var i = 0
+      while (i < src.length) { val a = src(i); dst += DomAttr(a.name, a.value, a.ns); i += 1 }
+      n.attrs = dst
     }
     n
   }
@@ -828,7 +841,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       }
     case c: CommentTok => modeInHead(c)
     case st: StartTagTok
-        if Set("basefont", "bgsound", "link", "meta", "noframes", "style")(st.name) =>
+        if inHeadNoscriptPass(st.name) =>
       modeInHead(st)
     case st: StartTagTok if st.name == "head" || st.name == "noscript" => // ignore
     case EndTagTok("br", _) =>
@@ -1180,7 +1193,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def modeInTable(tok: Token): Unit = tok match {
     case _: CharsTok
         if currentNode != null && currentNode.ns == Ns.HTML &&
-          Set("table", "tbody", "tfoot", "thead", "tr")(currentNode.name) =>
+          tableTextTags(currentNode.name) =>
       pendingTableChars.setLength(0)
       pendingHasNonWs = false
       pendingTableRaw = -1
@@ -1275,14 +1288,12 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def modeInCaption(tok: Token): Unit = tok match {
     case EndTagTok("caption", _) => closeCaption()
     case st: StartTagTok
-        if Set("caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
-          "thead", "tr")(st.name) =>
+        if captionInterrupt(st.name) =>
       if (closeCaption()) process(tok)
     case EndTagTok("table", _) =>
       if (closeCaption()) process(tok)
     case EndTagTok(n, _)
-        if Set("body", "col", "colgroup", "html", "tbody", "td", "tfoot", "th",
-          "thead", "tr")(n) => // ignore
+        if captionIgnoreEnd(n) => // ignore
     case _ => modeInBody(tok)
   }
 
@@ -1412,16 +1423,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         mode = IN_ROW
       }
     case st: StartTagTok
-        if Set("caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
-          "thead", "tr")(st.name) =>
+        if captionInterrupt(st.name) =>
       if (inTableScope("td") || inTableScope("th")) {
         closeCell()
         process(st)
       }
     case EndTagTok(name, _)
-        if Set("body", "caption", "col", "colgroup", "html")(name) => // ignore
+        if cellIgnoreEnd(name) => // ignore
     case EndTagTok(name, _)
-        if Set("table", "tbody", "tfoot", "thead", "tr")(name) =>
+        if cellCloseEnd(name) =>
       if (inTableScope(name)) {
         closeCell()
         process(tok)
@@ -1493,14 +1503,12 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def modeInSelectInTable(tok: Token): Unit = tok match {
     case st: StartTagTok
-        if Set("caption", "table", "tbody", "tfoot", "thead", "tr", "td",
-          "th")(st.name) =>
+        if selectTableTags(st.name) =>
       popUntilIncl("select")
       resetInsertionMode()
       process(st)
     case EndTagTok(name, _)
-        if Set("caption", "table", "tbody", "tfoot", "thead", "tr", "td",
-          "th")(name) =>
+        if selectTableTags(name) =>
       if (inTableScope(name)) {
         popUntilIncl("select")
         resetInsertionMode()

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads are opaque binary columns
+  * with typed metadata; decode/feature-extract runs as a batched
+  * per-partition transform (the Scala analog of mapInPandas batching —
+  * one reusable decoder per partition, rows streamed through it).
+  *
+  * The actual image/audio codecs are NOT in this container, so
+  * `decodeStub` below is a clearly-marked deterministic fake; the
+  * Spark-side plumbing — schema, partitioning, batch shape, null
+  * handling — is real and tested, and a production decoder drops in by
+  * replacing that one function.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: String,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: String,
+      media_type: String,
+      feature: Array[Float], // embedding-shaped output
+      frames_sampled: Int,
+      ok: Boolean)
+
+  /** STUB decoder — deterministic fake features derived from payload
+    * bytes (replace with a real codec in production; the signature and
+    * batching are the contract). */
+  def decodeStub(row: MediaRow, dim: Int): MediaFeatures = {
+    if (row.payload == null || row.payload.isEmpty)
+      return MediaFeatures(row.media_id, row.media_type, Array.empty, 0, ok = false)
+    val out = new Array[Float](dim)
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < row.payload.length) {
+      h = (h ^ row.payload(i)) * 0x100000001B3L
+      out(i % dim) += ((h >>> 40) & 0xFF).toFloat / 255f
+      i += 1
+    }
+    val frames = row.media_type match {
+      case "video" => math.max(1, (row.duration_ms / 1000L).toInt)
+      case "audio" => math.max(1, (row.duration_ms / 5000L).toInt)
+      case _ => 1
+    }
+    MediaFeatures(row.media_id, row.media_type, out, frames, ok = true)
+  }
+
+  /** Batched feature extraction: one decoder context per partition
+    * (expensive init amortized — the mapInPandas batch-shape contract),
+    * rows streamed, failures isolated per row. */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder init would go here (native lib handle etc.)
+      it.map { row =>
+        try decodeStub(row, dim)
+        catch { case _: Throwable =>
+          MediaFeatures(row.media_id, row.media_type, Array.empty, 0, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Partitioning for media tables: payloads are large — repartition by
+    * size-aware bucket exactly like documents (reuses the pipeline's
+    * giant-doc strategy) so a 4 GB video never straggles a task of
+    * thumbnails. */
+  def sizeBucketed(df: DataFrame, partitions: Int, giantBuckets: Int,
+                   giantBytes: Long): DataFrame = {
+    val bucket = when(length(col("payload")) > giantBytes,
+        pmod(xxhash64(col("media_id")), lit(giantBuckets)) + partitions)
+      .otherwise(pmod(xxhash64(col("media_id")), lit(partitions)))
+    df.repartition(partitions + giantBuckets, bucket)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (Array[Float]). Dot products are pure built-in compositions
+  * (zip_with + aggregate) — codegen'd, no UDF in the hot path.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / greatest(na * nb, lit(1e-12))
+  }
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Brute-force top-k: broadcast the (small) query set against the
+    * (huge) corpus — the exact baseline. One broadcast join, one
+    * windowed rank; no shuffle of the corpus beyond the final top-k. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int = 10): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col(queryId).as("query_id"), col(corpusId).as("vec_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane signature (seeded per plane):
+    * sign-bit LSH packed into an int — the scale path's bucket key. */
+  def hyperplaneSignature(vec: Column, planes: Int = 16, seed: Int = 42): Column = {
+    // plane p weight for dim i: splitmix-ish hash of (p, i) mapped to ±1
+    val bits = (0 until planes).map { p =>
+      val dotSign = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1),
+            i => (pmod(hash(i, lit(p), lit(seed)), lit(2)) * 2 - 1).cast("double")),
+          (v, w) => v.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotSign > 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its LSH bucket, probe
+    * only matching buckets for each query (candidate reduction ~2^planes),
+    * then exact cosine + top-k within candidates. Recall < 1 by design —
+    * the 100 TB path where brute force is off the table. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int = 10, planes: Int = 8): DataFrame = {
+    val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .withColumn("bucket", hyperplaneSignature(col("cvec"), planes))
+    val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .withColumn("bucket", hyperplaneSignature(col("qvec"), planes))
+    val scored = bc.join(broadcast(bq), "bucket")
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.spark
+
+import graft.html._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.{SparkSessionExtensions, Column}
+
+/** JVM-static kernels invoked from both interpreted eval and generated
+  * code (whole-stage codegen emits a direct static call — no Scala
+  * closure, no serialization; SURVEY §4 custom-work table). */
+object HtmlUdfs {
+
+  val spanStructType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("media_ref", StringType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)
+  ))
+  val spanArrayType: ArrayType = ArrayType(spanStructType, containsNull = false)
+
+  /** parse html → array<struct<kind,text,media_ref,offset>> */
+  def parseSpans(html: UTF8String): ArrayData = {
+    val spans = Extractor.extractHtml(html.toString)
+    val rows = new Array[Any](spans.length)
+    var i = 0
+    spans.foreach { s =>
+      rows(i) = InternalRow(
+        UTF8String.fromString(s.kind), UTF8String.fromString(s.text),
+        UTF8String.fromString(s.media_ref), s.offset)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** parse html → concatenated visible text (clear_text.pl semantics),
+    * spans joined by a single space. */
+  def parseText(html: UTF8String): UTF8String = {
+    val spans = Extractor.extractHtml(html.toString)
+    val sb = new java.lang.StringBuilder(64)
+    spans.foreach { s =>
+      if (s.kind != "media") {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(s.text)
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** serialize(parse(html)) — normalized HTML output. */
+  def roundtripHtml(html: UTF8String): UTF8String =
+    UTF8String.fromString(Serializer.innerHtml(HtmlParser.parse(html.toString)))
+
+  /** charset sniff over raw bytes (BOM → meta prescan → heuristics). */
+  def sniffCharset(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(Encodings.sniff(bytes))
+
+  /** quirks mode of a parsed document: "quirks"|"limited"|"no-quirks". */
+  def quirksMode(html: UTF8String): UTF8String = {
+    val q = HtmlParser.parseWithQuirks(html.toString)._2
+    UTF8String.fromString(q match {
+      case QuirksMode.Quirks => "quirks"
+      case QuirksMode.Limited => "limited"
+      case _ => "no-quirks"
+    })
+  }
+
+  /** CSS attribute-selector match count over the parsed DOM
+    * (reference myhtml.c:922-1301 six modes). */
+  def attrMatchCount(html: UTF8String, key: UTF8String, value: UTF8String,
+                     mode: UTF8String): Long = {
+    val doc = HtmlParser.parse(html.toString)
+    AttrMatch.select(doc, key.toString, value.toString,
+      AttrMatch.mode(mode.toString)).length.toLong
+  }
+}
+
+/** Native Catalyst expression: parse_html_spans(html). Codegen emits a
+  * single static call — stays inside whole-stage codegen (preferred over
+  * a Scala UDF per the build rules; SURVEY §7.3). */
+case class ParseHtmlSpans(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.spanArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.parseSpans(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.parseSpans($c)")
+  override protected def withNewChildInternal(newChild: Expression): ParseHtmlSpans =
+    copy(child = newChild)
+  override def prettyName: String = "parse_html_spans"
+}
+
+case class ParseHtmlText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.parseText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.parseText($c)")
+  override protected def withNewChildInternal(newChild: Expression): ParseHtmlText =
+    copy(child = newChild)
+  override def prettyName: String = "parse_html_text"
+}
+
+case class SerializeHtml(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.roundtripHtml(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.roundtripHtml($c)")
+  override protected def withNewChildInternal(newChild: Expression): SerializeHtml =
+    copy(child = newChild)
+  override def prettyName: String = "serialize_html"
+}
+
+case class PrescanCharset(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.sniffCharset(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.sniffCharset($c)")
+  override protected def withNewChildInternal(newChild: Expression): PrescanCharset =
+    copy(child = newChild)
+  override def prettyName: String = "prescan_charset"
+}
+
+case class HtmlQuirksMode(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.quirksMode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.quirksMode($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlQuirksMode =
+    copy(child = newChild)
+  override def prettyName: String = "html_quirks_mode"
+}
+
+/** Column-level API. Uses the public `call_function` resolver so the
+  * native expressions work from any session where GraftSql.registerAll
+  * (or the GraftExtensions conf) has run. */
+object GraftFunctions {
+  import org.apache.spark.sql.functions.call_function
+
+  def parse_html_spans(c: Column): Column = call_function("parse_html_spans", c)
+  def parse_html_text(c: Column): Column = call_function("parse_html_text", c)
+  def serialize_html(c: Column): Column = call_function("serialize_html", c)
+  def prescan_charset(c: Column): Column = call_function("prescan_charset", c)
+  def html_quirks_mode(c: Column): Column = call_function("html_quirks_mode", c)
+
+  /** Register the native expressions + helper UDFs on a live session. */
+  def registerAll(spark: SparkSession): Unit = {
+    org.apache.spark.sql.graft.GraftSql.registerAll(spark)
+    spark.udf.register("html_attr_match_count",
+      (html: String, k: String, v: String, mode: String) =>
+        HtmlUdfs.attrMatchCount(UTF8String.fromString(html), UTF8String.fromString(k),
+          UTF8String.fromString(v), UTF8String.fromString(mode)))
+  }
+}
+
+/** SparkSessionExtensions entry point — enables
+  * `--conf spark.sql.extensions=graft.spark.GraftExtensions` on a real
+  * cluster (SURVEY §7.3). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("parse_html_spans"),
+      new ExpressionInfo("graft.spark.ParseHtmlSpans", "parse_html_spans"),
+      (args: Seq[Expression]) => ParseHtmlSpans(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("parse_html_text"),
+      new ExpressionInfo("graft.spark.ParseHtmlText", "parse_html_text"),
+      (args: Seq[Expression]) => ParseHtmlText(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("serialize_html"),
+      new ExpressionInfo("graft.spark.SerializeHtml", "serialize_html"),
+      (args: Seq[Expression]) => SerializeHtml(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("prescan_charset"),
+      new ExpressionInfo("graft.spark.PrescanCharset", "prescan_charset"),
+      (args: Seq[Expression]) => PrescanCharset(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("html_quirks_mode"),
+      new ExpressionInfo("graft.spark.HtmlQuirksMode", "html_quirks_mode"),
+      (args: Seq[Expression]) => HtmlQuirksMode(args.head)))
+  }
+}

@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.spark._
+
+/** Bridge inside org.apache.spark.sql so we can reach the session
+  * FunctionRegistry directly (the usual pattern for native-expression
+  * libraries; on a cluster prefer
+  * `--conf spark.sql.extensions=graft.spark.GraftExtensions`). */
+object GraftSql {
+  private def entries: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("parse_html_spans", "graft.spark.ParseHtmlSpans", args => ParseHtmlSpans(args.head)),
+    ("parse_html_text", "graft.spark.ParseHtmlText", args => ParseHtmlText(args.head)),
+    ("serialize_html", "graft.spark.SerializeHtml", args => SerializeHtml(args.head)),
+    ("prescan_charset", "graft.spark.PrescanCharset", args => PrescanCharset(args.head)),
+    ("html_quirks_mode", "graft.spark.HtmlQuirksMode", args => HtmlQuirksMode(args.head))
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    entries.foreach { case (name, clazz, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder)
+    }
+  }
+}
