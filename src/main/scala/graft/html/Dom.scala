@@ -77,6 +77,26 @@ final class Node(
     }
   }
 
+  /** Remove an attribute (reference attr surgery, myhtml.c:1380-1431). */
+  def removeAttr(key: String): Boolean = {
+    if (attrs == null) return false
+    val i = attrs.indexWhere(_.name == key)
+    if (i >= 0) { attrs.remove(i); true } else false
+  }
+
+  /** Replace this node's text, optionally decoding character references
+    * (reference myhtml_node_text_set[_with_charef], myhtml.c:614-698). */
+  def setText(s: String, decodeCharrefs: Boolean = false): Unit = {
+    text = if (decodeCharrefs) Entities.decodeAll(s, inAttribute = false) else s
+  }
+
+  /** Detach and discard the whole subtree (reference
+    * myhtml_node_delete_recursive, tree.c:386-529). */
+  def deleteRecursive(): Unit = {
+    remove()
+    if (_children != null) _children.clear()
+  }
+
   def appendChild(c: Node): Unit = {
     if (c.parent != null) c.remove()
     c.parent = this

@@ -106,14 +106,67 @@ object Encodings {
     bad == 0 || (multi > 0 && bad.toDouble / (multi + bad) < 0.1)
   }
 
-  /** Full sniff: BOM → meta-prescan → UTF-8 heuristic → windows-1252
-    * fallback (the WHATWG default for legacy content). */
+  /** Cyrillic candidate codecs (reference detect.c:233-337 —
+    * encoding_detect_russian scores windows-1251 / koi8-r / ibm866 /
+    * iso-8859-5 / x-mac-cyrillic via trigram frequency; we re-derive
+    * with a common-Russian-letter frequency score over each candidate
+    * decode — same decision shape, public letter-frequency data). */
+  private val cyrillicCandidates = Seq(
+    "windows-1251", "KOI8-R", "IBM866", "ISO-8859-5", "x-MacCyrillic")
+
+  // most frequent Russian letters (о е а и н т с р в л), both cases
+  private val freqCyr = "оеаинтсрвлОЕАИНТСРВЛ".toSet
+
+  private def cyrillicScore(s: String): Int = {
+    var score = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x0400 && c <= 0x04FF) {
+        score += 1
+        if (freqCyr.contains(c)) score += 2
+      } else if (c == 0xFFFD || (c >= 0x2500 && c <= 0x25FF)) score -= 1
+      i += 1
+    }
+    score
+  }
+
+  /** Pick the best Cyrillic codec for a non-UTF-8 byte stream, or None
+    * when nothing scores convincingly (reference myencoding_detect_russian). */
+  def detectCyrillic(bytes: Array[Byte]): Option[String] = {
+    val n = math.min(bytes.length, 4096)
+    var has8bit = false
+    var i = 0
+    while (i < n && !has8bit) { has8bit = (bytes(i) & 0x80) != 0; i += 1 }
+    if (!has8bit) return None
+    val window = java.util.Arrays.copyOf(bytes, n)
+    val scored = cyrillicCandidates.flatMap { cs =>
+      if (!Charset.isSupported(cs)) None
+      else {
+        val dec = Charset.forName(cs).newDecoder()
+          .onMalformedInput(CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(CodingErrorAction.REPLACE)
+        val s = dec.decode(java.nio.ByteBuffer.wrap(window)).toString
+        Some(cs -> cyrillicScore(s))
+      }
+    }
+    val (best, score) = scored.maxBy(_._2)
+    // demand a clear Cyrillic majority among 8-bit chars
+    val eightBit = window.count(b => (b & 0x80) != 0)
+    if (score > math.max(8, eightBit / 2)) Some(best) else None
+  }
+
+  /** Full sniff: BOM → meta-prescan → UTF-8 heuristic → Cyrillic
+    * heuristics → windows-1252 fallback (the WHATWG default for legacy
+    * content). */
   def sniff(bytes: Array[Byte]): String = {
     val bom = detectBom(bytes)
     if (bom != null) return bom._1
     prescanMeta(bytes) match {
       case Some(cs) => cs
-      case None => if (looksLikeUtf8(bytes)) "UTF-8" else "windows-1252"
+      case None =>
+        if (looksLikeUtf8(bytes)) "UTF-8"
+        else detectCyrillic(bytes).getOrElse("windows-1252")
     }
   }
 

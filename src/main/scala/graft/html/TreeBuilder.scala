@@ -779,10 +779,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def modeInHead(tok: Token): Unit = tok match {
     case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) =>
-        if (ws) insertChars(run, off)
-        else { inHeadAnythingElse(); process(CharsTok(run, off)) }
-      }
+      // leading whitespace inserted here; the rest re-dispatches, since
+      // anything-else switches mode mid-token
+      val (ws, rest) = splitLeadingWs(t)
+      if (ws.nonEmpty) insertChars(ws, raw)
+      if (rest.nonEmpty) { inHeadAnythingElse(); process(CharsTok(rest, raw + ws.length)) }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -835,9 +836,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case EndTagTok("noscript", _) =>
       stack.remove(stack.length - 1); mode = IN_HEAD
     case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) =>
-        if (ws) modeInHead(CharsTok(run, off))
-        else { stack.remove(stack.length - 1); mode = IN_HEAD; process(CharsTok(run, off)) }
+      val (ws, rest) = splitLeadingWs(t)
+      if (ws.nonEmpty) modeInHead(CharsTok(ws, raw))
+      if (rest.nonEmpty) {
+        stack.remove(stack.length - 1); mode = IN_HEAD
+        process(CharsTok(rest, raw + ws.length))
       }
     case c: CommentTok => modeInHead(c)
     case st: StartTagTok
@@ -853,10 +856,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def modeAfterHead(tok: Token): Unit = tok match {
     case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) =>
-        if (ws) insertChars(run, off)
-        else { afterHeadAnythingElse(); process(CharsTok(run, off)) }
-      }
+      val (ws, rest) = splitLeadingWs(t)
+      if (ws.nonEmpty) insertChars(ws, raw)
+      if (rest.nonEmpty) { afterHeadAnythingElse(); process(CharsTok(rest, raw + ws.length)) }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -1308,10 +1310,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def modeInColumnGroup(tok: Token): Unit = tok match {
     case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) =>
-        if (ws) insertChars(run, off)
-        else inColumnGroupAnythingElse(CharsTok(run, off))
-      }
+      val (ws, rest) = splitLeadingWs(t)
+      if (ws.nonEmpty) insertChars(ws, raw)
+      if (rest.nonEmpty) inColumnGroupAnythingElse(CharsTok(rest, raw + ws.length))
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -1647,6 +1648,24 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     "table", "tt", "u", "ul", "var"
   )
 
+  /** Pop to an HTML node / integration point, then reprocess
+    * (reference rules.c:3652 breakout handling). */
+  private def foreignBreakout(tok: Token): Unit = {
+    // spec: pop AT LEAST one element, then keep popping until the current
+    // node is a text/HTML integration point or an HTML element — the
+    // unconditional first pop prevents a reprocess loop when the current
+    // node is itself an integration point
+    if (stack.nonEmpty && currentNode.ns != Ns.HTML)
+      stack.remove(stack.length - 1)
+    while (stack.nonEmpty && !{
+      val n = currentNode
+      n.ns == Ns.HTML || isHtmlIntegrationPoint(n) ||
+        (n.ns == Ns.MathML && Tags.scopeBaseMathML.contains(n.name) &&
+          n.name != "annotation-xml")
+    }) stack.remove(stack.length - 1)
+    process(tok)
+  }
+
   private def adjustMathMlAttrs(st: StartTagTok): Unit =
     st.attrs.foreach { a =>
       Tags.mathmlAttrAdjust.get(a.name).foreach(n => a.name = n)
@@ -1683,14 +1702,10 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         if breakoutTags.contains(st.name) ||
           (st.name == "font" && st.attrs.exists(a =>
             a.name == "color" || a.name == "face" || a.name == "size")) =>
-      // breakout: pop to an HTML node / integration point, reprocess
-      while (stack.nonEmpty && !{
-        val n = currentNode
-        n.ns == Ns.HTML || isHtmlIntegrationPoint(n) ||
-          (n.ns == Ns.MathML && Tags.scopeBaseMathML.contains(n.name) &&
-            n.name != "annotation-xml")
-      }) stack.remove(stack.length - 1)
-      process(tok)
+      foreignBreakout(tok)
+    case EndTagTok(n, _) if n == "br" || n == "p" =>
+      // spec: </br> and </p> break out of foreign content too
+      foreignBreakout(tok)
     case st: StartTagTok =>
       val acnNs = adjustedCurrentNode.ns
       if (acnNs == Ns.SVG) {
@@ -1732,6 +1747,37 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 /** Parser facade (reference entry: myhtml_parse, source/myhtml/myhtml.c:225-238;
   * fragment variant myhtml.c:240-262). */
 object HtmlParser {
+
+  /** Tokenizer-only fast path — the reference's
+    * WITHOUT_BUILD_TREE / SKIP_WHITESPACE_TOKEN parse flags
+    * (source/myhtml/myosi.h:55-62, whitespace drop myhtml.c:1526-1534)
+    * and the token-callback surface (examples/callback.pl). */
+  def tokenize(html: String,
+               skipWhitespaceTokens: Boolean = false,
+               initialModel: Int = ContentModel.DATA,
+               lastStartTag: String = null): Seq[Token] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Token]
+    val sink = new TokenSink {
+      def process(t: Token): Unit = t match {
+        case CharsTok(s, _) if skipWhitespaceTokens && TextPrep.isWhitespaceOnly(s) =>
+        case other => out += other
+      }
+    }
+    val tk = new Tokenizer(html, sink)
+    tk.state = initialModel
+    if (lastStartTag != null) tk.lastStartTag = lastStartTag
+    tk.run()
+    out.toSeq
+  }
+
+  /** Streaming token callbacks without materializing the list —
+    * reference callback_before_token_done_set (api.h:2388-2482). */
+  def tokenizeWith(html: String)(onToken: Token => Unit): Unit = {
+    val tk = new Tokenizer(html, new TokenSink {
+      def process(t: Token): Unit = onToken(t)
+    })
+    tk.run()
+  }
   /** Full-document parse → Document node. */
   def parse(html: String, scripting: Boolean = false): Node = {
     val builder = new TreeBuilder(scripting)

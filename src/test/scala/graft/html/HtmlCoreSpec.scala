@@ -641,3 +641,44 @@ class EncodingsSpec extends AnyFunSuite {
     assert(Encodings.decode(utf16) == "hi")
   }
 }
+
+/** Parse-flag variants + mutation + Cyrillic detection (R18, Q12-13, S8). */
+class ApiSurfaceSpec extends AnyFunSuite {
+
+  test("tokenize: WITHOUT_BUILD_TREE fast path with whitespace skip (R18)") {
+    val toks = HtmlParser.tokenize("<p> a </p>  <b>x</b>", skipWhitespaceTokens = true)
+    assert(!toks.exists {
+      case CharsTok(s, _) => TextPrep.isWhitespaceOnly(s)
+      case _ => false
+    })
+    assert(toks.collect { case s: StartTagTok => s.name } == Seq("p", "b"))
+  }
+
+  test("tokenizeWith: streaming callback surface (callback.pl)") {
+    var n = 0
+    HtmlParser.tokenizeWith("<p>a</p>")(_ => n += 1)
+    assert(n == 4) // start, chars, end, eof
+  }
+
+  test("mutation: setText/removeAttr/deleteRecursive (Q11-Q13)") {
+    val doc = HtmlParser.parse("""<div id=a title=t><p>old</p></div>""")
+    val div = doc.descendants.find(_.isElement("div")).get
+    val p = div.firstChild
+    p.firstChild.setText("new &amp; decoded", decodeCharrefs = true)
+    assert(p.firstChild.text == "new & decoded")
+    assert(div.removeAttr("title") && !div.hasAttr("title"))
+    p.deleteRecursive()
+    assert(div.childCount == 0)
+  }
+
+  test("cyrillic encoding heuristics (detect.c:233)") {
+    val ru = "привет мир это тестовая строка на русском языке"
+    val w1251 = ru.getBytes("windows-1251")
+    assert(Encodings.detectCyrillic(w1251).contains("windows-1251"))
+    assert(Encodings.sniff(w1251) == "windows-1251")
+    val koi = ru.getBytes("KOI8-R")
+    assert(Encodings.detectCyrillic(koi).contains("KOI8-R"))
+    // plain ascii: no cyrillic verdict
+    assert(Encodings.detectCyrillic("hello world".getBytes("UTF-8")).isEmpty)
+  }
+}
