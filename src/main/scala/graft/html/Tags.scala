@@ -158,4 +158,59 @@ object Tags {
     "img" -> "src", "video" -> "src", "audio" -> "src", "embed" -> "src",
     "source" -> "src", "iframe" -> "src", "track" -> "src"
   )
+
+  /** Interning table for tag/attribute names: maps StringBuilder content
+    * to a canonical String WITHOUT allocating when the name is known —
+    * the JVM analog of the reference's static tag table lookup
+    * (tag.c:125-144 binary search; dynamic names still allocate, like
+    * its mctree fallback). Open-addressed, immutable after init. */
+  object Names {
+    private val known: Array[String] = (
+      special ++ formatting ++ void ++ rawtext ++ rcdata ++ headings ++
+        Set("html", "a", "span", "i", "b", "u", "em", "strong", "font",
+          "option", "optgroup", "br", "body", "head", "svg", "math",
+          "circle", "rect", "path", "g", "text", "tspan", "image", "line",
+          // common attribute names
+          "id", "class", "href", "src", "style", "title", "alt", "name",
+          "type", "value", "rel", "target", "width", "height", "lang",
+          "dir", "data", "content", "charset", "http-equiv", "placeholder",
+          "role", "method", "action", "srcset", "loading", "media",
+          "property", "itemprop", "aria-label", "aria-hidden", "tabindex",
+          "disabled", "checked", "selected", "multiple", "readonly",
+          "required", "xmlns", "d", "fill", "stroke", "viewBox", "points",
+          "encoding", "color", "face", "size", "border", "colspan",
+          "rowspan", "align", "valign", "onclick", "datetime")
+      ).toArray
+    private val mask = {
+      var cap = 1
+      while (cap < known.length * 4) cap <<= 1
+      cap - 1
+    }
+    private val table = new Array[String](mask + 1)
+    known.foreach { s =>
+      var i = s.hashCode & mask
+      while (table(i) != null && table(i) != s) i = (i + 1) & mask
+      table(i) = s
+    }
+
+    /** Canonical string for the builder's content; allocates only for
+      * unknown names. */
+    def intern(sb: java.lang.StringBuilder): String = {
+      // String.hashCode-compatible rolling hash over the builder
+      var h = 0
+      var i = 0
+      val n = sb.length
+      while (i < n) { h = h * 31 + sb.charAt(i); i += 1 }
+      var idx = h & mask
+      var probes = 0
+      while (probes <= mask) {
+        val cand = table(idx)
+        if (cand == null) return sb.toString
+        if (cand.length == n && cand.contentEquals(sb)) return cand
+        idx = (idx + 1) & mask
+        probes += 1
+      }
+      sb.toString
+    }
+  }
 }

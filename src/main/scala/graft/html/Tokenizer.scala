@@ -193,7 +193,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       pos += 1
     }
     if (pos >= len) return null
-    val name = nameSb.toString
+    val name = Tags.Names.intern(nameSb)
     var attrs: ArrayBuffer[DomAttr] = null
     var selfClosing = false
 
@@ -267,7 +267,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
             value = vs.toString
           }
         }
-        val anm = an.toString
+        val anm = Tags.Names.intern(an)
         var dup = false
         if (attrs != null) {
           var ai = 0

@@ -147,9 +147,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   // --------------------------------------------------------- insertion
 
   /** Appropriate place for inserting a node, foster-parenting aware
-    * (reference tree.c:1895-2082). Returns (parent, beforeChild|null). */
-  private def appropriatePlace(overrideTarget: Node = null): (Node, Node) = {
+    * (reference tree.c:1895-2082). Sets apParent/apBefore — field-based
+    * to keep the per-insert hot path allocation-free. */
+  private var apParent: Node = _
+  private var apBefore: Node = _
+
+  private def appropriatePlace(overrideTarget: Node = null): Unit = {
     val target = if (overrideTarget != null) overrideTarget else currentNode
+    apParent = target
+    apBefore = null
     if (fosterParenting && target != null && target.ns == Ns.HTML &&
         (target.name == "table" || target.name == "tbody" || target.name == "tfoot" ||
          target.name == "thead" || target.name == "tr")) {
@@ -163,18 +169,21 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         if (lastTemplateIdx < 0 && n.isElement("template")) lastTemplateIdx = i
         i -= 1
       }
-      if (lastTemplateIdx >= 0 && (lastTable == null || lastTemplateIdx > lastTableIdx))
-        return (stack(lastTemplateIdx), null)
-      if (lastTable == null) return (stack.head, null)
-      if (lastTable.parent != null) return (lastTable.parent, lastTable)
-      return (stack(lastTableIdx - 1), null)
+      if (lastTemplateIdx >= 0 && (lastTable == null || lastTemplateIdx > lastTableIdx)) {
+        apParent = stack(lastTemplateIdx)
+      } else if (lastTable == null) {
+        apParent = stack.head
+      } else if (lastTable.parent != null) {
+        apParent = lastTable.parent; apBefore = lastTable
+      } else {
+        apParent = stack(lastTableIdx - 1)
+      }
     }
-    (target, null)
   }
 
-  private def insertAt(place: (Node, Node), n: Node): Unit = {
-    val (parent, before) = place
-    if (before == null) parent.appendChild(n) else parent.insertBefore(n, before)
+  private def insertAtPlace(n: Node): Unit = {
+    if (apBefore == null) apParent.appendChild(n)
+    else apParent.insertBefore(n, apBefore)
   }
 
   private def createElement(tok: StartTagTok, ns: Int): Node = {
@@ -207,7 +216,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def insertElement(tok: StartTagTok, ns: Int = Ns.HTML): Node = {
     val n = createElement(tok, ns)
-    insertAt(appropriatePlace(), n)
+    appropriatePlace()
+    insertAtPlace(n)
     pushOpen(n)
     n
   }
@@ -217,22 +227,21 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     * merge matters for span equality). */
   private def insertChars(s: String, rawBegin: Int): Unit = {
     if (s.isEmpty) return
-    val place = appropriatePlace()
-    val (parent, before) = place
+    appropriatePlace()
     val prev =
-      if (before != null) {
-        val i = parent.children.indexOf(before)
-        if (i > 0) parent.children(i - 1) else null
-      } else parent.lastChild
+      if (apBefore != null) {
+        val i = apParent.children.indexOf(apBefore)
+        if (i > 0) apParent.children(i - 1) else null
+      } else apParent.lastChild
     if (prev != null && prev.kind == NodeKind.Text) prev.text += s
-    else insertAt(place, Node.text(s, rawBegin))
+    else insertAtPlace(Node.text(s, rawBegin))
   }
 
   private def insertComment(tok: CommentTok, parent: Node = null): Unit = {
     val c = Node.comment(tok.text)
     c.rawBegin = tok.rawBegin
     if (parent != null) parent.appendChild(c)
-    else insertAt(appropriatePlace(), c)
+    else { appropriatePlace(); insertAtPlace(c) }
   }
 
   // ------------------------------------------------------------- scopes
@@ -410,7 +419,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     while (i < afe.length) {
       val e = afe(i)
       val clone = createElement(e.token, Ns.HTML)
-      insertAt(appropriatePlace(), clone)
+      appropriatePlace()
+      insertAtPlace(clone)
       stack += clone
       e.node = clone
       i += 1
@@ -486,7 +496,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       }
       // insert lastNode at appropriate place with commonAncestor override
       lastNode.remove()
-      insertAt(appropriatePlace(commonAncestor), lastNode)
+      appropriatePlace(commonAncestor)
+      insertAtPlace(lastNode)
       // new element for fmt token, adopt furthestBlock's children
       val newFmt = createElement(fmtEntry.token, Ns.HTML)
       while (furthestBlock.children.nonEmpty) {
@@ -1685,7 +1696,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def insertForeign(st: StartTagTok, ns: Int): Node = {
     val n = createElement(st, ns)
-    insertAt(appropriatePlace(), n)
+    appropriatePlace()
+    insertAtPlace(n)
     pushOpen(n)
     n
   }
