@@ -134,6 +134,28 @@ object SparkEntry {
       d.select(col("doc_id"), GraftFunctions.html_quirks_mode(html).as("quirks"))
     }),
 
+    "q_html_tokens" -> ((s, dir) => {
+      val d = docs(s, dir).filter(length(col("text")) >= 10)
+      val html = concat(lit("<p id=\"1\">"), substring(col("text"), 1, 10),
+        lit("</p><!--c-->"))
+      d.select(col("doc_id"),
+          posexplode(GraftFunctions.tokenize_html(html)).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("pos"), col("t.ttype").as("ttype"),
+          col("t.name").as("name"), col("t.data").as("data"),
+          col("t.offset").as("offset"))
+    }),
+
+    "q_html_nodes" -> ((s, dir) => {
+      val d = docs(s, dir).filter(length(col("text")) >= 5)
+      val html = concat(lit("<div id=\"x\"><p>"), substring(col("text"), 1, 5),
+        lit("</p><br></div>"))
+      d.select(col("doc_id"),
+          posexplode(GraftFunctions.parse_html_nodes(html)).as(Seq("pos", "n")))
+        .select(col("doc_id"), col("pos"), col("n.tag").as("tag"),
+          col("n.depth").as("depth"), col("n.ntype").as("ntype"),
+          col("n.text").as("ntext"), col("n.nattrs").as("nattrs"))
+    }),
+
     "q_charset_sniff" -> ((s, dir) => {
       val d = docs(s, dir)
       val bytes = when(pmod(col("doc_id"), lit(2)) === 0,
@@ -309,6 +331,28 @@ object SparkEntry {
       """SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
         |  WHEN 0 THEN 'no-quirks' WHEN 1 THEN 'quirks' ELSE 'quirks' END AS quirks
         |FROM documents""".stripMargin,
+
+    "q_html_nodes" ->
+      """SELECT doc_id, 0 AS pos, 'html' AS tag, 0 AS depth, 'element' AS ntype, '' AS ntext, 0 AS nattrs FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 1, 'head', 1, 'element', '', 0 FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 2, 'body', 1, 'element', '', 0 FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 3, 'div', 2, 'element', '', 1 FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 4, 'p', 3, 'element', '', 0 FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 5, '#text', 4, 'text', substr(text,1,5), 0 FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 6, 'br', 3, 'element', '', 0 FROM documents WHERE length(text) >= 5""".stripMargin,
+
+    "q_html_tokens" ->
+      """SELECT doc_id, 0 AS pos, 'StartTag' AS ttype, 'p' AS name, '' AS data, 0 AS offset
+        |FROM documents WHERE length(text) >= 10
+        |UNION ALL
+        |SELECT doc_id, 1, 'Characters', '', substr(text,1,10), 10
+        |FROM documents WHERE length(text) >= 10
+        |UNION ALL
+        |SELECT doc_id, 2, 'EndTag', 'p', '', 20
+        |FROM documents WHERE length(text) >= 10
+        |UNION ALL
+        |SELECT doc_id, 3, 'Comment', '', 'c', 24
+        |FROM documents WHERE length(text) >= 10""".stripMargin,
 
     "q_charset_sniff" ->
       """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'windows-1251'

@@ -70,6 +70,77 @@ object HtmlUdfs {
     })
   }
 
+  val tokenStructType: StructType = StructType(Seq(
+    StructField("ttype", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("data", StringType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)
+  ))
+  val tokenArrayType: ArrayType = ArrayType(tokenStructType, containsNull = false)
+
+  /** Tokenizer-only surface (reference WITHOUT_BUILD_TREE flag +
+    * token callbacks): html -> array of (ttype, name, data, offset). */
+  def tokenizeHtml(html: UTF8String): ArrayData = {
+    val toks = HtmlParser.tokenize(html.toString)
+    val rows = new scala.collection.mutable.ArrayBuffer[Any](toks.length)
+    toks.foreach {
+      case StartTagTok(name, _, _, raw) =>
+        rows += InternalRow(UTF8String.fromString("StartTag"),
+          UTF8String.fromString(name), UTF8String.EMPTY_UTF8, raw)
+      case EndTagTok(name, raw) =>
+        rows += InternalRow(UTF8String.fromString("EndTag"),
+          UTF8String.fromString(name), UTF8String.EMPTY_UTF8, raw)
+      case CharsTok(t, raw) =>
+        rows += InternalRow(UTF8String.fromString("Characters"),
+          UTF8String.EMPTY_UTF8, UTF8String.fromString(t), raw)
+      case CommentTok(t, raw) =>
+        rows += InternalRow(UTF8String.fromString("Comment"),
+          UTF8String.EMPTY_UTF8, UTF8String.fromString(t), raw)
+      case DoctypeTok(name, _, _, _) =>
+        rows += InternalRow(UTF8String.fromString("DOCTYPE"),
+          UTF8String.fromString(if (name == null) "" else name),
+          UTF8String.EMPTY_UTF8, 0)
+      case EofTok =>
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  val nodeStructType: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("ns", StringType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("ntype", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("nattrs", IntegerType, nullable = false)
+  ))
+  val nodeArrayType: ArrayType = ArrayType(nodeStructType, containsNull = false)
+
+  /** DOM exploded to pre-order node rows — the relational view of the
+    * reference's collection DFS (myhtml.c:435-483); pair with explode()
+    * for the UDTF shape (SURVEY Q1/Q17). */
+  def domNodes(html: UTF8String): ArrayData = {
+    val doc = HtmlParser.parse(html.toString)
+    val rows = new scala.collection.mutable.ArrayBuffer[Any](32)
+    def walk(n: Node, depth: Int): Unit = {
+      val (ntype, tag, text) = n.kind match {
+        case NodeKind.Element => ("element", n.name, "")
+        case NodeKind.Text => ("text", "#text", n.text)
+        case NodeKind.Comment => ("comment", "#comment", n.text)
+        case NodeKind.Doctype => ("doctype", n.name, "")
+        case _ => ("document", "#document", "")
+      }
+      rows += InternalRow(UTF8String.fromString(tag),
+        UTF8String.fromString(Ns.names(n.ns)), depth,
+        UTF8String.fromString(ntype), UTF8String.fromString(text),
+        if (n.attrs == null) 0 else n.attrs.length)
+      var i = 0
+      while (i < n.childCount) { walk(n.childAt(i), depth + 1); i += 1 }
+    }
+    var i = 0
+    while (i < doc.childCount) { walk(doc.childAt(i), 0); i += 1 }
+    new GenericArrayData(rows.toArray)
+  }
+
   /** CSS attribute-selector match count over the parsed DOM
     * (reference myhtml.c:922-1301 six modes). */
   def attrMatchCount(html: UTF8String, key: UTF8String, value: UTF8String,
@@ -148,6 +219,32 @@ case class HtmlQuirksMode(child: Expression)
   override def prettyName: String = "html_quirks_mode"
 }
 
+case class ParseHtmlNodes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.nodeArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.domNodes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.domNodes($c)")
+  override protected def withNewChildInternal(newChild: Expression): ParseHtmlNodes =
+    copy(child = newChild)
+  override def prettyName: String = "parse_html_nodes"
+}
+
+case class TokenizeHtml(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.tokenArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.tokenizeHtml(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.tokenizeHtml($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeHtml =
+    copy(child = newChild)
+  override def prettyName: String = "tokenize_html"
+}
+
 /** Column-level API. Uses the public `call_function` resolver so the
   * native expressions work from any session where GraftSql.registerAll
   * (or the GraftExtensions conf) has run. */
@@ -159,6 +256,8 @@ object GraftFunctions {
   def serialize_html(c: Column): Column = call_function("serialize_html", c)
   def prescan_charset(c: Column): Column = call_function("prescan_charset", c)
   def html_quirks_mode(c: Column): Column = call_function("html_quirks_mode", c)
+  def tokenize_html(c: Column): Column = call_function("tokenize_html", c)
+  def parse_html_nodes(c: Column): Column = call_function("parse_html_nodes", c)
 
   /** Register the native expressions + helper UDFs on a live session. */
   def registerAll(spark: SparkSession): Unit = {

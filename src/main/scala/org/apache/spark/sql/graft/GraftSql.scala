@@ -15,7 +15,9 @@ object GraftSql {
     ("parse_html_text", "graft.spark.ParseHtmlText", args => ParseHtmlText(args.head)),
     ("serialize_html", "graft.spark.SerializeHtml", args => SerializeHtml(args.head)),
     ("prescan_charset", "graft.spark.PrescanCharset", args => PrescanCharset(args.head)),
-    ("html_quirks_mode", "graft.spark.HtmlQuirksMode", args => HtmlQuirksMode(args.head))
+    ("html_quirks_mode", "graft.spark.HtmlQuirksMode", args => HtmlQuirksMode(args.head)),
+    ("tokenize_html", "graft.spark.TokenizeHtml", args => TokenizeHtml(args.head)),
+    ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head))
   )
 
   def registerAll(spark: SparkSession): Unit = {

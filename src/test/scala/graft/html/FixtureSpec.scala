@@ -132,7 +132,8 @@ class TokenizerFixtureSpec extends AnyFunSuite {
             Vector[Any]("StartTag", arr(1).asText(), attrs, true)
           else Vector[Any]("StartTag", arr(1).asText(), attrs)
         case "DOCTYPE" =>
-          Vector[Any]("DOCTYPE", arr(1).asText(),
+          Vector[Any]("DOCTYPE",
+            if (arr(1).isNull) null else arr(1).asText(),
             if (arr(2).isNull) null else arr(2).asText(),
             if (arr(3).isNull) null else arr(3).asText(),
             arr(4).asBoolean())
@@ -143,8 +144,10 @@ class TokenizerFixtureSpec extends AnyFunSuite {
       s"\ninput: $input\ngot:      ${got.toVector}\nexpected: $expected")
   }
 
-  private val root = mapper.readTree(Fixtures.resource("/fixtures/tokenizer/basic.test"))
-  root.get("tests").elements().asScala.zipWithIndex.foreach { case (t, i) =>
-    test(f"tokenizer #$i%02d: ${t.get("description").asText()}") { runCase(t) }
+  Seq("basic.test", "eof.test").foreach { f =>
+    val root = mapper.readTree(Fixtures.resource(s"/fixtures/tokenizer/$f"))
+    root.get("tests").elements().asScala.zipWithIndex.foreach { case (t, i) =>
+      test(f"$f #$i%02d: ${t.get("description").asText()}") { runCase(t) }
+    }
   }
 }
