@@ -51,6 +51,8 @@ final class Node(
   /** Read access without forcing allocation; caller checks childCount. */
   @inline def childAt(i: Int): Node = _children(i)
   var attrs: ArrayBuffer[DomAttr] = _
+  /** Tag category bits (Tags.flagsFor) — set once at element creation. */
+  val flags: Int = if (kind == NodeKind.Element) Tags.flagsFor(name, ns) else 0
   var text: String = ""
   var rawBegin: Int = -1
   // doctype fields

@@ -159,6 +159,36 @@ object Tags {
     "source" -> "src", "iframe" -> "src", "track" -> "src"
   )
 
+  // ---- per-tag category bits (reference myosi.h:101-111 tag categories)
+  final val FlagScopeBase = 1       // default-scope barrier
+  final val FlagListItemExtra = 2   // additional list-item-scope barrier (ol/ul)
+  final val FlagButtonExtra = 4     // additional button-scope barrier
+  final val FlagTableScope = 8      // table-scope barrier (html/table/template)
+  final val FlagSpecial = 16        // "special" category
+
+  /** Category bitmask for an element — computed once per node so the
+    * per-token scope loops are bit tests, not Set hashing (the JVM
+    * analog of the reference's per-tag category bits). */
+  def flagsFor(name: String, ns: Int): Int = ns match {
+    case Ns.HTML =>
+      var f = 0
+      if (scopeBase.contains(name)) f |= FlagScopeBase
+      if (name == "ol" || name == "ul") f |= FlagListItemExtra
+      if (name == "button") f |= FlagButtonExtra
+      if (name == "html" || name == "table" || name == "template") f |= FlagTableScope
+      if (special.contains(name)) f |= FlagSpecial
+      f
+    case Ns.SVG =>
+      var f = 0
+      if (scopeBaseSVG.contains(name)) f |= FlagScopeBase | FlagSpecial
+      f
+    case Ns.MathML =>
+      var f = 0
+      if (scopeBaseMathML.contains(name)) f |= FlagScopeBase | FlagSpecial
+      f
+    case _ => 0
+  }
+
   /** Interning table for tag/attribute names: maps StringBuilder content
     * to a canonical String WITHOUT allocating when the name is known —
     * the JVM analog of the reference's static tag table lookup

@@ -246,34 +246,31 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   // ------------------------------------------------------------- scopes
 
-  private def inScopeGeneric(name: String, extraHtml: Set[String]): Boolean = {
+  /** Scope checks via per-node category bits (reference tree.c:705-757
+    * with myosi.h:101 category masks) — no Set hashing per stack level. */
+  private def inScopeBits(name: String, barrierMask: Int): Boolean = {
     var i = stack.length - 1
     while (i >= 0) {
       val n = stack(i)
       if (n.ns == Ns.HTML && n.name == name) return true
-      val barrier = n.ns match {
-        case Ns.HTML   => Tags.scopeBase.contains(n.name) || extraHtml.contains(n.name)
-        case Ns.MathML => Tags.scopeBaseMathML.contains(n.name)
-        case Ns.SVG    => Tags.scopeBaseSVG.contains(n.name)
-        case _         => false
-      }
-      if (barrier) return false
+      if ((n.flags & barrierMask) != 0) return false
       i -= 1
     }
     false
   }
 
-  private def inScope(name: String): Boolean = inScopeGeneric(name, Set.empty)
+  private def inScope(name: String): Boolean =
+    inScopeBits(name, Tags.FlagScopeBase)
   private def inListItemScope(name: String): Boolean =
-    inScopeGeneric(name, Tags.listItemScopeExtra)
+    inScopeBits(name, Tags.FlagScopeBase | Tags.FlagListItemExtra)
   private def inButtonScope(name: String): Boolean =
-    inScopeGeneric(name, Tags.buttonScopeExtra)
+    inScopeBits(name, Tags.FlagScopeBase | Tags.FlagButtonExtra)
   private def inTableScope(name: String): Boolean = {
     var i = stack.length - 1
     while (i >= 0) {
       val n = stack(i)
       if (n.ns == Ns.HTML && n.name == name) return true
-      if (n.ns == Ns.HTML && Tags.tableScope.contains(n.name)) return false
+      if (n.ns == Ns.HTML && (n.flags & Tags.FlagTableScope) != 0) return false
       i -= 1
     }
     false
@@ -521,12 +518,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     }
   }
 
-  private def isSpecial(n: Node): Boolean = n.ns match {
-    case Ns.HTML   => Tags.special.contains(n.name)
-    case Ns.SVG    => Tags.svgSpecial.contains(n.name)
-    case Ns.MathML => Tags.mathmlSpecial.contains(n.name)
-    case _         => false
-  }
+  @inline private def isSpecial(n: Node): Boolean =
+    (n.flags & Tags.FlagSpecial) != 0
 
   /** "Any other end tag" in body (reference rules.c in_body end default). */
   private def anyOtherEndTag(name: String): Unit = {
