@@ -107,6 +107,32 @@ object Entities {
   private def isAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
+  // ---- trie over entity names (the reference's charef_resource.h shape):
+  // walk char-by-char, no substring allocation per candidate length.
+  // Node payload: decoded string (null = not a name end) + legacy flag.
+  private final class TrieNode {
+    val next = new java.util.HashMap[Character, TrieNode](2)
+    var value: String = _
+    var legacyOk: Boolean = false
+  }
+  private val trieRoot: TrieNode = {
+    val root = new TrieNode
+    table.foreach { case (name, dec) =>
+      var n = root
+      var i = 0
+      while (i < name.length) {
+        val c = Character.valueOf(name.charAt(i))
+        var nx = n.next.get(c)
+        if (nx == null) { nx = new TrieNode; n.next.put(c, nx) }
+        n = nx
+        i += 1
+      }
+      n.value = dec
+      n.legacyOk = legacy.contains(name)
+    }
+    root
+  }
+
   /** Decode one character reference starting AFTER the '&' at `pos`.
     * Returns (decoded, consumedChars) where consumed excludes the '&',
     * or null if no reference matched (caller emits the '&' literally).
@@ -147,31 +173,35 @@ object Entities {
       else if (cp >= 0x80 && cp <= 0x9F) cp = c1Remap.getOrElse(cp, cp)
       (new String(Character.toChars(cp)), consumed)
     } else {
-      // named reference: walk forward keeping the last valid match
+      // named reference: trie walk keeping the last valid match
+      // (reference last_entry history, charef.c:63-78) — no per-length
+      // substring allocation
       var bestStr: String = null
       var bestConsumed = 0
-      val limit = math.min(len - pos, maxNameLen + 1)
-      var l = 1
+      var node = trieRoot
+      var l = 0
       var continue = true
-      while (continue && l <= limit) {
-        val c = input.charAt(pos + l - 1)
+      while (continue && pos + l < len) {
+        val c = input.charAt(pos + l)
         if (!isAlnum(c)) continue = false
         else {
-          val name = input.substring(pos, pos + l)
-          table.get(name) match {
-            case Some(dec) =>
+          val nx = node.next.get(Character.valueOf(c))
+          if (nx == null) continue = false
+          else {
+            node = nx
+            l += 1
+            if (node.value != null) {
               val hasSemi = pos + l < len && input.charAt(pos + l) == ';'
-              if (hasSemi) { bestStr = dec; bestConsumed = l + 1 }
-              else if (legacy.contains(name)) {
+              if (hasSemi) { bestStr = node.value; bestConsumed = l + 1 }
+              else if (node.legacyOk) {
                 val nextOk = !inAttribute || pos + l >= len || {
                   val n = input.charAt(pos + l)
                   !isAlnum(n) && n != '='
                 }
-                if (nextOk) { bestStr = dec; bestConsumed = l }
+                if (nextOk) { bestStr = node.value; bestConsumed = l }
               }
-            case None =>
+            }
           }
-          l += 1
         }
       }
       if (bestStr == null) null else (bestStr, bestConsumed)

@@ -112,6 +112,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs → cluster ids, via
+    * iterative min-label propagation (the standard large-graph
+    * alternative to driver-side union-find: each iteration is one
+    * shuffle; converges in O(diameter) rounds, and near-dup clusters
+    * are shallow). Returns (id, cluster) where cluster = min id in the
+    * component. Ids not in any pair map to themselves. */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+               maxIterations: Int = 10): DataFrame = {
+    val spark = ids.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node adopts the min cluster label among itself + neighbors
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.cluster") =!= col("l.cluster")).limit(1).count() > 0
+      labels = updated.localCheckpoint(true) // truncate lineage each round
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed vectors
     * (random hyperplane signatures — seeded, deterministic). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("dedup clusters: label propagation finds connected components") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2,2-3,3-4; {10,11}; singletons 20,21
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("minhash catches planted near-duplicates end to end") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tail"),                      // near-dup of 0
+      (2L, base.replace("quick", "rapid")),      // near-dup of 0
+      (3L, "completely different content with nothing shared at all " * 5)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 64, bands = 16, jaccardThreshold = 0.5)
+    val found = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 1L)))
+    assert(found.contains((0L, 2L)))
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L))
+    // clusters: {0,1,2} together, 3 alone
+    val cl = Dedup.clusters(docs.select("doc_id"), "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(0L) == 0L && cl(1L) == 0L && cl(2L) == 0L && cl(3L) == 3L)
+  }
+
+  test("simhash hamming on near-identical texts is small") {
+    val a = TextOps.simhash64("the quick brown fox jumps over the lazy dog " * 10)
+    val b = TextOps.simhash64(("the quick brown fox jumps over the lazy dog " * 10) + "tail words")
+    val c = TextOps.simhash64("entirely unrelated writing about spark plans " * 10)
+    assert(TextOps.hamming64(a, b) < 12)
+    assert(TextOps.hamming64(a, c) > TextOps.hamming64(a, b))
+  }
+
+  test("langid marker heuristic picks the dominant language") {
+    assert(TextOps.langIdHeuristic("the cat and the dog is on the mat") == "en")
+    assert(TextOps.langIdHeuristic("der hund und die katze ist nicht da") == "de")
+    assert(TextOps.langIdHeuristic("") == "und")
+  }
+
+  test("multimodal stub: deterministic features, batch plumbing") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow("a", "image", "payload-bytes".getBytes, 8, 8, 0L),
+      Multimodal.MediaRow("b", "video", "other".getBytes, 8, 8, 7000L),
+      Multimodal.MediaRow("c", "audio", Array.emptyByteArray, 0, 0, 0L)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(rows, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats("a").ok && feats("a").feature.length == 8)
+    assert(feats("b").frames_sampled == 7)
+    assert(!feats("c").ok)
+    // deterministic: same payload, same features
+    val again = Multimodal.extractFeatures(rows, dim = 8).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(again("a") == feats("a").feature.toSeq)
+  }
+}

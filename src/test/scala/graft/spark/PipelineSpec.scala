@@ -187,3 +187,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 0L)))
   }
 }
+
+/** Giant-doc OOM guard: oversized docs fail into lineage, never parse. */
+class GiantDocSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("docs over maxDocBytes are failed into lineage, not parsed") {
+    import spark.implicits._
+    val cfg = Pipeline.Config(partitions = 2, giantBuckets = 1,
+      maxDocBytes = 10000) // generator giants (~20 KB) exceed this
+    val input = CorpusGen.inputDs(spark, 300, giantEvery = 50, parallelism = 2).toDF()
+    val (out, acc) = Pipeline.extract(spark, input, cfg)
+    val rows = out.collect()
+    val m = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala
+    val failed = m.map(_.docs_failed).sum
+    assert(failed > 0, "expected giants to be failed by the size cap")
+    assert(m.map(_.docs_ok).sum + failed == 300)
+    // failed docs still present in output with empty spans (lineage row)
+    val giants = input.as[DocRow].collect()
+      .filter(d => DocKernel.docBytes(d) > 10000).map(_.doc_id).toSet
+    assert(giants.nonEmpty)
+    rows.filter(r => giants.contains(r.doc_id)).foreach { r =>
+      assert(r.spans.isEmpty)
+    }
+  }
+}
