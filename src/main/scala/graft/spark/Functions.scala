@@ -141,6 +141,52 @@ object HtmlUdfs {
     new GenericArrayData(rows.toArray)
   }
 
+  /** Full interleaved-document kernel over a spans ArrayData — the
+    * columnar fast path: no Dataset object codec on either side
+    * (DocKernel semantics; text/media spans pass through without even
+    * materializing a java.lang.String). */
+  def extractInterleaved(spans: ArrayData): ArrayData = {
+    val n = spans.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * 4)
+    var i = 0
+    while (i < n) {
+      val row = spans.getStruct(i, 4)
+      if (row != null) {
+        val kind = row.getUTF8String(0)
+        if (kind != null) kind.toString match {
+          case "html" =>
+            val text = row.getUTF8String(1)
+            if (text != null && text.numBytes() > 0) {
+              val base = row.getInt(3)
+              // robustness parity with the typed path: a pathological doc
+              // yields zero spans, never a task failure (Changes:33)
+              val extracted =
+                try Extractor.extractHtml(text.toString)
+                catch { case _: Throwable => Seq.empty[graft.html.Span] }
+              extracted.foreach { sp =>
+                out += InternalRow(UTF8String.fromString(sp.kind),
+                  UTF8String.fromString(sp.text),
+                  UTF8String.fromString(sp.media_ref), base + sp.offset)
+              }
+            }
+          case "text" =>
+            val text = row.getUTF8String(1)
+            if (text != null && !graft.html.TextPrep.isWhitespaceOnly(text.toString))
+              out += InternalRow(UTF8String.fromString("text"), text.clone(),
+                UTF8String.EMPTY_UTF8, row.getInt(3))
+          case "media" =>
+            val ref = row.getUTF8String(2)
+            if (ref != null && ref.numBytes() > 0)
+              out += InternalRow(UTF8String.fromString("media"),
+                UTF8String.EMPTY_UTF8, ref.clone(), row.getInt(3))
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** CSS attribute-selector match count over the parsed DOM
     * (reference myhtml.c:922-1301 six modes). */
   def attrMatchCount(html: UTF8String, key: UTF8String, value: UTF8String,
@@ -232,6 +278,24 @@ case class ParseHtmlNodes(child: Expression)
   override def prettyName: String = "parse_html_nodes"
 }
 
+/** The whole per-document kernel as one codegen-friendly expression:
+  * array<struct<kind,text,media_ref,offset>> -> same type, extracted.
+  * Columnar in/out — the scan's UnsafeArrayData flows straight in, no
+  * Dataset encoder round-trip (SURVEY §4: the custom-operator option (b)
+  * realized; the mapPartitions path remains for per-partition lineage). */
+case class ExtractInterleavedSpans(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.spanArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.extractInterleaved(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.extractInterleaved($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractInterleavedSpans =
+    copy(child = newChild)
+  override def prettyName: String = "extract_interleaved_spans"
+}
+
 case class TokenizeHtml(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.tokenArrayType
@@ -258,6 +322,8 @@ object GraftFunctions {
   def html_quirks_mode(c: Column): Column = call_function("html_quirks_mode", c)
   def tokenize_html(c: Column): Column = call_function("tokenize_html", c)
   def parse_html_nodes(c: Column): Column = call_function("parse_html_nodes", c)
+  def extract_interleaved_spans(c: Column): Column =
+    call_function("extract_interleaved_spans", c)
 
   /** Register the native expressions + helper UDFs on a live session. */
   def registerAll(spark: SparkSession): Unit = {

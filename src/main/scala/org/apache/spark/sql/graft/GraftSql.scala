@@ -17,7 +17,9 @@ object GraftSql {
     ("prescan_charset", "graft.spark.PrescanCharset", args => PrescanCharset(args.head)),
     ("html_quirks_mode", "graft.spark.HtmlQuirksMode", args => HtmlQuirksMode(args.head)),
     ("tokenize_html", "graft.spark.TokenizeHtml", args => TokenizeHtml(args.head)),
-    ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head))
+    ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head)),
+    ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
+      args => ExtractInterleavedSpans(args.head))
   )
 
   def registerAll(spark: SparkSession): Unit = {

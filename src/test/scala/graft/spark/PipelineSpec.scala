@@ -212,3 +212,20 @@ class GiantDocSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Columnar kernel path must agree exactly with the typed path. */
+class ColumnarKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("extractColumnar == typed extract, span for span") {
+    import spark.implicits._
+    val cfg = Pipeline.Config(partitions = 4, giantBuckets = 1)
+    val input = CorpusGen.inputDs(spark, 250, parallelism = 4).toDF()
+    val (typed, _) = Pipeline.extract(spark, input, cfg)
+    val columnar = Pipeline.extractColumnar(input, cfg).as[DocRow]
+    val a = typed.collect().map(d => d.doc_id -> d.spans).toMap
+    val b = columnar.collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, spans) => assert(b(id) == spans, id) }
+  }
+}
