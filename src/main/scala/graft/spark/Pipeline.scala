@@ -163,30 +163,54 @@ object Pipeline {
     (extractDataset(salted, cfg, batchId = 0, acc), acc)
   }
 
+  /** Where committed batches live. The parquet implementation commits a
+    * batch atomically via the _SUCCESS marker; an Iceberg implementation
+    * maps writeBatch → a snapshot-producing append tagged with the batch
+    * id in the snapshot summary, and isBatchCommitted → a summary lookup
+    * — the resume loop is identical (SURVEY §4 checkpoint/resume row). */
+  trait BatchSink {
+    def isBatchCommitted(batchId: Int): Boolean
+    def writeBatch(batchId: Int, out: Dataset[DocRow]): Unit
+    def appendMetrics(spark: SparkSession, rows: Seq[MetricsRow]): Unit
+  }
+
+  final class ParquetDirSink(outDir: String, metricsDir: String) extends BatchSink {
+    def isBatchCommitted(b: Int): Boolean =
+      Files.exists(Paths.get(s"$outDir/batch=$b/_SUCCESS"))
+    def writeBatch(b: Int, out: Dataset[DocRow]): Unit =
+      out.write.mode("overwrite").parquet(s"$outDir/batch=$b")
+    def appendMetrics(spark: SparkSession, rows: Seq[MetricsRow]): Unit = {
+      import spark.implicits._
+      if (rows.nonEmpty)
+        spark.createDataset(rows).write.mode("append").parquet(metricsDir)
+    }
+  }
+
   /** Batched, checkpoint-resumable run (north_rule). Batch membership is
     * pmod(xxhash64(doc_id), numBatches) — on a production Iceberg table
     * the input would be bucket-partitioned by the same key so each batch
     * is partition-pruned at the scan (here, on raw parquet, each batch
     * re-scans and filters; documented trade-off of the sandbox sink).
-    * A batch directory with _SUCCESS is complete and skipped on restart. */
+    * A committed batch is skipped on restart. */
   def runBatched(spark: SparkSession, input: DataFrame, outDir: String,
-                 metricsDir: String, cfg: Config = Config()): Unit = {
-    import spark.implicits._
+                 metricsDir: String, cfg: Config = Config()): Unit =
+    runBatched(spark, input, new ParquetDirSink(outDir, metricsDir), cfg)
+
+  def runBatched(spark: SparkSession, input: DataFrame, sink: BatchSink,
+                 cfg: Config): Unit = {
     val acc = new CollectionAccumulator[MetricsRow]
     spark.sparkContext.register(acc, "graft.metrics")
     val withBatch = input.withColumn("__graft_batch",
       pmod(xxhash64(col("doc_id")), lit(cfg.numBatches)).cast("int"))
     (0 until cfg.numBatches).foreach { b =>
-      val done = Files.exists(Paths.get(s"$outDir/batch=$b/_SUCCESS"))
-      if (!done) {
+      if (!sink.isBatchCommitted(b)) {
         val batchDf = withBatch.filter(col("__graft_batch") === b).drop("__graft_batch")
-        val salted = saltedRepartition(batchDf, cfg).as[DocRow]
-        extractDataset(salted, cfg, b, acc)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$b")
+        val salted = saltedRepartitionTyped(batchDf.as[DocRow](
+          org.apache.spark.sql.Encoders.product[DocRow]), cfg)
+        sink.writeBatch(b, extractDataset(salted, cfg, b, acc))
         // commit metrics for this batch (append — lineage survives resume)
         val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
-        if (rows.nonEmpty)
-          spark.createDataset(rows).write.mode("append").parquet(metricsDir)
+        sink.appendMetrics(spark, rows)
         acc.reset()
       }
     }

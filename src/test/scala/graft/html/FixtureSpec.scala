@@ -54,7 +54,8 @@ object Fixtures {
 
 class TreeFixtureSpec extends AnyFunSuite {
   private val files = Seq("formatting.dat", "tables.dat", "misc.dat",
-    "foreign.dat", "quirks.dat", "fragments.dat", "adversarial.dat")
+    "foreign.dat", "quirks.dat", "fragments.dat", "adversarial.dat",
+    "adversarial2.dat")
 
   files.foreach { f =>
     Fixtures.loadDat(s"/fixtures/tree/$f").zipWithIndex.foreach { case (tc, i) =>

@@ -229,3 +229,25 @@ class ColumnarKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
     a.foreach { case (id, spans) => assert(b(id) == spans, id) }
   }
 }
+
+/** FIXTURES.md §6 t2 profile: full span-equality sweep at 5000 docs
+  * (the constructive oracle at scale, both kernel paths). */
+class T2CorrectnessSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("t2: 5000 docs, columnar kernel vs constructive expected") {
+    import spark.implicits._
+    val n = 5000
+    val input = CorpusGen.inputDs(spark, n, parallelism = 8).toDF()
+    val expected = CorpusGen.expectedDf(spark, n, parallelism = 8).as[DocRow]
+    val out = Pipeline.extractColumnar(input,
+      Pipeline.Config(partitions = 8, giantBuckets = 2)).as[DocRow]
+    val joined = out.withColumnRenamed("spans", "got").join(expected.toDF(), "doc_id")
+    val bad = joined.filter(!col("doc_id").startsWith("garbage-") &&
+      !(col("got") === col("spans")))
+    val badCount = bad.count()
+    assert(badCount == 0, s"$badCount docs mismatched; sample: " +
+      bad.select("doc_id").take(5).mkString(","))
+    assert(out.count() == n)
+  }
+}
