@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-extract")
       .config("spark.sql.adaptive.enabled", "true")
+    // spark-submit injects spark.master; fall back to local[] for direct
+    // JVM launches (sbt runMain smoke tests)
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(
+                   s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
       .getOrCreate()
     GraftFunctions.registerAll(spark)
     args.toList match {
