@@ -161,11 +161,21 @@ final class Tokenizer(src0: String, sink: TokenSink) {
   // --------------------------------------------------------- tag parsing
 
   /** Parse a tag at `pos` pointing at the first name char; '<'('/') are
-    * already consumed. Emits the token unless EOF truncates the tag
-    * (spec: eof-in-tag emits only EOF — reference tokenizer_end.c). */
+    * already consumed. EOF inside a tag drops the token (reference
+    * tokenizer_end.c) — EXCEPT EOF inside a START tag's name, where the
+    * reference re-emits the raw name as character data (verified against
+    * the built reference binary: "x<div"+EOF → text "xdiv" in original
+    * case; the current WHATWG spec would drop it — we match the
+    * reference, per the span-equality invariant). */
   private def emitTag(rawBegin: Int, isEnd: Boolean): Unit = {
+    val nameStart = pos
     val t = parseTagBody(rawBegin, isEnd)
-    if (t == null) { emitEof(); return }
+    if (t == null) {
+      if (!isEnd && eofInTagName && nameStart < len)
+        appendText(src.substring(nameStart, len), nameStart)
+      emitEof()
+      return
+    }
     t match {
       case st: StartTagTok =>
         lastStartTag = st.name
@@ -177,9 +187,11 @@ final class Tokenizer(src0: String, sink: TokenSink) {
   }
 
   private val emptyAttrs = new ArrayBuffer[DomAttr](0)
+  private var eofInTagName = false
 
   /** Returns null on EOF-in-tag. */
   private def parseTagBody(rawBegin: Int, isEnd: Boolean): Token = {
+    eofInTagName = false
     // tag name
     val nameSb = nameBuf
     nameSb.setLength(0)
@@ -192,7 +204,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
                     else if (c == 0) '�' else c)
       pos += 1
     }
-    if (pos >= len) return null
+    if (pos >= len) { eofInTagName = true; return null }
     val name = Tags.Names.intern(nameSb)
     var attrs: ArrayBuffer[DomAttr] = null
     var selfClosing = false

@@ -441,7 +441,7 @@ class TokenizerSpec extends AnyFunSuite {
 
   test("EOF flush: unterminated comment/tag/doctype (tokenizer_end.c)") {
     assert(tokens("<!--never") == List(CommentTok("never", 0), EofTok))
-    assert(tokens("<p") == List(EofTok)) // eof-in-tag drops the token
+    assert(tokens("<p") == List(CharsTok("p", 1), EofTok)) // reference parity
     assert(tokens("ab<") == List(CharsTok("ab<", 0), EofTok))
     assert(tokens("ab</") == List(CharsTok("ab</", 0), EofTok))
     val dt = tokens("<!DOCTYPE htm").head.asInstanceOf[DoctypeTok]
