@@ -67,9 +67,11 @@ object Extractor {
             out += Span(kind, n.text, "", if (n.rawBegin > 0) n.rawBegin else 0)
         case _ => // Element | Document
           var k = kind
+          // skip applies in ANY namespace (the reference recipe skips by
+          // tag id — <script> inside <svg> is skipped too, clear_text.pl)
+          if (n.kind == NodeKind.Element && cfg.skipTags.contains(n.name)) return
           if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
             val name = n.name
-            if (cfg.skipTags.contains(name)) return
             val refAttr = Tags.mediaRefAttr.getOrElse(name, null)
             if (refAttr != null) {
               val ref = n.attr(refAttr)
@@ -119,7 +121,7 @@ object Extractor {
             if (inLink) s.link += n.text.length
           }
         case NodeKind.Element =>
-          if (n.ns == Ns.HTML && cfg.skipTags.contains(n.name)) return
+          if (cfg.skipTags.contains(n.name)) return
           val nb = if (n.ns == Ns.HTML && blockTags.contains(n.name)) n else block
           val il = inLink || (n.ns == Ns.HTML && n.name == "a")
           var i = 0
@@ -155,9 +157,9 @@ object Extractor {
         case _ =>
           var k = kind
           val nowBlocked = blocked || dropped.containsKey(n)
+          if (n.kind == NodeKind.Element && cfg.skipTags.contains(n.name)) return
           if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
             val name = n.name
-            if (cfg.skipTags.contains(name)) return
             if (!nowBlocked) {
               val refAttr = Tags.mediaRefAttr.getOrElse(name, null)
               if (refAttr != null) {

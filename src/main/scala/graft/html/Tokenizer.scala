@@ -35,6 +35,9 @@ final class Tokenizer(src0: String, sink: TokenSink) {
   /** Content model; the tree builder mutates this (generic raw-text
     * element algorithm, reference tree.c:2247). */
   var state: Int = DATA
+  /** Scripting flag — gates noscript's content model
+    * (reference myhtml_tokenizer_set_state, tokenizer.c:358-377). */
+  var scripting: Boolean = false
   /** Last emitted start tag name — "appropriate end tag" checks
     * (reference tmp_tag_id, tokenizer.c:440-483). */
   var lastStartTag: String = null
@@ -115,7 +118,18 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     * (a start tag was emitted) and the dispatch loop must re-enter. */
   private def handleTagOpen(): Boolean = {
     val start = pos
-    if (pos + 1 >= len) { appendText('<', pos); pos += 1; return false }
+    if (pos + 1 >= len) {
+      // reference parity (end_state_tag_open, tokenizer_end.c:32-54):
+      // EOF right after '<' keeps the text run ONLY when the run began at
+      // document offset 0; otherwise the pending run + '<' collapse into
+      // a garbage tag token and the text is LOST (verified against the
+      // built reference: "y<"→"y<", "<p>x<"→nothing)
+      val runStart = if (textStart >= 0) textStart else pos
+      if (runStart == 0) { appendText('<', pos) }
+      else { text.setLength(0); textStart = -1 }
+      pos += 1
+      return false
+    }
     val c1 = src.charAt(pos + 1)
     if (isAsciiLetter(c1)) {
       flushText()
@@ -171,8 +185,13 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     val nameStart = pos
     val t = parseTagBody(rawBegin, isEnd)
     if (t == null) {
-      if (!isEnd && eofInTagName && nameStart < len)
+      if (!isEnd && eofInTagName && nameStart < len) {
+        // the recovery token carries the reference's WHITESPACE flag
+        // (fresh tokens default to it and tag-name chars never clear it,
+        // token.c:178) — the tree builder treats it as whitespace text
+        tagRecoveryChars = true
         appendText(src.substring(nameStart, len), nameStart)
+      }
       emitEof()
       return
     }
@@ -180,6 +199,11 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       case st: StartTagTok =>
         lastStartTag = st.name
         sink.process(st)
+        // content-model switching is BUILDER-driven: in the reference's
+        // single mode, myhtml_queue_add -> calc_current_namespace
+        // overwrites the tokenizer state with tree->state_of_builder
+        // after EVERY token (myhtml.c:1580), so only rules.c's switches
+        // survive — the sink (tree builder) has already set our state
       case et: EndTagTok =>
         sink.process(et)
       case _ =>
@@ -188,6 +212,19 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
   private val emptyAttrs = new ArrayBuffer[DomAttr](0)
   private var eofInTagName = false
+  /** True while the final CharsTok is EOF-in-tag-name recovery text —
+    * whitespace-flagged in the reference (see emitTag). */
+  var tagRecoveryChars = false
+
+  /** Per-tag content model (reference tag_init.c data_parser column). */
+  private def dataParserFor(name: String): Int = name match {
+    case "title" | "textarea" => RCDATA
+    case "style" | "xmp" | "iframe" | "noembed" | "noframes" => RAWTEXT
+    case "noscript" => if (scripting) RAWTEXT else DATA
+    case "script" => SCRIPT
+    case "plaintext" => PLAINTEXT
+    case _ => DATA
+  }
 
   /** Returns null on EOF-in-tag. */
   private def parseTagBody(rawBegin: Int, isEnd: Boolean): Token = {
@@ -470,26 +507,80 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     TextPrep.isWhitespace(c) || c == '/' || c == '>'
   }
 
+  /** RCDATA / RAWTEXT section scanner — reference-parity semantics
+    * established by black-box probing the built reference binary
+    * (tokenizer.c an-data states + tokenizer_end.c):
+    *  - the section is ONE token, charref-decoded at materialization iff
+    *    its final type is RCDATA — which includes RAWTEXT sections where
+    *    a MISMATCHED end-tag attempt occurred (the shared mismatch branch
+    *    hardcodes STATE_RCDATA, tokenizer.c:450: `<iframe>&amp;a</p>&amp;b`
+    *    decodes BOTH refs);
+    *  - after a mismatch, EOF landing inside a partial `<`/`</name`
+    *    DROPS the whole section text (the token's tag_id is no longer
+    *    UNDEF, so the EOF flush refuses to emit it);
+    *  - without a mismatch, EOF keeps the partial tail literally. */
   private def stepRawish(decodeCharrefs: Boolean): Unit = {
+    val sectionStart = pos
+    val raw = new java.lang.StringBuilder(64)
+    var mismatch = false
+    def flushSection(): Unit = {
+      if (raw.length > 0) {
+        val s0 = raw.toString
+        val s = if (decodeCharrefs || mismatch)
+          Entities.decodeAll(s0, inAttribute = false) else s0
+        sink.process(CharsTok(s, sectionStart))
+      }
+    }
     while (pos < len) {
       val c = src.charAt(pos)
-      if (c == '<' && pos + 1 < len && src.charAt(pos + 1) == '/' &&
-          appropriateEndTagAt(pos)) {
-        flushText()
-        val rawBegin = pos
-        pos += 2
-        emitTag(rawBegin, isEnd = true)
-        state = DATA // builder normally does this; keep in lockstep
-        return
-      } else if (c == '&' && decodeCharrefs) {
-        val m = Entities.decode(src, pos + 1, inAttribute = false)
-        if (m == null) { appendText('&', pos); pos += 1 }
-        else { appendText(m._1, pos); pos += 1 + m._2 }
+      if (c == '<') {
+        if (pos + 1 < len && src.charAt(pos + 1) == '/') {
+          if (pos + 2 < len && isAsciiLetter(src.charAt(pos + 2))) {
+            var j = pos + 2
+            while (j < len && isAsciiLetter(src.charAt(j))) j += 1
+            if (j >= len) {
+              // EOF mid end-tag name
+              if (mismatch) raw.setLength(0) else raw.append(src, pos, len)
+              pos = len
+            } else {
+              val term = src.charAt(j)
+              if (TextPrep.isWhitespace(term) || term == '/' || term == '>') {
+                val nameLen = j - (pos + 2)
+                val isMatch = lastStartTag != null &&
+                  nameLen == lastStartTag.length &&
+                  src.regionMatches(true, pos + 2, lastStartTag, 0, nameLen)
+                if (isMatch) {
+                  flushSection()
+                  val rawBegin = pos
+                  pos += 2
+                  emitTag(rawBegin, isEnd = true)
+                  state = DATA
+                  return
+                } else {
+                  mismatch = true
+                  raw.append(src, pos, j + 1) // "</name" + terminator stay text
+                  pos = j + 1
+                }
+              } else {
+                raw.append('<'); pos += 1
+              }
+            }
+          } else if (pos + 2 >= len) {
+            // EOF right after "</"
+            if (mismatch) raw.setLength(0) else raw.append("</")
+            pos = len
+          } else { raw.append('<'); pos += 1 }
+        } else if (pos + 1 >= len) {
+          // EOF right after '<'
+          if (mismatch) raw.setLength(0) else raw.append('<')
+          pos = len
+        } else { raw.append('<'); pos += 1 }
       } else {
-        appendText(if (c == 0) '�' else c, pos)
+        raw.append(if (c == 0) '�' else c)
         pos += 1
       }
     }
+    flushSection()
     emitEof()
   }
 

@@ -106,6 +106,19 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   def process(tok: Token): Unit = {
     if (done) return
+    // reference parity: EOF-in-tag-name recovery text is WHITESPACE-flagged
+    // in the reference (token.c:178 default never cleared by name chars) —
+    // its tree drops it before a root exists and inserts it without
+    // fostering elsewhere
+    tok match {
+      case CharsTok(t, raw) if tokenizer != null && tokenizer.tagRecoveryChars =>
+        mode match {
+          case INITIAL | BEFORE_HTML | BEFORE_HEAD => // ws ignored here
+          case _ => insertChars(t, raw)
+        }
+        return
+      case _ =>
+    }
     // first-newline suppression after <pre>/<listing>/<textarea>
     // (reference rules.c:3854-3883)
     if (ignoreNextLf) {
@@ -1708,9 +1721,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
           (st.name == "font" && st.attrs.exists(a =>
             a.name == "color" || a.name == "face" || a.name == "size")) =>
       foreignBreakout(tok)
-    case EndTagTok(n, _) if n == "br" || n == "p" =>
-      // spec: </br> and </p> break out of foreign content too
-      foreignBreakout(tok)
+    // NOTE: current WHATWG breaks out on </br> and </p> too; the reference
+    // routes ALL end tags through end_other (rules.c:3720-3733) — e.g.
+    // "<math></p>" nests the implied <p> INSIDE math. We match the reference.
     case st: StartTagTok =>
       val acnNs = adjustedCurrentNode.ns
       if (acnNs == Ns.SVG) {
@@ -1787,6 +1800,7 @@ object HtmlParser {
   def parse(html: String, scripting: Boolean = false): Node = {
     val builder = new TreeBuilder(scripting)
     val tokenizer = new Tokenizer(html, builder)
+    tokenizer.scripting = scripting
     builder.tokenizer = tokenizer
     tokenizer.run()
     builder.doc
@@ -1795,6 +1809,7 @@ object HtmlParser {
   def parseWithQuirks(html: String, scripting: Boolean = false): (Node, Int) = {
     val builder = new TreeBuilder(scripting)
     val tokenizer = new Tokenizer(html, builder)
+    tokenizer.scripting = scripting
     builder.tokenizer = tokenizer
     tokenizer.run()
     (builder.doc, builder.quirks)
