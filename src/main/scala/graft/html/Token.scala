@@ -21,8 +21,19 @@ final case class StartTagTok(
 final case class EndTagTok(name: String, rawBegin: Int) extends Token
 
 /** A run of character data. May mix whitespace and non-whitespace; the
-  * tree builder splits as needed. */
-final case class CharsTok(text: String, rawBegin: Int) extends Token
+  * tree builder splits as needed.
+  *
+  * `ws` is the reference's MyHTML_TOKEN_TYPE_WHITESPACE flag: fresh
+  * tokens default to it (token.c:178) and ONLY the DATA-state scanner
+  * clears it on a non-whitespace char (tokenizer.c:775-777). Chars a tag
+  * state absorbs into the run without the data loop seeing them — e.g.
+  * the literal "</>" (tokenizer.c:869-876) or an EOF-truncated tag name
+  * re-emitted as text (tokenizer_end.c:56-62) — keep the flag even though
+  * the content is non-whitespace. The tree builder's insertion modes test
+  * THIS FLAG, never the content (rules.c:91,181,244,354,544,617,1170,
+  * 2261,2458,3295,3392,3484,3560,3617). */
+final case class CharsTok(text: String, rawBegin: Int, ws: Boolean = false)
+    extends Token
 
 final case class CommentTok(text: String, rawBegin: Int) extends Token
 

@@ -50,6 +50,13 @@ final class Tokenizer(src0: String, sink: TokenSink) {
   // same way via mchar_async, SURVEY §2.6 X4)
   private val text = new java.lang.StringBuilder(256)
   private var textStart = -1
+  /** Reference WHITESPACE flag for the current run (token.c:178 default;
+    * cleared only by the DATA scanner, tokenizer.c:775-777). */
+  private var runWs = true
+  /** First NUL in a run sets the NULL type without clearing the
+    * whitespace flag (tokenizer.c:769-773 branch order); later NULs fall
+    * through to the whitespace check and clear it. */
+  private var runNullSeen = false
   private val nameBuf = new java.lang.StringBuilder(16)
   private val attrNameBuf = new java.lang.StringBuilder(16)
   private val attrValBuf = new java.lang.StringBuilder(32)
@@ -60,10 +67,12 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
   private def flushText(): Unit = {
     if (text.length > 0) {
-      sink.process(CharsTok(text.toString, textStart))
+      sink.process(CharsTok(text.toString, textStart, runWs))
       text.setLength(0)
     }
     textStart = -1
+    runWs = true
+    runNullSeen = false
   }
 
   private def appendText(c: Char, at: Int): Unit = {
@@ -102,11 +111,15 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       if (c == '<') {
         if (handleTagOpen()) return // state may have changed
       } else if (c == '&') {
+        runWs = false // '&' is what the data scanner saw (raw, pre-decode)
         val m = Entities.decode(src, pos + 1, inAttribute = false)
         if (m == null) { appendText('&', pos); pos += 1 }
         else { appendText(m._1, pos); pos += 1 + m._2 }
       } else {
-        // NUL stays in DATA (tree builder drops/replaces it per mode)
+        // NUL stays in DATA (tree builder drops/replaces it per mode);
+        // the FIRST NUL sets the NULL type without touching the ws flag
+        if (c == '\u0000' && !runNullSeen) runNullSeen = true
+        else if (runWs && !TextPrep.isWhitespace(c)) runWs = false
         appendText(c, pos)
         pos += 1
       }
@@ -120,13 +133,21 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     val start = pos
     if (pos + 1 >= len) {
       // reference parity (end_state_tag_open, tokenizer_end.c:32-54):
-      // EOF right after '<' keeps the text run ONLY when the run began at
-      // document offset 0; otherwise the pending run + '<' collapse into
-      // a garbage tag token and the text is LOST (verified against the
-      // built reference: "y<"→"y<", "<p>x<"→nothing)
+      // EOF right after '<'. If the run began at document offset 0
+      // (raw_begin==0), the run + '<' flush as ONE text token with the
+      // whitespace flag force-cleared ("y<"→text "y<"). Otherwise the
+      // pending run + '<' collapse into a GARBAGE START TAG whose name is
+      // the raw slice [runStart, EOF) — "<p>x<" inserts an element named
+      // "x<" and the text is lost (verified against the built reference).
       val runStart = if (textStart >= 0) textStart else pos
-      if (runStart == 0) { appendText('<', pos) }
-      else { text.setLength(0); textStart = -1 }
+      if (runStart == 0) {
+        appendText('<', pos)
+        runWs = false
+      } else {
+        text.setLength(0); textStart = -1; runWs = true; runNullSeen = false
+        val garbage = src.substring(runStart, len).toLowerCase
+        sink.process(StartTagTok(garbage, emptyAttrs, selfClosing = false, runStart))
+      }
       pos += 1
       return false
     }
@@ -138,8 +159,9 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       true
     } else if (c1 == '/') {
       if (pos + 2 >= len) {
-        // EOF after "</": emit "</" as text (spec end-tag-open EOF)
-        appendText("</", pos); pos = len; return false
+        // EOF after "</": run + "</" flush as one text token, whitespace
+        // flag force-cleared (end_state_end_tag_open, tokenizer_end.c:65-77)
+        appendText("</", pos); runWs = false; pos = len; return false
       }
       val c2 = src.charAt(pos + 2)
       if (isAsciiLetter(c2)) {
@@ -148,7 +170,12 @@ final class Tokenizer(src0: String, sink: TokenSink) {
         emitTag(start, isEnd = true)
         true
       } else if (c2 == '>') {
-        pos += 3 // "</>" dropped entirely (missing-end-tag-name)
+        // reference parity: "</>" emits NO token and does NOT flush the
+        // pending run — the raw text run absorbs it ("a</>b" is one text
+        // node; tokenizer.c:869-876 just advances past '>'). Current
+        // WHATWG would drop the three chars instead.
+        appendText("</>", pos)
+        pos += 3
         false
       } else {
         flushText()
@@ -166,7 +193,10 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       bogusComment(start)
       false
     } else {
+      // '<' + other: the tag_open else-branch force-clears the whitespace
+      // flag (tokenizer.c:838-845) before re-scanning the char in DATA
       appendText('<', pos)
+      runWs = false
       pos += 1
       false
     }
@@ -186,11 +216,13 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     val t = parseTagBody(rawBegin, isEnd)
     if (t == null) {
       if (!isEnd && eofInTagName && nameStart < len) {
-        // the recovery token carries the reference's WHITESPACE flag
-        // (fresh tokens default to it and tag-name chars never clear it,
-        // token.c:178) — the tree builder treats it as whitespace text
-        tagRecoveryChars = true
-        appendText(src.substring(nameStart, len), nameStart)
+        // EOF in a START tag's name: the raw name is re-emitted as a text
+        // token that KEEPS the whitespace flag (tokenizer_end.c:56-62 does
+        // not clear it; fresh tokens default to it, token.c:178, and
+        // tag-name chars never pass through the DATA scanner). EOF in an
+        // END tag's name emits a CLOSE-typed text token the tree ignores
+        // ("any other end tag" finds no element) — we skip it entirely.
+        sink.process(CharsTok(src.substring(nameStart, len), nameStart, ws = true))
       }
       emitEof()
       return
@@ -212,9 +244,6 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
   private val emptyAttrs = new ArrayBuffer[DomAttr](0)
   private var eofInTagName = false
-  /** True while the final CharsTok is EOF-in-tag-name recovery text —
-    * whitespace-flagged in the reference (see emitTag). */
-  var tagRecoveryChars = false
 
   /** Per-tag content model (reference tag_init.c data_parser column). */
   private def dataParserFor(name: String): Int = name match {
@@ -337,9 +366,31 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
   private def markupDeclaration(rawBegin: Int): Unit = {
     // pos at '<', pos+1 at '!'
-    if (src.startsWith("--", pos + 2)) { pos += 4; comment(rawBegin) }
-    else if (src.regionMatches(true, pos + 2, "DOCTYPE", 0, 7)) { pos += 9; doctype() }
-    else if (src.startsWith("[CDATA[", pos + 2)) {
+    val after = pos + 2
+    if (after + 2 <= len && src.startsWith("--", after)) { pos += 4; comment(rawBegin) }
+    else if (after + 7 > len) {
+      // reference parity: markup_declaration_open needs 2 lookahead chars
+      // for "--" and 7 for DOCTYPE/[CDATA[; with fewer left it WAITS for
+      // the next chunk, so EOF lands in this state and
+      // end_state_markup_declaration_open (tokenizer_end.c:87-126) runs a
+      // bogus-comment scan over the tail: '>' found → comment up to it
+      // plus one ws-cleared TEXT token for the rest; no '>' → the whole
+      // tail becomes the comment.
+      var j = after
+      while (j < len && src.charAt(j) != '>') j += 1
+      if (j < len) {
+        sink.process(CommentTok(src.substring(after, j).replace('\u0000', '�'), rawBegin))
+        if (j + 1 < len)
+          sink.process(CharsTok(Entities.decodeAll(
+            src.substring(j + 1, len), inAttribute = false), j + 1, ws = false))
+      } else {
+        sink.process(CommentTok(src.substring(after, len).replace('\u0000', '�'), rawBegin))
+      }
+      pos = len
+      emitEof()
+    }
+    else if (src.regionMatches(true, after, "DOCTYPE", 0, 7)) { pos += 9; doctype() }
+    else if (src.startsWith("[CDATA[", after)) {
       if (sink.inForeignContent) { pos += 9; cdata(rawBegin) }
       else { pos += 2; bogusComment(rawBegin) }
     } else { pos += 2; bogusComment(rawBegin) }

@@ -106,26 +106,13 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   def process(tok: Token): Unit = {
     if (done) return
-    // reference parity: EOF-in-tag-name recovery text is WHITESPACE-flagged
-    // in the reference (token.c:178 default never cleared by name chars) —
-    // its tree drops it before a root exists and inserts it without
-    // fostering elsewhere
-    tok match {
-      case CharsTok(t, raw) if tokenizer != null && tokenizer.tagRecoveryChars =>
-        mode match {
-          case INITIAL | BEFORE_HTML | BEFORE_HEAD => // ws ignored here
-          case _ => insertChars(t, raw)
-        }
-        return
-      case _ =>
-    }
     // first-newline suppression after <pre>/<listing>/<textarea>
     // (reference rules.c:3854-3883)
     if (ignoreNextLf) {
       ignoreNextLf = false
       tok match {
-        case CharsTok(t, raw) if t.nonEmpty && t.charAt(0) == '\n' =>
-          if (t.length > 1) process(CharsTok(t.substring(1), raw + 1))
+        case CharsTok(t, raw, ws) if t.nonEmpty && t.charAt(0) == '\n' =>
+          if (t.length > 1) process(CharsTok(t.substring(1), raw + 1, ws))
           return
         case _ =>
       }
@@ -713,12 +700,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeInitial(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      val (_, rest) = splitLeadingWs(t)
-      if (rest.nonEmpty) {
+    case CharsTok(t, raw, ws) =>
+      // whitespace FLAG, not content (rules.c:91); non-ws tokens get their
+      // leading ws cropped then proceed (fix_emit_for_text_begin_ws)
+      if (!ws) {
+        val (_, rest) = splitLeadingWs(t)
         quirks = QuirksMode.Quirks
         mode = BEFORE_HTML
-        process(CharsTok(rest, raw + (t.length - rest.length)))
+        if (rest.nonEmpty)
+          process(CharsTok(rest, raw + (t.length - rest.length), ws = false))
       }
     case c: CommentTok => insertComment(c, doc)
     case d: DoctypeTok =>
@@ -736,11 +726,12 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def modeBeforeHtml(tok: Token): Unit = tok match {
     case _: DoctypeTok => // ignore
     case c: CommentTok => insertComment(c, doc)
-    case CharsTok(t, raw) =>
-      val (_, rest) = splitLeadingWs(t)
-      if (rest.nonEmpty) {
+    case CharsTok(t, raw, ws) =>
+      if (!ws) { // rules.c:181 — flag, then crop leading ws and proceed
+        val (_, rest) = splitLeadingWs(t)
         anythingElseBeforeHtml()
-        process(CharsTok(rest, raw + (t.length - rest.length)))
+        if (rest.nonEmpty)
+          process(CharsTok(rest, raw + (t.length - rest.length), ws = false))
       }
     case st: StartTagTok if st.name == "html" =>
       val n = createElement(st, Ns.HTML)
@@ -764,11 +755,12 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeBeforeHead(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      val (_, rest) = splitLeadingWs(t)
-      if (rest.nonEmpty) {
+    case CharsTok(t, raw, ws) =>
+      if (!ws) { // rules.c:244
+        val (_, rest) = splitLeadingWs(t)
         anythingElseBeforeHead()
-        process(CharsTok(rest, raw + (t.length - rest.length)))
+        if (rest.nonEmpty)
+          process(CharsTok(rest, raw + (t.length - rest.length), ws = false))
       }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
@@ -795,12 +787,17 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeInHead(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      // leading whitespace inserted here; the rest re-dispatches, since
-      // anything-else switches mode mid-token
-      val (ws, rest) = splitLeadingWs(t)
-      if (ws.nonEmpty) insertChars(ws, raw)
-      if (rest.nonEmpty) { inHeadAnythingElse(); process(CharsTok(rest, raw + ws.length)) }
+    case CharsTok(t, raw, ws) =>
+      // ws-FLAGGED tokens insert whole (rules.c:354); others split: the
+      // leading-ws prefix inserts here, the rest re-dispatches after
+      // anything-else switches mode (fix_split_for_text_begin_ws)
+      if (ws) insertChars(t, raw)
+      else {
+        val (pre, rest) = splitLeadingWs(t)
+        if (pre.nonEmpty) insertChars(pre, raw)
+        inHeadAnythingElse()
+        if (rest.nonEmpty) process(CharsTok(rest, raw + pre.length, ws = false))
+      }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -852,12 +849,13 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case st: StartTagTok if st.name == "html" => modeInBody(st)
     case EndTagTok("noscript", _) =>
       stack.remove(stack.length - 1); mode = IN_HEAD
-    case CharsTok(t, raw) =>
-      val (ws, rest) = splitLeadingWs(t)
-      if (ws.nonEmpty) modeInHead(CharsTok(ws, raw))
-      if (rest.nonEmpty) {
+    case CharsTok(t, raw, ws) =>
+      // rules.c:544 — ws-flagged: whole token via in_head; otherwise pop
+      // noscript and reprocess the WHOLE token in IN_HEAD (no split)
+      if (ws) modeInHead(CharsTok(t, raw, ws = true))
+      else {
         stack.remove(stack.length - 1); mode = IN_HEAD
-        process(CharsTok(rest, raw + ws.length))
+        process(CharsTok(t, raw, ws = false))
       }
     case c: CommentTok => modeInHead(c)
     case st: StartTagTok
@@ -872,10 +870,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeAfterHead(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      val (ws, rest) = splitLeadingWs(t)
-      if (ws.nonEmpty) insertChars(ws, raw)
-      if (rest.nonEmpty) { afterHeadAnythingElse(); process(CharsTok(rest, raw + ws.length)) }
+    case CharsTok(t, raw, ws) =>
+      // rules.c:617 — flag-gated; non-ws splits (fix_split)
+      if (ws) insertChars(t, raw)
+      else {
+        val (pre, rest) = splitLeadingWs(t)
+        if (pre.nonEmpty) insertChars(pre, raw)
+        afterHeadAnythingElse()
+        if (rest.nonEmpty) process(CharsTok(rest, raw + pre.length, ws = false))
+      }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -909,12 +912,12 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   // ------------------------------------------------------------ IN_BODY
 
   private def modeInBody(tok: Token): Unit = tok match {
-    case CharsTok(t0, raw) =>
-      val t = t0.replace("\u0000", "") // NUL ignored in body
+    case CharsTok(t0, raw, ws) =>
+      val t = t0.replace("\u0000", "") // NUL dropped in body (rules.c:1160)
       if (t.nonEmpty) {
         reconstructAfe()
         insertChars(t, raw)
-        if (!TextPrep.isWhitespaceOnly(t)) framesetOk = false
+        if (!ws) framesetOk = false // flag, not content (rules.c:1170,1178)
       }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
@@ -1073,7 +1076,13 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       popIfSame(insertElement(st))
       framesetOk = false
     case "image" =>
-      inBodyStartTag(StartTagTok("img", st.attrs, st.selfClosing, st.rawBegin))
+      // image -> img is a REPROCESS request (rules.c:1739-1746 return true).
+      // The in_table foster blocks call in_body directly and DISCARD that
+      // request (rules.c:2057,2087,2189,2228,2273) — so a fostered <image>
+      // inserts nothing at all. fosterParenting is set exactly in those
+      // windows, making it the faithful suppress signal.
+      if (!fosterParenting)
+        inBodyStartTag(StartTagTok("img", st.attrs, st.selfClosing, st.rawBegin))
     case "textarea" =>
       insertElement(st)
       ignoreNextLf = true
@@ -1137,7 +1146,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case "body" =>
       if (inScope("body")) mode = AFTER_BODY
     case "html" =>
-      if (inScope("body")) { mode = AFTER_BODY; process(tok) }
+      // mode switch sticks, but the reprocess request (rules.c:828) is
+      // discarded when called from a foster block — see "image" above
+      if (inScope("body")) { mode = AFTER_BODY; if (!fosterParenting) process(tok) }
     case "address" | "article" | "aside" | "blockquote" | "button" | "center" |
          "details" | "dialog" | "dir" | "div" | "dl" | "fieldset" | "figcaption" |
          "figure" | "footer" | "header" | "hgroup" | "listing" | "main" | "menu" |
@@ -1196,7 +1207,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   // --------------------------------------------------------------- TEXT
 
   private def modeText(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) => insertChars(t, raw)
+    case CharsTok(t, raw, _) => insertChars(t, raw)
     case EofTok =>
       stack.remove(stack.length - 1)
       mode = originalMode
@@ -1286,17 +1297,19 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeInTableText(tok: Token): Unit = tok match {
-    case CharsTok(t0, raw) =>
-      val t = t0.replace("\u0000", "")
+    case CharsTok(t0, raw, ws) =>
+      val t = t0.replace("\u0000", "") // NUL dropped (rules.c in_table_text)
       if (t.nonEmpty) {
         if (pendingTableRaw < 0) pendingTableRaw = raw
         pendingTableChars.append(t)
-        if (!TextPrep.isWhitespaceOnly(t)) pendingHasNonWs = true
+        // the foster decision is by token FLAG, not content (rules.c:2261)
+        if (!ws) pendingHasNonWs = true
       }
     case _ =>
       val s = pendingTableChars.toString
       if (s.nonEmpty) {
-        if (pendingHasNonWs) inTableAnythingElse(CharsTok(s, pendingTableRaw))
+        if (pendingHasNonWs)
+          inTableAnythingElse(CharsTok(s, pendingTableRaw, ws = false))
         else insertChars(s, pendingTableRaw)
       }
       pendingTableChars.setLength(0)
@@ -1326,10 +1339,14 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeInColumnGroup(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      val (ws, rest) = splitLeadingWs(t)
-      if (ws.nonEmpty) insertChars(ws, raw)
-      if (rest.nonEmpty) inColumnGroupAnythingElse(CharsTok(rest, raw + ws.length))
+    case CharsTok(t, raw, ws) =>
+      // rules.c:2458 — flag-gated; non-ws splits (fix_split)
+      if (ws) insertChars(t, raw)
+      else {
+        val (pre, rest) = splitLeadingWs(t)
+        if (pre.nonEmpty) insertChars(pre, raw)
+        inColumnGroupAnythingElse(CharsTok(rest, raw + pre.length, ws = false))
+      }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -1467,7 +1484,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   // ------------------------------------------------------------- select
 
   private def modeInSelect(tok: Token): Unit = tok match {
-    case CharsTok(t0, raw) =>
+    case CharsTok(t0, raw, _) =>
       val t = t0.replace("\u0000", "")
       if (t.nonEmpty) insertChars(t, raw)
     case c: CommentTok => insertComment(c)
@@ -1572,13 +1589,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   // ---------------------------------------------------------- after body
 
   private def modeAfterBody(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      val (ws, rest) = splitLeadingWs(t)
-      if (ws.nonEmpty) modeInBody(CharsTok(ws, raw))
-      if (rest.nonEmpty) {
-        mode = IN_BODY
-        process(CharsTok(rest, raw + ws.length))
-      }
+    case CharsTok(t, raw, ws) =>
+      // rules.c:3295 — ws-flagged via in_body; otherwise back to IN_BODY
+      // and reprocess the WHOLE token (no split)
+      if (ws) modeInBody(CharsTok(t, raw, ws = true))
+      else { mode = IN_BODY; process(CharsTok(t, raw, ws = false)) }
     case c: CommentTok =>
       if (htmlNode != null) insertComment(c, htmlNode)
     case _: DoctypeTok =>
@@ -1592,8 +1607,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeInFrameset(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) => if (ws) insertChars(run, off) }
+    case CharsTok(t, raw, ws) =>
+      // rules.c:3392 — ws-flagged: insert WHOLE token (even non-ws chars
+      // the data scanner never saw, e.g. an absorbed "</>"); otherwise
+      // keep only the whitespace CHARS (stay_only_whitespace)
+      if (ws) insertChars(t, raw)
+      else {
+        val kept = t.filter(TextPrep.isWhitespace)
+        if (kept.nonEmpty) insertChars(kept, raw)
+      }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok => st.name match {
@@ -1616,8 +1638,13 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def modeAfterFrameset(tok: Token): Unit = tok match {
-    case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) => if (ws) insertChars(run, off) }
+    case CharsTok(t, raw, ws) =>
+      // rules.c:3484 — same shape as in_frameset
+      if (ws) insertChars(t, raw)
+      else {
+        val kept = t.filter(TextPrep.isWhitespace)
+        if (kept.nonEmpty) insertChars(kept, raw)
+      }
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok if st.name == "html" => modeInBody(st)
@@ -1630,13 +1657,10 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def modeAfterAfterBody(tok: Token): Unit = tok match {
     case c: CommentTok => insertComment(c, doc)
     case _: DoctypeTok => modeInBody(tok)
-    case CharsTok(t, raw) =>
-      val (ws, rest) = splitLeadingWs(t)
-      if (ws.nonEmpty) modeInBody(CharsTok(ws, raw))
-      if (rest.nonEmpty) {
-        mode = IN_BODY
-        process(CharsTok(rest, raw + ws.length))
-      }
+    case CharsTok(t, raw, ws) =>
+      // rules.c:3560 — ws-flagged via in_body; else IN_BODY + reprocess
+      if (ws) modeInBody(CharsTok(t, raw, ws = true))
+      else { mode = IN_BODY; process(CharsTok(t, raw, ws = false)) }
     case st: StartTagTok if st.name == "html" => modeInBody(st)
     case EofTok => stopParsing()
     case _ =>
@@ -1647,8 +1671,14 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def modeAfterAfterFrameset(tok: Token): Unit = tok match {
     case c: CommentTok => insertComment(c, doc)
     case _: DoctypeTok => modeInBody(tok)
-    case CharsTok(t, raw) =>
-      wsRuns(t, raw).foreach { case (run, off, ws) => if (ws) modeInBody(CharsTok(run, off)) }
+    case CharsTok(t, raw, ws) =>
+      // rules.c:3611 — ws-flagged: whole token via in_body; otherwise the
+      // leading-ws PREFIX goes to in_body and the remainder is ignored
+      if (ws) modeInBody(CharsTok(t, raw, ws = true))
+      else {
+        val (pre, _) = splitLeadingWs(t)
+        if (pre.nonEmpty) modeInBody(CharsTok(pre, raw, ws = true))
+      }
     case st: StartTagTok if st.name == "html" => modeInBody(st)
     case st: StartTagTok if st.name == "noframes" => modeInHead(st)
     case EofTok => stopParsing()
@@ -1710,10 +1740,10 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   /** Foreign content rules (reference rules.c:3652-3847). */
   private def processForeign(tok: Token): Unit = tok match {
-    case CharsTok(t0, raw) =>
-      val t = t0.replace('\u0000', '�')
+    case CharsTok(t0, raw, ws) =>
+      val t = t0.replace('\u0000', '�') // NUL -> U+FFFD here (rules.c:3740)
       insertChars(t, raw)
-      if (!TextPrep.isWhitespaceOnly(t)) framesetOk = false
+      if (!ws) framesetOk = false // flag, not content (rules.c:3748)
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok
@@ -1777,7 +1807,9 @@ object HtmlParser {
     val out = scala.collection.mutable.ListBuffer.empty[Token]
     val sink = new TokenSink {
       def process(t: Token): Unit = t match {
-        case CharsTok(s, _) if skipWhitespaceTokens && TextPrep.isWhitespaceOnly(s) =>
+        // the parse flag drops tokens by the reference WHITESPACE flag
+        // (myhtml.c:1526-1534 checks type, not content)
+        case CharsTok(_, _, true) if skipWhitespaceTokens =>
         case other => out += other
       }
     }

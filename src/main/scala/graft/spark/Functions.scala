@@ -90,7 +90,7 @@ object HtmlUdfs {
       case EndTagTok(name, raw) =>
         rows += InternalRow(UTF8String.fromString("EndTag"),
           UTF8String.fromString(name), UTF8String.EMPTY_UTF8, raw)
-      case CharsTok(t, raw) =>
+      case CharsTok(t, raw, _) =>
         rows += InternalRow(UTF8String.fromString("Characters"),
           UTF8String.EMPTY_UTF8, UTF8String.fromString(t), raw)
       case CommentTok(t, raw) =>

@@ -105,7 +105,7 @@ class TokenizerFixtureSpec extends AnyFunSuite {
     // normalize: drop EOF, merge adjacent Character tokens (html5lib style)
     val got = ArrayBuffer.empty[Vector[Any]]
     toks.foreach {
-      case CharsTok(s, _) =>
+      case CharsTok(s, _, _) =>
         if (got.nonEmpty && got.last.head == "Character")
           got(got.length - 1) = Vector("Character", got.last(1).toString + s)
         else got += Vector("Character", s)
