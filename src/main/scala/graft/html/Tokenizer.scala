@@ -571,18 +571,18 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     *    UNDEF, so the EOF flush refuses to emit it);
     *  - without a mismatch, EOF keeps the partial tail literally. */
   private def stepRawish(decodeCharrefs: Boolean): Unit = {
+    // Scan-only: every char the section consumes is VERBATIM source (the
+    // only transform, NUL -> U+FFFD, is same-length), so the token text is
+    // always a substring — no per-char builder (hot path: <script>/<style>
+    // bodies are the largest text runs in real documents).
     val sectionStart = pos
-    val raw = new java.lang.StringBuilder(64)
     var mismatch = false
-    def flushSection(): Unit = {
-      if (raw.length > 0) {
-        val s0 = raw.toString
-        val s = if (decodeCharrefs || mismatch)
-          Entities.decodeAll(s0, inAttribute = false) else s0
-        sink.process(CharsTok(s, sectionStart))
-      }
-    }
-    while (pos < len) {
+    var nulSeen = false
+    var dropped = false // EOF inside a partial tag AFTER a mismatch: the
+                        // token's tag_id is no longer UNDEF, so the EOF
+                        // flush refuses to emit it (tokenizer_end.c)
+    var matched = -1    // position of the matching "</name" when found
+    while (pos < len && matched < 0 && !dropped) {
       val c = src.charAt(pos)
       if (c == '<') {
         if (pos + 1 < len && src.charAt(pos + 1) == '/') {
@@ -590,8 +590,9 @@ final class Tokenizer(src0: String, sink: TokenSink) {
             var j = pos + 2
             while (j < len && isAsciiLetter(src.charAt(j))) j += 1
             if (j >= len) {
-              // EOF mid end-tag name
-              if (mismatch) raw.setLength(0) else raw.append(src, pos, len)
+              // EOF mid end-tag name: keep the partial tail unless a
+              // mismatch poisoned the section
+              if (mismatch) dropped = true
               pos = len
             } else {
               val term = src.charAt(j)
@@ -600,39 +601,44 @@ final class Tokenizer(src0: String, sink: TokenSink) {
                 val isMatch = lastStartTag != null &&
                   nameLen == lastStartTag.length &&
                   src.regionMatches(true, pos + 2, lastStartTag, 0, nameLen)
-                if (isMatch) {
-                  flushSection()
-                  val rawBegin = pos
-                  pos += 2
-                  emitTag(rawBegin, isEnd = true)
-                  state = DATA
-                  return
-                } else {
-                  mismatch = true
-                  raw.append(src, pos, j + 1) // "</name" + terminator stay text
-                  pos = j + 1
-                }
-              } else {
-                raw.append('<'); pos += 1
-              }
+                if (isMatch) matched = pos
+                else { mismatch = true; pos = j + 1 } // "</name"+term stay text
+              } else pos += 1 // only '<' consumed; rest re-scans
             }
           } else if (pos + 2 >= len) {
-            // EOF right after "</"
-            if (mismatch) raw.setLength(0) else raw.append("</")
+            if (mismatch) dropped = true
             pos = len
-          } else { raw.append('<'); pos += 1 }
+          } else pos += 1
         } else if (pos + 1 >= len) {
-          // EOF right after '<'
-          if (mismatch) raw.setLength(0) else raw.append('<')
+          if (mismatch) dropped = true
           pos = len
-        } else { raw.append('<'); pos += 1 }
+        } else pos += 1
       } else {
-        raw.append(if (c == 0) '�' else c)
+        if (c == '\u0000') nulSeen = true
         pos += 1
       }
     }
-    flushSection()
-    emitEof()
+    val sectionEnd = if (matched >= 0) matched else pos
+    if (!dropped && sectionEnd > sectionStart) {
+      var t = src.substring(sectionStart, sectionEnd)
+      if (nulSeen) t = t.replace('\u0000', '\uFFFD')
+      // the section is ONE token, charref-decoded iff its final type is
+      // RCDATA — which includes RAWTEXT sections where a MISMATCHED
+      // end-tag attempt occurred (the shared mismatch branch hardcodes
+      // STATE_RCDATA, tokenizer.c:450: "<iframe>&amp;a</p>&amp;b"
+      // decodes BOTH refs); verified against the built reference
+      if (decodeCharrefs || mismatch)
+        t = Entities.decodeAll(t, inAttribute = false)
+      sink.process(CharsTok(t, sectionStart))
+    }
+    if (matched >= 0) {
+      val rawBegin = pos
+      pos += 2
+      emitTag(rawBegin, isEnd = true)
+      state = DATA
+    } else {
+      emitEof()
+    }
   }
 
   // -------------------------------------------------- SCRIPT_DATA states
