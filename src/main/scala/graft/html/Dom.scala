@@ -52,7 +52,10 @@ final class Node(
   @inline def childAt(i: Int): Node = _children(i)
   var attrs: ArrayBuffer[DomAttr] = _
   /** Tag category bits (Tags.flagsFor) — set once at element creation. */
-  val flags: Int = if (kind == NodeKind.Element) Tags.flagsFor(name, ns) else 0
+  val flags: Int =
+    if (kind != NodeKind.Element) 0
+    else if (ns == Ns.HTML) Tags.Names.htmlFlags(name)
+    else Tags.flagsFor(name, ns)
   var text: String = ""
   var rawBegin: Int = -1
   // doctype fields

@@ -222,6 +222,34 @@ object Tags {
       while (table(i) != null && table(i) != s) i = (i + 1) & mask
       table(i) = s
     }
+    /** Per-slot precomputed HTML-namespace category bits — element
+      * creation pays one cached-hash probe instead of four Set lookups
+      * (reference: the static tag table carries its category bits,
+      * tag_init.c). */
+    private val htmlFlagsTable: Array[Int] = {
+      val arr = new Array[Int](mask + 1)
+      var i = 0
+      while (i <= mask) {
+        if (table(i) != null) arr(i) = flagsFor(table(i), Ns.HTML)
+        i += 1
+      }
+      arr
+    }
+
+    /** Fast flagsFor(name, Ns.HTML) for interned names. */
+    def htmlFlags(name: String): Int = {
+      var idx = name.hashCode & mask
+      var probes = 0
+      while (probes <= mask) {
+        val cand = table(idx)
+        if (cand eq name) return htmlFlagsTable(idx)
+        if (cand == null) return flagsFor(name, Ns.HTML)
+        if (cand == name) return htmlFlagsTable(idx)
+        idx = (idx + 1) & mask
+        probes += 1
+      }
+      flagsFor(name, Ns.HTML)
+    }
 
     /** Canonical string for the builder's content; allocates only for
       * unknown names. */

@@ -230,8 +230,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     appropriatePlace()
     val prev =
       if (apBefore != null) {
-        val i = apParent.children.indexOf(apBefore)
-        if (i > 0) apParent.children(i - 1) else null
+        // identity scan, newest-first: the foster target is near the end
+        val cs = apParent.children
+        var i = cs.length - 1
+        while (i >= 0 && (cs(i) ne apBefore)) i -= 1
+        if (i > 0) cs(i - 1) else null
       } else apParent.lastChild
     if (prev != null && prev.kind == NodeKind.Text) prev.text += s
     else insertAtPlace(Node.text(s, rawBegin))
@@ -287,7 +290,29 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
   private def anyHeadingInScope: Boolean = Tags.headings.exists(inScope)
 
-  private def stackContains(n: Node): Boolean = stack.contains(n)
+  /** Identity scans without iterator allocation (ArrayBuffer.contains /
+    * indexOf / indexWhere build an Iterator per call in 2.13 — this is
+    * per-element hot-path cost; the reference compares pointers). */
+  private def stackIndexOf(n: Node): Int = {
+    var i = stack.length - 1
+    while (i >= 0) { if (stack(i) eq n) return i; i -= 1 }
+    -1
+  }
+  @inline private def stackContains(n: Node): Boolean = stackIndexOf(n) >= 0
+  private def afeIndexOfNode(n: Node): Int = {
+    var i = afe.length - 1
+    while (i >= 0) { if (afe(i).node eq n) return i; i -= 1 }
+    -1
+  }
+  private def templateOnStack: Boolean = {
+    var i = stack.length - 1
+    while (i >= 0) {
+      val n = stack(i)
+      if (n.ns == Ns.HTML && n.name == "template") return true
+      i -= 1
+    }
+    false
+  }
 
   private def popUntilIncl(name: String): Unit = {
     while (stack.nonEmpty) {
@@ -385,7 +410,20 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     val bb = if (b.attrs == null) 0 else b.attrs.length
     if (aa != bb) return false
     if (aa == 0) return true
-    a.attrs.forall(x => b.attrs.exists(y => y.name == x.name && y.value == x.value && y.ns == x.ns))
+    var i = 0
+    while (i < aa) {
+      val x = a.attrs(i)
+      var found = false
+      var j = 0
+      while (!found && j < bb) {
+        val y = b.attrs(j)
+        found = y.name == x.name && y.value == x.value && y.ns == x.ns
+        j += 1
+      }
+      if (!found) return false
+      i += 1
+    }
+    true
   }
 
   private def afeIndexOfName(name: String): Int = {
@@ -429,7 +467,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   /** The adoption agency algorithm (reference tree.c:1611-1893). */
   private def adoptionAgency(subject: String): Unit = {
     if (currentNode != null && currentNode.isElement(subject) &&
-        afe.forall(e => e.node ne currentNode)) {
+        afeIndexOfNode(currentNode) < 0) {
       stack.remove(stack.length - 1)
       return
     }
@@ -443,7 +481,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       if (!stackContains(fmtElem)) { afe.remove(fmtIdx); return }
       if (!inScope(subject)) return
       // (parse error if fmtElem != currentNode; continue)
-      val fmtStackIdx = stack.indexOf(fmtElem)
+      val fmtStackIdx = stackIndexOf(fmtElem)
       // furthest block: lowest special element below fmtElem
       var furthestIdx = -1
       var i = fmtStackIdx + 1
@@ -471,7 +509,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         node = stack(nodeStackIdx)
         if (node eq fmtElem) loop = false
         else {
-          var nodeAfeIdx = afe.indexWhere(e => e.node eq node)
+          var nodeAfeIdx = afeIndexOfNode(node)
           if (inner > 3 && nodeAfeIdx >= 0) {
             afe.remove(nodeAfeIdx)
             if (nodeAfeIdx < bookmark) bookmark -= 1
@@ -504,16 +542,17 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       }
       furthestBlock.appendChild(newFmt)
       // AFE: remove fmt entry, insert new at bookmark
-      val fmtIdx2 = afe.indexWhere(_ eq fmtEntry)
+      var fmtIdx2 = afe.length - 1
+      while (fmtIdx2 >= 0 && (afe(fmtIdx2) ne fmtEntry)) fmtIdx2 -= 1
       if (fmtIdx2 >= 0) {
         afe.remove(fmtIdx2)
         if (fmtIdx2 < bookmark) bookmark -= 1
       }
       afe.insert(math.min(bookmark, afe.length), AfeEntry(newFmt, fmtEntry.token))
       // stack: remove fmt, insert new immediately after furthestBlock
-      val fs = stack.indexOf(fmtElem)
+      val fs = stackIndexOf(fmtElem)
       if (fs >= 0) stack.remove(fs)
-      val fb = stack.indexOf(furthestBlock)
+      val fb = stackIndexOf(furthestBlock)
       stack.insert(fb + 1, newFmt)
     }
   }
@@ -826,7 +865,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case EndTagTok(name, _) => name match {
       case "head" => stack.remove(stack.length - 1); mode = AFTER_HEAD
       case "template" =>
-        if (stack.exists(_.isElement("template"))) {
+        if (templateOnStack) {
           generateImpliedEndThoroughly()
           popUntilIncl("template")
           afeClearToMarker()
@@ -891,7 +930,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
            "script" | "style" | "template" | "title" =>
         stack += headNode
         modeInHead(st)
-        val i = stack.indexOf(headNode)
+        val i = stackIndexOf(headNode)
         if (i >= 0) stack.remove(i)
       case "head" => // ignore
       case _ => afterHeadAnythingElse(); process(tok)
@@ -935,14 +974,14 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
 
   private def inBodyStartTag(st: StartTagTok): Unit = st.name match {
     case "html" =>
-      if (!stack.exists(_.isElement("template")) && htmlNode != null)
+      if (!templateOnStack && htmlNode != null)
         st.attrs.foreach(a => if (!htmlNode.hasAttr(a.name)) htmlNode.setAttr(a.name, a.value))
     case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
          "script" | "style" | "template" | "title" =>
       modeInHead(st)
     case "body" =>
       if (stack.length > 1 && stack(1).isElement("body") &&
-          !stack.exists(_.isElement("template"))) {
+          !templateOnStack) {
         framesetOk = false
         val body = stack(1)
         st.attrs.foreach(a => if (!body.hasAttr(a.name)) body.setAttr(a.name, a.value))
@@ -973,11 +1012,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       ignoreNextLf = true
       framesetOk = false
     case "form" =>
-      if (formNode != null && !stack.exists(_.isElement("template"))) () // ignore
+      if (formNode != null && !templateOnStack) () // ignore
       else {
         if (inButtonScope("p")) closePElement()
         val n = insertElement(st)
-        if (!stack.exists(_.isElement("template"))) formNode = n
+        if (!templateOnStack) formNode = n
       }
     case "li" =>
       framesetOk = false
@@ -1030,9 +1069,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       if (i >= 0) {
         val n = afe(i).node
         adoptionAgency("a")
-        val ai = afe.indexWhere(_.node eq n)
+        val ai = afeIndexOfNode(n)
         if (ai >= 0) afe.remove(ai)
-        val si = stack.indexOf(n)
+        val si = stackIndexOf(n)
         if (si >= 0) stack.remove(si)
       }
       reconstructAfe()
@@ -1158,12 +1197,12 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         popUntilIncl(name)
       }
     case "form" =>
-      if (!stack.exists(_.isElement("template"))) {
+      if (!templateOnStack) {
         val node = formNode
         formNode = null
         if (node != null && inScope("form")) {
           generateImpliedEnd()
-          val i = stack.indexOf(node)
+          val i = stackIndexOf(node)
           if (i >= 0) stack.remove(i)
         }
       } else if (inScope("form")) {
@@ -1266,7 +1305,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       case "input" if st.attr("type").exists(_.equalsIgnoreCase("hidden")) =>
         popIfSame(insertElement(st))
       case "form" =>
-        if (!stack.exists(_.isElement("template")) && formNode == null) {
+        if (!templateOnStack && formNode == null) {
           val fnode = insertElement(st)
           popIfSame(fnode)
           formNode = fnode
@@ -1570,7 +1609,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case EndTagTok(name, _) =>
       if (name == "template") modeInHead(tok) // else ignore
     case EofTok =>
-      if (!stack.exists(_.isElement("template"))) stopParsing()
+      if (!templateOnStack) stopParsing()
       else {
         popUntilIncl("template")
         afeClearToMarker()
