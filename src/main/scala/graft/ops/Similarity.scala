@@ -37,19 +37,14 @@ object Similarity {
 
   /** Deterministic random-hyperplane signature (seeded per plane):
     * sign-bit LSH packed into an int — the scale path's bucket key. */
-  def hyperplaneSignature(vec: Column, planes: Int = 16, seed: Int = 42): Column = {
-    // plane p weight for dim i: splitmix-ish hash of (p, i) mapped to ±1
-    val bits = (0 until planes).map { p =>
-      val dotSign = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            i => (pmod(hash(i, lit(p), lit(seed)), lit(2)) * 2 - 1).cast("double")),
-          (v, w) => v.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotSign > 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneSignature(vec: Column, planes: Int = 16, seed: Int = 42): Column =
+    // native single-pass expression (graft.spark.HyperplaneSig); same
+    // weights as the pure-SQL composition pmod(hash(i,p,seed),2)*2-1 —
+    // one static call inside whole-stage codegen instead of per-plane
+    // transform+zip_with+aggregate array materializations per row.
+    // Resolved by name: GraftFunctions.registerAll (the library entry
+    // contract) must have run on the session.
+    call_function("graft_hyperplane_sig", vec, lit(planes), lit(seed))
 
   /** IVF-style ANN: assign every corpus vector to its LSH bucket, probe
     * only matching buckets for each query (candidate reduction ~2^planes),

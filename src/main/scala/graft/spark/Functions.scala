@@ -283,6 +283,54 @@ case class ParseHtmlNodes(child: Expression)
   * Columnar in/out — the scan's UnsafeArrayData flows straight in, no
   * Dataset encoder round-trip (SURVEY §4: the custom-operator option (b)
   * realized; the mapPartitions path remains for per-partition lineage). */
+/** Static kernel for the random-hyperplane LSH signature — one pass per
+  * plane over the float vector, no intermediate arrays. Reproduces the
+  * SQL composition `pmod(hash(i, p, seed), 2) * 2 - 1` weights
+  * bit-for-bit (Catalyst's Murmur3Hash over int children, seed 42), so
+  * results are identical to the built-in-expression formulation while
+  * skipping its per-row per-plane array materializations. */
+object VecUdfs {
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+  def hyperplaneSig(vec: ArrayData, planes: Int, seed: Int): Int = {
+    val n = vec.numElements()
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        var h = Murmur3_x86_32.hashInt(i, 42)
+        h = Murmur3_x86_32.hashInt(p, h)
+        h = Murmur3_x86_32.hashInt(seed, h)
+        val w = (((h % 2) + 2) % 2) * 2 - 1
+        dot += vec.getFloat(i).toDouble * w
+        i += 1
+      }
+      if (dot > 0) sig |= 1 << p
+      p += 1
+    }
+    sig
+  }
+}
+
+/** Native hyperplane-signature expression: `graft_hyperplane_sig(vec,
+  * planes, seed)` — the LSH bucket key for the ANN / embedding-near-dup
+  * scale path (SURVEY "beyond-reference" ops). */
+case class HyperplaneSig(child: Expression, planes: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VecUdfs.hyperplaneSig(input.asInstanceOf[ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.spark.VecUdfs.hyperplaneSig($c, $planes, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_sig"
+}
+
 case class ExtractInterleavedSpans(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.spanArrayType

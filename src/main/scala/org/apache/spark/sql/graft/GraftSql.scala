@@ -19,7 +19,10 @@ object GraftSql {
     ("tokenize_html", "graft.spark.TokenizeHtml", args => TokenizeHtml(args.head)),
     ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
-      args => ExtractInterleavedSpans(args.head))
+      args => ExtractInterleavedSpans(args.head)),
+    ("graft_hyperplane_sig", "graft.spark.HyperplaneSig",
+      args => HyperplaneSig(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]))
   )
 
   def registerAll(spark: SparkSession): Unit = {
