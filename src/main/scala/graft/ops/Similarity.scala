@@ -10,14 +10,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / greatest(na * nb, lit(1e-12))
-  }
+  /** Cosine similarity of two float-array columns (double math) — the
+    * native single-pass expression (graft.spark.GraftCosine); exact
+    * arithmetic twin of aggregate(zip_with(...)) / greatest(na*nb,1e-12).
+    * Requires GraftFunctions.registerAll on the session. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))

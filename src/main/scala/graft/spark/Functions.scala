@@ -292,6 +292,24 @@ case class ParseHtmlNodes(child: Expression)
 object VecUdfs {
   import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
+  /** Exact arithmetic twin of the SQL cosine composition; null on
+    * length mismatch or null element (zip_with-pad semantics). */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    java.lang.Double.valueOf(dot / denom)
+  }
+
   def hyperplaneSig(vec: ArrayData, planes: Int, seed: Int): Int = {
     val n = vec.numElements()
     var sig = 0
@@ -312,6 +330,35 @@ object VecUdfs {
     }
     sig
   }
+}
+
+/** Native cosine-similarity expression: `graft_cosine(a, b)` — one
+  * arithmetic pass, replacing the zip_with product-array materialization
+  * per pair. Exact SQL parity: length mismatch or a null element yields
+  * NULL (zip_with pads with null -> null fold), same ascending fold
+  * order, same greatest(na*nb, 1e-12) guard. */
+case class GraftCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // can yield NULL even for non-null inputs (length mismatch / null
+  // element) — without this, codegen for non-nullable children has no
+  // usable isNull slot and the null branch silently degrades
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecUdfs.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      java.lang.Double ${ev.value}_r = graft.spark.VecUdfs.cosine($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftCosine =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
 }
 
 /** Native hyperplane-signature expression: `graft_hyperplane_sig(vec,

@@ -20,6 +20,8 @@ object GraftSql {
     ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
+    ("graft_cosine", "graft.spark.GraftCosine",
+      args => GraftCosine(args(0), args(1))),
     ("graft_hyperplane_sig", "graft.spark.HyperplaneSig",
       args => HyperplaneSig(args.head,
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]))
