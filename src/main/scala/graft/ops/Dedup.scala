@@ -41,18 +41,23 @@ object Dedup {
     val spark = df.sparkSession
     TextOps.registerAll(spark)
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // candidate generation shuffles ONLY (id, band, bucket) — at corpus
+    // scale the banding explode must not replicate document text ×bands
+    // through the wire; text rejoins per VERIFIED candidate id below
+    val banded = texts
       .withColumn("sig", expr(s"graft_minhash(text, $k)"))
-    val banded = sig.select(col("id"), col("text"),
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.text").as("text_a"), col("r.text").as("text_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     pairs
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", expr("graft_jaccard(text_a, text_b)"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
@@ -95,18 +100,21 @@ object Dedup {
                         maxBlockSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     TextOps.registerAll(spark)
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("block",
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val keyed = texts.withColumn("block",
         expr("aggregate(transform(slice(split(lower(text), '\\\\s+'), 1, 64), " +
           "t -> hash(t)), 2147483647, (acc, x) -> least(acc, x))"))
+      .select("id", "block")
     val blockSizes = keyed.groupBy("block")
       .agg(count(lit(1)).as("block_n"))
       .filter(col("block_n") <= maxBlockSize)
     val selective = keyed.join(blockSizes.select("block"), "block")
+    // self-join on (id, block) only; text rejoins per candidate pair
     selective.as("l").join(selective.as("r"),
         col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.text").as("text_a"), col("r.text").as("text_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", expr("graft_jaccard(text_a, text_b)"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
