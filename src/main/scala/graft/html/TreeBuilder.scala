@@ -475,7 +475,13 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     while (outer < 8) {
       outer += 1
       val fmtIdx = afeIndexOfName(subject)
-      if (fmtIdx < 0) { anyOtherEndTag(subject); return }
+      // reference parity: when the subject is NOT in the AFE list the spec
+      // says "act as any other end tag", but the reference's call sites
+      // discard that request (rules.c:1087-1088 — the fallback call is
+      // commented out), so the end tag is silently dropped and the element
+      // stays open. e.g. after an AAA inner-loop >3 removal of <em>,
+      // a later </em> does nothing and text keeps nesting inside it.
+      if (fmtIdx < 0) return
       val fmtEntry = afe(fmtIdx)
       val fmtElem = fmtEntry.node
       if (!stackContains(fmtElem)) { afe.remove(fmtIdx); return }
@@ -509,13 +515,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         node = stack(nodeStackIdx)
         if (node eq fmtElem) loop = false
         else {
-          var nodeAfeIdx = afeIndexOfNode(node)
+          val nodeAfeIdx = afeIndexOfNode(node)
           if (inner > 3 && nodeAfeIdx >= 0) {
+            // reference parity (tree.c:1790-1799): the >3 case removes the
+            // node from the AFE list and CONTINUES — the node STAYS on the
+            // open-elements stack (current WHATWG falls through to stack
+            // removal). Later reconstruction can therefore land inside it.
             afe.remove(nodeAfeIdx)
             if (nodeAfeIdx < bookmark) bookmark -= 1
-            nodeAfeIdx = -1
-          }
-          if (nodeAfeIdx < 0) {
+          } else if (nodeAfeIdx < 0) {
             stack.remove(nodeStackIdx)
             // nodeStackIdx now points at the element that was above node
           } else {
