@@ -15,80 +15,41 @@ package graft.html
   */
 object Entities {
 
-  // Latin-1 names in codepoint order 160..255 — lets us generate the map.
-  private val latin1Names: Array[String] = Array(
-    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
-    "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
-    "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
-    "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
-    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
-    "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
-    "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
-    "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
-    "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
-    "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
-    "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
-    "ograve", "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
-    "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml"
-  )
-
-  private val greek: Seq[(String, Int)] = {
-    val upper = Seq("Alpha", "Beta", "Gamma", "Delta", "Epsilon", "Zeta",
-      "Eta", "Theta", "Iota", "Kappa", "Lambda", "Mu", "Nu", "Xi",
-      "Omicron", "Pi", "Rho").zipWithIndex.map { case (n, i) => (n, 913 + i) } ++
-      Seq("Sigma", "Tau", "Upsilon", "Phi", "Chi", "Psi", "Omega")
-        .zipWithIndex.map { case (n, i) => (n, 931 + i) }
-    val lower = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
-      "omicron", "pi", "rho", "sigmaf", "sigma", "tau", "upsilon", "phi",
-      "chi", "psi", "omega").zipWithIndex.map { case (n, i) => (n, 945 + i) }
-    upper ++ lower ++ Seq(("thetasym", 977), ("upsih", 978), ("piv", 982))
+  /** Full WHATWG named-reference table (2,125 names incl. the 93
+    * multi-codepoint ones), loaded from resources/graft/entities.tsv —
+    * generated from the PUBLIC spec data (html.spec.whatwg.org
+    * entities.json via Python stdlib html.entities.html5; the reference
+    * embeds the same public data as charef_resource.h). Format:
+    * name \t semi(0=legacy,1=requires ';') \t hex-codepoints. */
+  private val loaded: (Map[String, String], Set[String]) = {
+    val in = getClass.getResourceAsStream("/graft/entities.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val tbl = Map.newBuilder[String, String]
+    val leg = Set.newBuilder[String]
+    try src.getLines().foreach { line =>
+      if (line.nonEmpty && line.charAt(0) != '#') {
+        val t1 = line.indexOf('\t')
+        val t2 = line.indexOf('\t', t1 + 1)
+        val name = line.substring(0, t1)
+        val semi = line.charAt(t1 + 1)
+        val sb = new java.lang.StringBuilder(2)
+        line.substring(t2 + 1).split(',').foreach { h =>
+          sb.appendCodePoint(Integer.parseInt(h, 16))
+        }
+        tbl += name -> sb.toString
+        if (semi == '0') leg += name
+      }
+    } finally src.close()
+    (tbl.result(), leg.result())
   }
-
-  private val symbols: Seq[(String, Int)] = Seq(
-    ("quot", 34), ("amp", 38), ("apos", 39), ("lt", 60), ("gt", 62),
-    ("QUOT", 34), ("AMP", 38), ("LT", 60), ("GT", 62), ("COPY", 169), ("REG", 174),
-    ("OElig", 338), ("oelig", 339), ("Scaron", 352), ("scaron", 353),
-    ("Yuml", 376), ("fnof", 402), ("circ", 710), ("tilde", 732),
-    ("ensp", 8194), ("emsp", 8195), ("thinsp", 8201), ("zwnj", 8204),
-    ("zwj", 8205), ("lrm", 8206), ("rlm", 8207), ("ndash", 8211),
-    ("mdash", 8212), ("lsquo", 8216), ("rsquo", 8217), ("sbquo", 8218),
-    ("ldquo", 8220), ("rdquo", 8221), ("bdquo", 8222), ("dagger", 8224),
-    ("Dagger", 8225), ("bull", 8226), ("hellip", 8230), ("permil", 8240),
-    ("prime", 8242), ("Prime", 8243), ("lsaquo", 8249), ("rsaquo", 8250),
-    ("oline", 8254), ("frasl", 8260), ("euro", 8364), ("weierp", 8472),
-    ("image", 8465), ("real", 8476), ("trade", 8482), ("alefsym", 8501),
-    ("larr", 8592), ("uarr", 8593), ("rarr", 8594), ("darr", 8595),
-    ("harr", 8596), ("crarr", 8629), ("lArr", 8656), ("uArr", 8657),
-    ("rArr", 8658), ("dArr", 8659), ("hArr", 8660), ("forall", 8704),
-    ("part", 8706), ("exist", 8707), ("empty", 8709), ("nabla", 8711),
-    ("isin", 8712), ("notin", 8713), ("ni", 8715), ("prod", 8719),
-    ("sum", 8721), ("minus", 8722), ("lowast", 8727), ("radic", 8730),
-    ("prop", 8733), ("infin", 8734), ("ang", 8736), ("and", 8743),
-    ("or", 8744), ("cap", 8745), ("cup", 8746), ("int", 8747),
-    ("there4", 8756), ("sim", 8764), ("cong", 8773), ("asymp", 8776),
-    ("ne", 8800), ("equiv", 8801), ("le", 8804), ("ge", 8805),
-    ("sub", 8834), ("sup", 8835), ("nsub", 8836), ("sube", 8838),
-    ("supe", 8839), ("oplus", 8853), ("otimes", 8855), ("perp", 8869),
-    ("sdot", 8901), ("lceil", 8968), ("rceil", 8969), ("lfloor", 8970),
-    ("rfloor", 8971), ("lang", 9001), ("rang", 9002), ("loz", 9674),
-    ("spades", 9824), ("clubs", 9827), ("hearts", 9829), ("diams", 9830)
-  )
 
   /** name (no '&', no ';') → decoded string. */
-  val table: Map[String, String] = {
-    val latin1 = latin1Names.zipWithIndex.map { case (n, i) => (n, 160 + i) }
-    (latin1 ++ greek ++ symbols).map { case (n, cp) =>
-      n -> new String(Character.toChars(cp))
-    }.toMap
-  }
+  val table: Map[String, String] = loaded._1
 
-  /** Names decodable WITHOUT a trailing semicolon (the spec's legacy set:
-    * HTML2-era basics + the full Latin-1 block; reference models this via
-    * trie entries lacking the ';' edge, charef.c:63-78). */
-  val legacy: Set[String] = latin1Names.toSet ++ Set(
-    "amp", "lt", "gt", "quot", "AMP", "LT", "GT", "QUOT", "COPY", "REG"
-  )
+  /** Names decodable WITHOUT a trailing semicolon (the spec's legacy set;
+    * reference models this via trie entries lacking the ';' edge,
+    * charef.c:63-78). */
+  val legacy: Set[String] = loaded._2
 
   val maxNameLen: Int = table.keys.map(_.length).max
 
@@ -107,41 +68,75 @@ object Entities {
   private def isAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
-  // ---- trie over entity names (the reference's charef_resource.h shape):
-  // walk char-by-char, no substring allocation per candidate length.
-  // Node payload: decoded string (null = not a name end) + legacy flag.
+  // ---- trie over entity names, mirroring the reference's storage
+  // (charef_resource.h): every name contributes a ';'-terminated path
+  // whose ';' edge carries the decoded value; LEGACY names additionally
+  // carry the value on their final character node. Children are kept
+  // sorted by char code — the walk's mismatch resolution scans ordered
+  // siblings (charef.c:131-137), which makes behavior byte-order
+  // dependent (e.g. "&notin." decodes via the ';' edge but "&notin="
+  // falls back to "&not", because '.' < ';' < '=' < 'E').
   private final class TrieNode {
-    val next = new java.util.HashMap[Character, TrieNode](2)
+    var edgeCh: Array[Char] = new Array[Char](0)
+    var edgeNode: Array[TrieNode] = new Array[TrieNode](0)
     var value: String = _
-    var legacyOk: Boolean = false
+    def child(c: Char): TrieNode = {
+      val i = java.util.Arrays.binarySearch(edgeCh, c)
+      if (i >= 0) edgeNode(i) else null
+    }
+    def insert(c: Char): TrieNode = {
+      val i = java.util.Arrays.binarySearch(edgeCh, c)
+      if (i >= 0) return edgeNode(i)
+      val at = -i - 1
+      val nc = new Array[Char](edgeCh.length + 1)
+      val nn = new Array[TrieNode](edgeCh.length + 1)
+      System.arraycopy(edgeCh, 0, nc, 0, at)
+      System.arraycopy(edgeNode, 0, nn, 0, at)
+      nc(at) = c
+      val fresh = new TrieNode
+      nn(at) = fresh
+      System.arraycopy(edgeCh, at, nc, at + 1, edgeCh.length - at)
+      System.arraycopy(edgeNode, at, nn, at + 1, edgeCh.length - at)
+      edgeCh = nc; edgeNode = nn
+      fresh
+    }
+    /** Smallest edge strictly greater than c (the reference's sibling
+      * scan stop position), or null. */
+    def firstEdgeAbove(c: Char): TrieNode = {
+      val i = java.util.Arrays.binarySearch(edgeCh, c)
+      val at = if (i >= 0) i + 1 else -i - 1
+      if (at < edgeCh.length) edgeNode(at) else null
+    }
   }
   private val trieRoot: TrieNode = {
     val root = new TrieNode
     table.foreach { case (name, dec) =>
       var n = root
       var i = 0
-      while (i < name.length) {
-        val c = Character.valueOf(name.charAt(i))
-        var nx = n.next.get(c)
-        if (nx == null) { nx = new TrieNode; n.next.put(c, nx) }
-        n = nx
-        i += 1
-      }
-      n.value = dec
-      n.legacyOk = legacy.contains(name)
+      while (i < name.length) { n = n.insert(name.charAt(i)); i += 1 }
+      if (legacy.contains(name)) n.value = dec
+      n.insert(';').value = dec
     }
     root
   }
 
   /** Decode one character reference starting AFTER the '&' at `pos`.
     * Returns (decoded, consumedChars) where consumed excludes the '&',
-    * or null if no reference matched (caller emits the '&' literally).
+    * or null if no reference matched (caller emits the text literally).
     *
-    * Semantics per spec + reference charef.c:63-150 / data_process.c:
-    *  - longest match wins; a with-semicolon match at length L beats a
-    *    legacy match at length < L (the `last_entry` history);
-    *  - in attribute mode a legacy (semicolon-less) match followed by
-    *    [a-zA-Z0-9=] is NOT decoded;
+    * Named-reference semantics are the REFERENCE's exactly (charef.c
+    * find_by_pos + data_process.c ampersand_data; black-box verified):
+    *  - walk matched chars, remembering the last LEGACY name end passed;
+    *  - on mismatch, the smallest sibling edge ABOVE the input char
+    *    resolves the match if it completes a name (so "&curre " decodes
+    *    as curren, and non-legacy names decode without their ';' when
+    *    the ';' edge is the stop sibling: "&notin " -> U+2209);
+    *  - otherwise fall back to the last legacy end;
+    *  - a ';' AT the resolved offset is consumed; otherwise attribute
+    *    mode refuses the match when [a-zA-Z0-9=] follows;
+    *  - at end of input the current node (legacy end) or the last legacy
+    *    end resolves with no terminator gate; a '&' stop resolves via
+    *    the last legacy end only (no sibling quirk).
     *  - numeric: &#N; / &#xN;, C1 remapped, 0/surrogate/out-of-range → U+FFFD.
     */
   def decode(input: String, pos: Int, inAttribute: Boolean): (String, Int) = {
@@ -173,39 +168,68 @@ object Entities {
       else if (cp >= 0x80 && cp <= 0x9F) cp = c1Remap.getOrElse(cp, cp)
       (new String(Character.toChars(cp)), consumed)
     } else {
-      // named reference: trie walk keeping the last valid match
-      // (reference last_entry history, charef.c:63-78) — no per-length
-      // substring allocation
-      var bestStr: String = null
-      var bestConsumed = 0
       var node = trieRoot
-      var l = 0
-      var continue = true
-      while (continue && pos + l < len) {
-        val c = input.charAt(pos + l)
-        if (!isAlnum(c)) continue = false
-        else {
-          val nx = node.next.get(Character.valueOf(c))
-          if (nx == null) continue = false
-          else {
-            node = nx
-            l += 1
-            if (node.value != null) {
-              val hasSemi = pos + l < len && input.charAt(pos + l) == ';'
-              if (hasSemi) { bestStr = node.value; bestConsumed = l + 1 }
-              else if (node.legacyOk) {
-                val nextOk = !inAttribute || pos + l >= len || {
-                  val n = input.charAt(pos + l)
-                  !isAlnum(n) && n != '='
-                }
-                if (nextOk) { bestStr = node.value; bestConsumed = l }
-              }
-            }
+      var depth = 0
+      var lastVal: String = null
+      var lastDepth = 0
+      while (true) {
+        if (pos + depth >= len) {
+          // end of input: current node (legacy end) else last legacy end;
+          // nothing follows, so no terminator gate
+          if (node.value != null) return (node.value, depth)
+          if (lastVal != null) return (lastVal, lastDepth)
+          return null
+        }
+        val c = input.charAt(pos + depth)
+        if (c == '&') {
+          // '&' stop resolves via the last legacy end only (charef.c:66-77)
+          if (lastVal == null) return null
+          return finishNamed(input, pos, lastVal, lastDepth, inAttribute)
+        }
+        val next = if (c == ';') null else node.child(c)
+        if (c == ';') {
+          val semi = node.child(';')
+          if (semi != null) {
+            // full name with its ';' — always decodes, ';' consumed
+            return (semi.value, depth + 1)
           }
+          // no ';' edge: fall through to sibling-scan resolution below
+          val above = node.firstEdgeAbove(c)
+          val v = if (above != null && above.value != null) above.value else lastVal
+          val vd = if (above != null && above.value != null) depth else lastDepth
+          if (v == null) return null
+          return finishNamed(input, pos, v, vd, inAttribute)
+        }
+        if (next != null) {
+          node = next
+          depth += 1
+          if (node.value != null) { lastVal = node.value; lastDepth = depth }
+        } else {
+          // mismatch: the smallest sibling edge above the input char
+          // resolves if it ends a name (the reference's scan stop)
+          val above = node.firstEdgeAbove(c)
+          val v = if (above != null && above.value != null) above.value else lastVal
+          val vd = if (above != null && above.value != null) depth else lastDepth
+          if (v == null) return null
+          return finishNamed(input, pos, v, vd, inAttribute)
         }
       }
-      if (bestStr == null) null else (bestStr, bestConsumed)
+      null // unreachable
     }
+  }
+
+  /** Terminator handling shared by the resolution paths: consume a ';'
+    * at the resolved offset; otherwise apply the attribute-mode gate
+    * (data_process.c:142-156). */
+  private def finishNamed(input: String, pos: Int, v: String, vDepth: Int,
+                          inAttribute: Boolean): (String, Int) = {
+    val at = pos + vDepth
+    if (at < input.length && input.charAt(at) == ';') return (v, vDepth + 1)
+    if (inAttribute && at < input.length) {
+      val t = input.charAt(at)
+      if (isAlnum(t) || t == '=') return null
+    }
+    (v, vDepth)
   }
 
   private def isHex(c: Char): Boolean =

@@ -47,9 +47,13 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
   // reusable buffers (one tokenizer instance per document — per-token
   // allocation is the GC hot spot at 10^9 rows; reference pools the
-  // same way via mchar_async, SURVEY §2.6 X4)
-  private val text = new java.lang.StringBuilder(256)
+  // same way via mchar_async, SURVEY §2.6 X4).
+  // The DATA text run is VERBATIM SOURCE (charrefs decode at flush over
+  // the token's raw slice — the reference's worker model, parser.c:185;
+  // decoding inline at '&' would let the walk see past the token
+  // boundary, which changes the reference's end-of-name resolution).
   private var textStart = -1
+  private var runEnd = -1
   /** Reference WHITESPACE flag for the current run (token.c:178 default;
     * cleared only by the DATA scanner, tokenizer.c:775-777). */
   private var runWs = true
@@ -66,24 +70,24 @@ final class Tokenizer(src0: String, sink: TokenSink) {
   }
 
   private def flushText(): Unit = {
-    if (text.length > 0) {
-      sink.process(CharsTok(text.toString, textStart, runWs))
-      text.setLength(0)
+    if (textStart >= 0 && runEnd > textStart) {
+      val raw = src.substring(textStart, runEnd)
+      // the token's raw slice decodes as one unit (DATA type)
+      val t = if (raw.indexOf('&') >= 0)
+        Entities.decodeAll(raw, inAttribute = false) else raw
+      sink.process(CharsTok(t, textStart, runWs))
     }
     textStart = -1
+    runEnd = -1
     runWs = true
     runNullSeen = false
   }
 
-  private def appendText(c: Char, at: Int): Unit = {
-    if (textStart < 0) textStart = at
-    text.append(c)
-  }
-
-  private def appendText(s: String, at: Int): Unit = {
-    if (s.isEmpty) return
-    if (textStart < 0) textStart = at
-    text.append(s)
+  /** Extend the verbatim source run to cover [from, to). All DATA-state
+    * text is contiguous source by construction. */
+  private def appendRun(from: Int, to: Int): Unit = {
+    if (textStart < 0) textStart = from
+    runEnd = to
   }
 
   private def emitEof(): Unit = {
@@ -110,17 +114,12 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       val c = src.charAt(pos)
       if (c == '<') {
         if (handleTagOpen()) return // state may have changed
-      } else if (c == '&') {
-        runWs = false // '&' is what the data scanner saw (raw, pre-decode)
-        val m = Entities.decode(src, pos + 1, inAttribute = false)
-        if (m == null) { appendText('&', pos); pos += 1 }
-        else { appendText(m._1, pos); pos += 1 + m._2 }
       } else {
         // NUL stays in DATA (tree builder drops/replaces it per mode);
         // the FIRST NUL sets the NULL type without touching the ws flag
         if (c == '\u0000' && !runNullSeen) runNullSeen = true
         else if (runWs && !TextPrep.isWhitespace(c)) runWs = false
-        appendText(c, pos)
+        appendRun(pos, pos + 1)
         pos += 1
       }
     }
@@ -141,10 +140,10 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       // "x<" and the text is lost (verified against the built reference).
       val runStart = if (textStart >= 0) textStart else pos
       if (runStart == 0) {
-        appendText('<', pos)
+        appendRun(pos, pos + 1)
         runWs = false
       } else {
-        text.setLength(0); textStart = -1; runWs = true; runNullSeen = false
+        textStart = -1; runEnd = -1; runWs = true; runNullSeen = false
         val garbage = src.substring(runStart, len).toLowerCase
         sink.process(StartTagTok(garbage, emptyAttrs, selfClosing = false, runStart))
       }
@@ -161,7 +160,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       if (pos + 2 >= len) {
         // EOF after "</": run + "</" flush as one text token, whitespace
         // flag force-cleared (end_state_end_tag_open, tokenizer_end.c:65-77)
-        appendText("</", pos); runWs = false; pos = len; return false
+        appendRun(pos, len); runWs = false; pos = len; return false
       }
       val c2 = src.charAt(pos + 2)
       if (isAsciiLetter(c2)) {
@@ -174,7 +173,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
         // pending run — the raw text run absorbs it ("a</>b" is one text
         // node; tokenizer.c:869-876 just advances past '>'). Current
         // WHATWG would drop the three chars instead.
-        appendText("</>", pos)
+        appendRun(pos, pos + 3)
         pos += 3
         false
       } else {
@@ -195,7 +194,7 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     } else {
       // '<' + other: the tag_open else-branch force-clears the whitespace
       // flag (tokenizer.c:838-845) before re-scanning the char in DATA
-      appendText('<', pos)
+      appendRun(pos, pos + 1)
       runWs = false
       pos += 1
       false
@@ -240,6 +239,13 @@ final class Tokenizer(src0: String, sink: TokenSink) {
         sink.process(et)
       case _ =>
     }
+  }
+
+  private def decodeAttrValue(raw0: String): String = {
+    val raw = if (raw0.indexOf('\u0000') >= 0)
+      raw0.replace('\u0000', '\uFFFD') else raw0
+    if (raw.indexOf('&') >= 0) Entities.decodeAll(raw, inAttribute = true)
+    else raw
   }
 
   private val emptyAttrs = new ArrayBuffer[DomAttr](0)
@@ -311,38 +317,26 @@ final class Tokenizer(src0: String, sink: TokenSink) {
           while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
           if (pos >= len) return null
           val q = src.charAt(pos)
+          // slice the RAW value first, then decode it as one unit — the
+          // reference decodes the attr token's raw range (worker model);
+          // decoding inline at '&' would let the entity walk see PAST the
+          // value terminator and change end-of-name resolution
           if (q == '"' || q == '\'') {
             pos += 1
-            val vs = attrValBuf
-            vs.setLength(0)
-            var vb = false
-            while (!vb && pos < len) {
-              c = src.charAt(pos)
-              if (c == q) { pos += 1; vb = true }
-              else if (c == '&') {
-                val m = Entities.decode(src, pos + 1, inAttribute = true)
-                if (m == null) { vs.append('&'); pos += 1 }
-                else { vs.append(m._1); pos += 1 + m._2 }
-              } else { vs.append(if (c == 0) '�' else c); pos += 1 }
-            }
-            if (!vb) return null
-            value = vs.toString
+            val vStart = pos
+            while (pos < len && src.charAt(pos) != q) pos += 1
+            if (pos >= len) return null
+            value = decodeAttrValue(src.substring(vStart, pos))
+            pos += 1
           } else {
             // unquoted
-            val vs = attrValBuf
-            vs.setLength(0)
-            var vb = false
-            while (!vb && pos < len) {
+            val vStart = pos
+            while (pos < len && {
               c = src.charAt(pos)
-              if (TextPrep.isWhitespace(c) || c == '>') vb = true
-              else if (c == '&') {
-                val m = Entities.decode(src, pos + 1, inAttribute = true)
-                if (m == null) { vs.append('&'); pos += 1 }
-                else { vs.append(m._1); pos += 1 + m._2 }
-              } else { vs.append(if (c == 0) '�' else c); pos += 1 }
-            }
+              !TextPrep.isWhitespace(c) && c != '>'
+            }) pos += 1
             if (pos >= len) return null
-            value = vs.toString
+            value = decodeAttrValue(src.substring(vStart, pos))
           }
         }
         val anm = Tags.Names.intern(an)
@@ -538,7 +532,10 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
   private def stepPlaintext(): Unit = {
     if (pos < len) {
-      appendText(src.substring(pos).replace('\u0000', '�'), pos)
+      // one raw token: no charref decode, whitespace flag force-cleared
+      // (reference tokenizer.c:684-702, clear at :689)
+      sink.process(CharsTok(
+        src.substring(pos).replace('\u0000', '\uFFFD'), pos, ws = false))
       pos = len
     }
     emitEof()
@@ -648,14 +645,23 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     * 3-mode scanner with identical observable behavior). */
   private def stepScript(): Unit = {
     var mode = 0 // 0 normal, 1 escaped, 2 double-escaped
+    val sectionStart = pos
+    var nulSeen = false
     @inline def delimAt(i: Int): Boolean =
       i >= len || { val c = src.charAt(i); TextPrep.isWhitespace(c) || c == '/' || c == '>' }
+    def flushSection(end: Int): Unit =
+      if (end > sectionStart) {
+        var t = src.substring(sectionStart, end)
+        if (nulSeen) t = t.replace('\u0000', '\uFFFD')
+        // script text: no charref decode, ws flag cleared (section token)
+        sink.process(CharsTok(t, sectionStart, ws = false))
+      }
     while (pos < len) {
       val c = src.charAt(pos)
       if (c == '<') {
         if (mode != 2 && pos + 1 < len && src.charAt(pos + 1) == '/' &&
             appropriateEndTagAt(pos)) {
-          flushText()
+          flushSection(pos)
           val rawBegin = pos
           pos += 2
           emitTag(rawBegin, isEnd = true)
@@ -663,23 +669,23 @@ final class Tokenizer(src0: String, sink: TokenSink) {
           return
         } else if (mode == 2 && src.regionMatches(true, pos, "</script", 0, 8) &&
                    delimAt(pos + 8)) {
-          // double-escape end: text, back to escaped
-          appendText(src.substring(pos, pos + 8), pos); pos += 8; mode = 1
+          pos += 8; mode = 1 // double-escape end: chars stay text
         } else if (mode == 0 && src.startsWith("<!--", pos)) {
-          appendText("<!--", pos); pos += 4; mode = 1
+          pos += 4; mode = 1
         } else if (mode == 1 && src.regionMatches(true, pos, "<script", 0, 7) &&
                    delimAt(pos + 7)) {
-          appendText(src.substring(pos, pos + 7), pos); pos += 7; mode = 2
+          pos += 7; mode = 2
         } else {
-          appendText('<', pos); pos += 1
+          pos += 1
         }
       } else if (c == '-' && mode != 0 && src.startsWith("-->", pos)) {
-        appendText("-->", pos); pos += 3; mode = 0
+        pos += 3; mode = 0
       } else {
-        appendText(if (c == 0) '�' else c, pos)
+        if (c == '\u0000') nulSeen = true
         pos += 1
       }
     }
+    flushSection(len)
     emitEof()
   }
 }
