@@ -12,6 +12,18 @@ import graft.ops.{Dedup, Similarity, TextOps, Multimodal}
   * (tokenizer → tree builder → extractor / serializer), and are checked
   * against DuckDB oracles that compute the expected result with pure
   * string SQL — i.e. the parser itself is oracle-verified end-to-end.
+  *
+  * The dedup/ANN family uses PLANTED corpora built deterministically
+  * from the documents/embeddings tables with SQL-replayable transforms
+  * (md5-token texts, identical/2×-scaled vectors): ground-truth
+  * duplicates are guaranteed candidates by construction (identical
+  * signatures / identical LSH buckets), distinct rows are provably below
+  * threshold, and the DuckDB oracle recomputes the exact verification
+  * metric (token Jaccard, cosine) independently — so banding recall,
+  * bucket joins AND the verify arithmetic are all hard-gated. Where the
+  * blocking key itself is SQL-expressible (md5 min-token in
+  * q_ngram_jaccard) the oracle replays blocking + skew-guard + verify on
+  * the REAL corpus instead.
   */
 object SparkEntry {
 
@@ -23,6 +35,21 @@ object SparkEntry {
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** doc_id<100 base rows with synthetic 30-token md5 texts — token sets
+    * are disjoint across docs (md5 of "id-j"), so distinct docs have
+    * Jaccard 0 / simhash hamming ≈ 32, and the DuckDB oracle can rebuild
+    * the identical corpus with its own md5(). */
+  private def md5Corpus(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 100).select(col("doc_id"),
+      array_join(transform(sequence(lit(0), lit(29)),
+        j => md5(concat(col("doc_id").cast("string"), lit("-"), j.cast("string")))),
+        " ").as("t"))
+
+  private val md5CorpusSql =
+    """SELECT doc_id, array_to_string(list_transform(range(0,30),
+      |  j -> md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR))), ' ') AS t
+      |FROM documents WHERE doc_id < 100""".stripMargin
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -156,11 +183,30 @@ object SparkEntry {
           col("n.text").as("ntext"), col("n.nattrs").as("nattrs"))
     }),
 
+    // fragment algorithm (reference myhtml_parse_fragment, myhtml.c:240-262):
+    // tr context exercises in-row mode + reset-insertion-mode; td context
+    // exercises in-cell; textarea context pins the RCDATA content-model
+    // switch (tokenizer state from context element, tokenizer.c:204-244)
+    "q_html_fragment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rowFrag = concat(lit("<td>"), col("source"), lit("</td><td>"), col("lang"))
+      val cellFrag = concat(lit("<b>"), col("source"), lit("</b>rest"))
+      val rawFrag = concat(lit("<b>"), col("source"))
+      d.select(col("doc_id"),
+        GraftFunctions.parse_fragment_text(rowFrag, lit("tr")).as("row_cells"),
+        GraftFunctions.parse_fragment_text(cellFrag, lit("td")).as("cell_text"),
+        GraftFunctions.parse_fragment_text(rawFrag, lit("textarea")).as("rcdata_text"))
+    }),
+
     "q_charset_sniff" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bytes = when(pmod(col("doc_id"), lit(2)) === 0,
+      val bytes = when(pmod(col("doc_id"), lit(4)) === 0,
           lit("<meta charset=\"windows-1251\"><p>x</p>"))
-        .otherwise(lit("plain ascii text only")).cast("binary")
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("plain ascii text only"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta charset=\"shift_jis\"><p>x</p>"))
+        .otherwise(lit("<meta charset=\"x-user-defined\"><p>x</p>"))
+        .cast("binary")
       d.select(col("doc_id"), GraftFunctions.prescan_charset(bytes).as("charset"))
     }),
 
@@ -187,7 +233,6 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id").as("top_vec_id"))
     }),
 
-    // --------------------------------- rows-only ops (no SQL equivalent)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         expr("graft_lang_id(text)").as("lang_pred"))),
@@ -198,19 +243,50 @@ object SparkEntry {
         TextOps.subwordCount(col("text")).as("n_subwords"))),
 
     "q_fingerprint" -> ((s, dir) =>
+      // fp_ws = fingerprint of a whitespace-perturbed twin (leading space
+      // + doubled internal spaces); equals fp by the normalization
+      // contract — the oracle computes the rolling hash once in HUGEINT
+      // arithmetic and asserts both columns
       docs(s, dir).select(col("doc_id"),
         expr("graft_fingerprint64(text)").as("fp"),
-        expr("graft_simhash64(text)").as("simhash"))),
+        expr("graft_fingerprint64(' ' || replace(text, ' ', '  '))").as("fp_ws"))),
 
-    "q_minhash_dedup" -> ((s, dir) =>
-      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
-        k = 32, bands = 8, jaccardThreshold = 0.5)),
+    "q_minhash_dedup" -> ((s, dir) => {
+      val base = md5Corpus(docs(s, dir))
+      // planted: %5 → identical twin (guaranteed candidates: equal
+      // signatures), %7 → one extra trailing token (J = 30/31 ≈ 0.968)
+      val corpus = base.select((col("doc_id") * 10).as("id"), col("t"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id"), col("t")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 10 + 2).as("id"),
+            concat(col("t"), lit(" "),
+              md5(concat(col("doc_id").cast("string"), lit("-x")))).as("t")))
+      Dedup.minhashCandidates(corpus, "id", "t",
+        k = 32, bands = 8, jaccardThreshold = 0.9)
+    }),
 
-    "q_simhash_dedup" -> ((s, dir) =>
-      Dedup.simhashCandidates(docs(s, dir), "doc_id", "text", maxHamming = 6)),
+    "q_simhash_dedup" -> ((s, dir) => {
+      val base = md5Corpus(docs(s, dir))
+      val corpus = base.select((col("doc_id") * 10).as("id"), col("t"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id"), col("t")))
+      Dedup.simhashCandidates(corpus, "id", "t", maxHamming = 3)
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3)),
+
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // planted chain components: ids 0..49 linked in runs of 5
+      // (edge i→i+1 unless i%5==4) → cluster = floor(id/5)*5; everything
+      // else is a singleton. Chains (diameter 4) exercise the iterative
+      // min-label propagation, not just one-hop merges.
+      val pairs = d.filter(col("doc_id") < 50 && pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.clusters(d.select(col("doc_id")), "doc_id", pairs, maxIterations = 8)
+    }),
 
     "q_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -222,16 +298,39 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      val e = embs(s, dir)
+      // planted twin per query: vec_id+100000 carries 2× the query vector
+      // — exactly cosine 1.0 (power-of-two scaling is float-exact) and
+      // the same hyperplane signature, so top-2 = (self, twin) by the
+      // (cosine desc, vec_id asc) tie-break, provable without replaying
+      // the murmur-based signature in SQL
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(e, "vec_id", "embedding", q, "qid", "qvec", k = 5, planes = 6)
+      val twins = q.select((col("qid") + 100000).as("vec_id"),
+        transform(col("qvec"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val corpus = e.unionByName(twins)
+      Similarity.lshTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+          k = 2, planes = 6)
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
-    "q_embed_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(embs(s, dir), "vec_id", "embedding",
-        planes = 8, threshold = 0.8)),
+    "q_embed_neardup" -> ((s, dir) => {
+      // planted near-dups: identical twins (vec_id<10 → +10000) and
+      // half-scaled twins (10..19 → +20000, cosine exactly 1.0); the max
+      // cosine between DISTINCT source vectors is ≈0.51, far under the
+      // 0.9 threshold — output = exactly the 20 planted pairs, and the
+      // oracle verifies with an independent cosine over all pairs
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val halves = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      val corpus = e.unionByName(twins).unionByName(halves)
+      Dedup.embeddingNearDup(corpus, "vec_id", "embedding",
+          planes = 8, threshold = 0.9, bands = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
 
     "q_multimodal_stub" -> ((s, dir) => {
       import s.implicits._
@@ -269,8 +368,8 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB-equivalent SQL per oracle-checkable query (same column
-    * names, same values — the driver hash-compares). */
+  /** DuckDB-equivalent SQL per query (same column names, same values —
+    * the driver hash-compares). EVERY query has an oracle. */
   def oracleSql: Map[String, String] = Map(
 
     "q_html_extract" ->
@@ -354,9 +453,17 @@ object SparkEntry {
         |SELECT doc_id, 3, 'Comment', '', 'c', 24
         |FROM documents WHERE length(text) >= 10""".stripMargin,
 
+    "q_html_fragment" ->
+      """SELECT doc_id, source || ' ' || lang AS row_cells,
+        |       source || ' rest' AS cell_text,
+        |       '<b>' || source AS rcdata_text
+        |FROM documents""".stripMargin,
+
     "q_charset_sniff" ->
-      """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'windows-1251'
-        |  ELSE 'UTF-8' END AS charset FROM documents""".stripMargin,
+      """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'UTF-8'
+        |  WHEN 2 THEN 'Shift_JIS' ELSE 'windows-1252' END AS charset
+        |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(source))) AS text_hash, min(doc_id) AS doc_id,
@@ -378,6 +485,128 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
 
     "q_ann_self" ->
-      "SELECT vec_id AS query_id, vec_id AS top_vec_id FROM embeddings WHERE vec_id < 20"
+      "SELECT vec_id AS query_id, vec_id AS top_vec_id FROM embeddings WHERE vec_id < 20",
+
+    "q_lang_id" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+        |sc AS (SELECT doc_id,
+        | (len(s)-len(replace(s,' the ','')))//5 + (len(s)-len(replace(s,' and ','')))//5 + (len(s)-len(replace(s,' of ','')))//4 + (len(s)-len(replace(s,' to ','')))//4 + (len(s)-len(replace(s,' is ','')))//4 AS s_en,
+        | (len(s)-len(replace(s,' der ','')))//5 + (len(s)-len(replace(s,' die ','')))//5 + (len(s)-len(replace(s,' und ','')))//5 + (len(s)-len(replace(s,' ist ','')))//5 + (len(s)-len(replace(s,' nicht ','')))//7 AS s_de,
+        | (len(s)-len(replace(s,' le ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' et ','')))//4 + (len(s)-len(replace(s,' est ','')))//5 + (len(s)-len(replace(s,' les ','')))//5 AS s_fr,
+        | (len(s)-len(replace(s,' el ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' y ','')))//3 + (len(s)-len(replace(s,' es ','')))//4 + (len(s)-len(replace(s,' los ','')))//5 AS s_es,
+        | (len(s)-len(replace(s,'的',''))) + (len(s)-len(replace(s,'是',''))) + (len(s)-len(replace(s,'不',''))) + (len(s)-len(replace(s,'了',''))) + (len(s)-len(replace(s,'在',''))) AS s_zh
+        |FROM p)
+        |SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en'
+        |  WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+        |  WHEN s_es = m THEN 'es' ELSE 'zh' END AS lang_pred
+        |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m FROM sc)""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(least(nc//125, 40)
+        |     + CAST(floor(na*40/greatest(nc,1)) AS BIGINT)
+        |     + CASE WHEN nt > 0 AND nc >= 3*nt AND nc <= 12*nt THEN 20 ELSE 0 END
+        |    AS BIGINT) AS quality,
+        |  CAST(len(regexp_extract_all(text, '[A-Z][a-z]*|[a-z]+|[0-9]+')) AS BIGINT) AS n_subwords
+        |FROM (SELECT doc_id, text, length(text) AS nc,
+        |        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |      FROM documents)""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH n AS (SELECT doc_id, ltrim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+        |f AS (SELECT doc_id, CASE WHEN s = '' THEN CAST(1125899906842597 AS HUGEINT)
+        |  ELSE list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |         list_transform(regexp_split_to_array(s, ''), c -> CAST(ord(c) AS HUGEINT))),
+        |       (acc, c) -> (acc * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) END AS u
+        |FROM n),
+        |g AS (SELECT doc_id, CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+        |  THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS v FROM f)
+        |SELECT doc_id, v AS fp, v AS fp_ws FROM g""".stripMargin,
+
+    "q_minhash_dedup" ->
+      s"""WITH base AS ($md5CorpusSql),
+        |corpus AS (
+        |  SELECT doc_id*10 AS id, t FROM base
+        |  UNION ALL SELECT doc_id*10+1, t FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id*10+2, t || ' ' || md5(CAST(doc_id AS VARCHAR) || '-x') FROM base WHERE doc_id % 7 = 0),
+        |toks AS (SELECT id, list_distinct(string_split(t, ' ')) AS st FROM corpus)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+        |      / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
+        |  FROM toks a JOIN toks b ON a.id < b.id)
+        |WHERE jaccard >= 0.9""".stripMargin,
+
+    "q_simhash_dedup" ->
+      """SELECT doc_id*10 AS id_a, doc_id*10+1 AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |keyed AS (SELECT doc_id,
+        |    list_min(list_transform(list_slice(tk, 1, 64), t -> md5(t))) AS block,
+        |    list_distinct(tk) AS st
+        |  FROM toks),
+        |ok AS (SELECT block FROM keyed GROUP BY block HAVING count(*) <= 256),
+        |sel AS (SELECT k.* FROM keyed k JOIN ok USING (block))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+        |      / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
+        |  FROM sel a JOIN sel b ON a.block = b.block AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.3""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """SELECT doc_id AS id, CASE WHEN doc_id < 50 THEN (doc_id//5)*5 ELSE doc_id END AS cluster
+        |FROM documents""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |  / greatest(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+        |           * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x))), 1e-12) AS cosine
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q_ann_lsh" ->
+      """SELECT vec_id AS query_id, vec_id, CAST(1 AS INT) AS rank
+        |FROM embeddings WHERE vec_id < 5
+        |UNION ALL
+        |SELECT vec_id, vec_id + 100000, CAST(2 AS INT)
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
+        |  UNION ALL SELECT vec_id + 20000,
+        |    list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20)
+        |SELECT id_a, id_b, round(cs, 6) AS cosine FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS cs
+        |  FROM c a JOIN c b ON a.id < b.id)
+        |WHERE cs >= 0.9""".stripMargin,
+
+    "q_multimodal_stub" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    WHEN doc_id % 3 = 2 THEN greatest(1, (n_chars*100)//1000)
+        |    WHEN doc_id % 3 = 1 THEN greatest(1, (n_chars*100)//5000)
+        |    ELSE 1 END AS INT) AS frames_sampled,
+        |  length(text) > 0 AS ok
+        |FROM documents""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      "SELECT CAST(300 AS BIGINT) AS docs, CAST(300 AS BIGINT) AS ok_docs"
   )
 }

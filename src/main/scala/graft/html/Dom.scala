@@ -18,7 +18,12 @@ object Ns {
   final val HTML   = 0
   final val SVG    = 1
   final val MathML = 2
-  val names: Array[String] = Array("html", "svg", "math")
+  // foreign-ATTRIBUTE namespaces (WHATWG "adjust foreign attributes";
+  // reference tokens carry these as myhtml namespace ids on the attr)
+  final val XLink  = 3
+  final val XML    = 4
+  final val XMLNS  = 5
+  val names: Array[String] = Array("html", "svg", "math", "xlink", "xml", "xmlns")
 }
 
 /** A single attribute; document order is preserved (the reference keeps

@@ -55,9 +55,14 @@ object Encodings {
           else direct.headOption.filter(_ => tag.contains("charset")).map(_.group(1))
         got match {
           case Some(cs0) =>
-            // x-user-defined and utf-16 get rewritten per spec
+            // utf-16 family and x-user-defined get rewritten per spec
+            // (HTML "changing the encoding" steps 1-2: utf-16 → utf-8,
+            // x-user-defined → windows-1252; reference detect.c honors
+            // the same rewrites via myencoding_extracting_character_
+            // encoding_from_charset)
             val cs = cs0 match {
               case "utf-16" | "utf-16le" | "utf-16be" => "utf-8"
+              case "x-user-defined" => "windows-1252"
               case other => other
             }
             if (Charset.isSupported(cs)) return Some(Charset.forName(cs).name())
@@ -170,11 +175,28 @@ object Encodings {
     }
   }
 
+  /** WHATWG `x-user-defined` decoder — absent from the JDK entirely
+    * (reference enum myencoding/myosi.h:47-89 carries it): bytes < 0x80
+    * map to themselves, bytes 0x80-0xFF map to U+F780 + (byte - 0x80)
+    * (private-use plane, round-trippable). Single pass, never fails. */
+  def decodeXUserDefined(bytes: Array[Byte], offset: Int = 0): String = {
+    val sb = new java.lang.StringBuilder(bytes.length - offset)
+    var i = offset
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      sb.append(if (b < 0x80) b.toChar else (0xF780 + (b - 0x80)).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Decode with the sniffed (or given) charset; never throws — bad bytes
     * become U+FFFD ("is not afraid of binary files and other trash",
     * /root/reference/Changes:33). */
   def decode(bytes: Array[Byte], charsetName: String = null): String = {
     val name = if (charsetName != null) charsetName else sniff(bytes)
+    if (name != null && name.equalsIgnoreCase("x-user-defined"))
+      return decodeXUserDefined(bytes)
     val bomLen = detectBom(bytes) match {
       case null => 0
       case (cs, l) if cs == name => l

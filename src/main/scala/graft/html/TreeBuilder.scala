@@ -1770,11 +1770,15 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       Tags.svgAttrAdjust.get(a.name).foreach(n => a.name = n)
     }
 
+  /** WHATWG "adjust foreign attributes": xlink:/xml:/xmlns: attributes
+    * keep their prefixed NAMES (serialization emits the prefix from the
+    * name, matching the reference) and additionally record the attribute
+    * namespace id (reference stores myhtml ns ids on the token attr). */
   private def adjustForeignAttrs(st: StartTagTok): Unit =
     st.attrs.foreach { a =>
-      // xlink:/xml:/xmlns: prefixes keep their names; namespace recorded
-      if (a.name.startsWith("xlink:") || a.name.startsWith("xml:") ||
-          a.name == "xmlns" || a.name.startsWith("xmlns:")) a.ns = a.ns
+      if (a.name.startsWith("xlink:")) a.ns = Ns.XLink
+      else if (a.name.startsWith("xml:")) a.ns = Ns.XML
+      else if (a.name == "xmlns" || a.name.startsWith("xmlns:")) a.ns = Ns.XMLNS
     }
 
   private def insertForeign(st: StartTagTok, ns: Int): Node = {

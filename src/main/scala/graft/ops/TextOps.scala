@@ -14,11 +14,13 @@ object TextOps {
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(split(trim(c), "\\s+")).cast("long"))
 
-  /** BPE-ish subword count: word-boundary pieces + digit runs + punct
-    * (regex approximation of byte-pair tokenizer granularity). */
+  /** BPE-ish subword count: camel-case pieces + letter runs + digit runs
+    * (regex approximation of byte-pair tokenizer granularity). The
+    * pattern is lookaround-free on purpose: the DuckDB oracle replays it
+    * through RE2 (`regexp_extract_all`), which rejects lookarounds. */
+  val subwordPattern = "[A-Z][a-z]*|[a-z]+|[0-9]+"
   def subwordCount(c: Column): Column =
-    size(filter(split(c, "(?=[A-Z])|(?<=[a-z])(?=[0-9])|[^A-Za-z0-9]+"),
-      x => length(x) > 0)).cast("long")
+    size(regexp_extract_all(c, lit(subwordPattern), lit(0))).cast("long")
 
   def charCount(c: Column): Column = length(c).cast("long")
 
@@ -35,21 +37,29 @@ object TextOps {
     length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")).cast("long")
 
   /** Composite quality score in [0,100]: length + alpha-ratio +
-    * mean-word-length sanity (a cheap C4/Gopher-style filter). */
+    * mean-word-length sanity (a cheap C4/Gopher-style filter).
+    * Pure integer arithmetic by design — the score hash-matches a DuckDB
+    * oracle exactly, with no float-rounding edge cases (CLAUDE.md rule:
+    * int/string outputs for oracle queries). */
   def qualityScore(c: Column): Column = {
     val toks = tokenCount(c)
-    val chars = length(c).cast("double")
-    val alphaRatio = alphaChars(c).cast("double") / greatest(chars, lit(1.0))
-    val meanWord = chars / greatest(toks.cast("double"), lit(1.0))
-    val lenScore = least(chars / lit(5000.0), lit(1.0)) * 40
-    val alphaScore = alphaRatio * 40
-    val wordScore = when(meanWord.between(3, 12), lit(20.0)).otherwise(lit(0.0))
-    round(lenScore + alphaScore + wordScore, 1)
+    val chars = charCount(c)
+    // length component: min(chars/125, 40)   (chars=5000 saturates at 40)
+    val lenScore = least(floor(chars / lit(125)).cast("long"), lit(40L))
+    // alpha-ratio component: floor(alpha*40/chars) in [0,40]
+    val alphaScore = floor(alphaChars(c) * lit(40) / greatest(chars, lit(1L))).cast("long")
+    // mean-word-length sanity: 3 <= chars/tokens <= 12  (integer bounds)
+    val wordScore = when(toks > 0 && chars >= toks * 3 && chars <= toks * 12,
+      lit(20L)).otherwise(lit(0L))
+    lenScore + alphaScore + wordScore
   }
 
   // ------------------------------------------------------------- langid
 
-  private val markers: Map[String, Seq[String]] = Map(
+  /** Ordered (tie-break = first wins) so the decision is exactly
+    * replayable in SQL: score_X computed per language, winner = first
+    * language in this order whose score equals the positive maximum. */
+  val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
     "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht "),
     "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
@@ -59,7 +69,10 @@ object TextOps {
 
   /** n-gram/stopword language-ID heuristic (the public fastText-style
     * marker approach compressed to 5 langs; returns "und" when nothing
-    * scores). Deterministic; registered as `graft_lang_id`. */
+    * scores). Marker occurrences are counted NON-overlapping (left to
+    * right, advance by marker length) — the same count SQL `replace`
+    * length-arithmetic produces, so a DuckDB oracle can replay the
+    * decision byte-for-byte. Deterministic; registered as `graft_lang_id`. */
   def langIdHeuristic(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val padded = " " + text.toLowerCase + " "
@@ -69,7 +82,7 @@ object TextOps {
       var score = 0
       ms.foreach { m =>
         var i = padded.indexOf(m)
-        while (i >= 0) { score += 1; i = padded.indexOf(m, i + 1) }
+        while (i >= 0) { score += 1; i = padded.indexOf(m, i + m.length) }
       }
       if (score > bestScore) { bestScore = score; best = lang }
     }
@@ -99,17 +112,21 @@ object TextOps {
     h
   }
 
-  /** 64-bit SimHash over 3-word shingles. */
+  /** 64-bit SimHash over 3-word shingles. Shingling mirrors `minhash`
+    * exactly: for <3 tokens the single shingle is the whole token run —
+    * one-word docs hash that word instead of collapsing to signature 0
+    * (round-1 ADVICE: all one-word docs used to alias to 0 and report
+    * each other as hamming-0 near-duplicates). */
   def simhash64(text: String): Long = {
     if (text == null || text.isEmpty) return 0L
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val counts = new Array[Int](64)
     var i = 0
-    while (i + 2 < toks.length + 1) {
-      val shingle =
-        if (i + 2 < toks.length) toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-        else toks.slice(i, toks.length).mkString(" ")
+    val last = math.max(toks.length - 2, 1)
+    while (i < last) {
+      val end = math.min(i + 3, toks.length)
+      val shingle = toks.slice(i, end).mkString(" ")
       val h = scala.util.hashing.MurmurHash3.stringHash(shingle).toLong * 0x9E3779B97F4A7C15L
       var b = 0
       while (b < 64) {

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k by (score desc, id asc) as a typed Aggregator.
+  *
+  * Replaces `row_number().over(Window.partitionBy(query))` for ANN
+  * ranking: the window plan shuffles EVERY (query, corpus) score to
+  * sort it, then discards all but k — at 100 TB × Q queries the rank
+  * shuffle dominates the job. The aggregator keeps a size-k buffer per
+  * query inside the partial (map-side) aggregate, so only |Q|·k rows
+  * ever cross the wire; the final merge is a fold of sorted k-lists.
+  *
+  * Total order (score desc, id asc) is strict — ids are unique — so the
+  * merge result is independent of partial-aggregation order and the
+  * output is hash-identical to the window formulation it replaced.
+  */
+object TopK {
+
+  final case class Scored(vec_id: Long, cosine: Double)
+  final case class Buf(items: Seq[Scored])
+
+  final class TopKAgg(k: Int) extends Aggregator[Scored, Buf, Buf] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.cosine > b.cosine || (a.cosine == b.cosine && a.vec_id < b.vec_id)
+
+    /** Insert into a best-first sorted buffer, keeping length ≤ k. */
+    private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] =
+      if (buf.length >= k && !better(s, buf.last)) buf
+      else {
+        val (pre, post) = buf.span(b => better(b, s))
+        ((pre :+ s) ++ post).take(k)
+      }
+
+    override def zero: Buf = Buf(Seq.empty)
+    override def reduce(b: Buf, a: Scored): Buf = Buf(insert(b.items, a))
+    override def merge(x: Buf, y: Buf): Buf = Buf(y.items.foldLeft(x.items)(insert))
+    override def finish(r: Buf): Buf = r
+    override def bufferEncoder = Encoders.product[Buf]
+    override def outputEncoder = Encoders.product[Buf]
+  }
+
+  /** (query_id, vec_id, cosine) → (query_id, vec_id, cosine, rank≤k),
+    * rank 1-based by (cosine desc, vec_id asc). One map-side-combined
+    * aggregate; no full-score shuffle. */
+  def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k), Encoders.product[Scored])
+    scored.groupBy("query_id")
+      .agg(agg(col("vec_id").cast("long"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.vec_id").as("vec_id"),
+        col("s.cosine").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+}

@@ -38,10 +38,7 @@ object HtmlUdfs {
     new GenericArrayData(rows)
   }
 
-  /** parse html → concatenated visible text (clear_text.pl semantics),
-    * spans joined by a single space. */
-  def parseText(html: UTF8String): UTF8String = {
-    val spans = Extractor.extractHtml(html.toString)
+  private def joinSpanText(spans: Seq[graft.html.Span]): UTF8String = {
     val sb = new java.lang.StringBuilder(64)
     spans.foreach { s =>
       if (s.kind != "media") {
@@ -50,6 +47,21 @@ object HtmlUdfs {
       }
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  /** parse html → concatenated visible text (clear_text.pl semantics),
+    * spans joined by a single space. */
+  def parseText(html: UTF8String): UTF8String =
+    joinSpanText(Extractor.extractHtml(html.toString))
+
+  /** fragment-parse `html` with `context` as the context element
+    * (reference myhtml_parse_fragment, myhtml.c:240-262) → visible text
+    * of the fragment, spans joined by a single space. The context tag
+    * drives the initial tokenizer content model (textarea ⇒ RCDATA etc.)
+    * and the reset-insertion-mode walk, exactly like the document API. */
+  def fragmentText(html: UTF8String, context: UTF8String): UTF8String = {
+    val root = HtmlParser.parseFragment(html.toString, context.toString)
+    joinSpanText(Extractor.extract(root))
   }
 
   /** serialize(parse(html)) — normalized HTML output. */
@@ -391,6 +403,23 @@ case class ExtractInterleavedSpans(child: Expression)
   override def prettyName: String = "extract_interleaved_spans"
 }
 
+/** Native fragment-parse expression: `parse_fragment_text(html, ctx)` —
+  * the driver-visible surface for the fragment algorithm (reference
+  * myhtml_parse_fragment, myhtml.c:240-262; SURVEY §2 S2). */
+case class ParseFragmentText(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HtmlUdfs.fragmentText(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spark.HtmlUdfs.fragmentText($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ParseFragmentText =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "parse_fragment_text"
+}
+
 case class TokenizeHtml(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.tokenArrayType
@@ -419,6 +448,8 @@ object GraftFunctions {
   def parse_html_nodes(c: Column): Column = call_function("parse_html_nodes", c)
   def extract_interleaved_spans(c: Column): Column =
     call_function("extract_interleaved_spans", c)
+  def parse_fragment_text(html: Column, context: Column): Column =
+    call_function("parse_fragment_text", html, context)
 
   /** Register the native expressions + helper UDFs on a live session. */
   def registerAll(spark: SparkSession): Unit = {
@@ -435,25 +466,13 @@ object GraftFunctions {
   * cluster (SURVEY §7.3). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("parse_html_spans"),
-      new ExpressionInfo("graft.spark.ParseHtmlSpans", "parse_html_spans"),
-      (args: Seq[Expression]) => ParseHtmlSpans(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("parse_html_text"),
-      new ExpressionInfo("graft.spark.ParseHtmlText", "parse_html_text"),
-      (args: Seq[Expression]) => ParseHtmlText(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("serialize_html"),
-      new ExpressionInfo("graft.spark.SerializeHtml", "serialize_html"),
-      (args: Seq[Expression]) => SerializeHtml(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("prescan_charset"),
-      new ExpressionInfo("graft.spark.PrescanCharset", "prescan_charset"),
-      (args: Seq[Expression]) => PrescanCharset(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("html_quirks_mode"),
-      new ExpressionInfo("graft.spark.HtmlQuirksMode", "html_quirks_mode"),
-      (args: Seq[Expression]) => HtmlQuirksMode(args.head)))
+    // same table as GraftSql.registerAll — a cluster configured only via
+    // spark.sql.extensions gets ALL native functions (round-1 ADVICE:
+    // this path used to register 5 of 10, breaking Pipeline/Similarity
+    // on extension-configured clusters).
+    org.apache.spark.sql.graft.GraftSql.entries.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))
+    }
   }
 }

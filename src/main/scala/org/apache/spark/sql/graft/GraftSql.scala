@@ -10,7 +10,11 @@ import graft.spark._
   * libraries; on a cluster prefer
   * `--conf spark.sql.extensions=graft.spark.GraftExtensions`). */
 object GraftSql {
-  private def entries: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  /** Single source of truth for the native-function table — consumed
+    * both here (live-session registration) and by
+    * `graft.spark.GraftExtensions` (spark.sql.extensions cluster entry
+    * point), so the two registration paths can never drift apart. */
+  def entries: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("parse_html_spans", "graft.spark.ParseHtmlSpans", args => ParseHtmlSpans(args.head)),
     ("parse_html_text", "graft.spark.ParseHtmlText", args => ParseHtmlText(args.head)),
     ("serialize_html", "graft.spark.SerializeHtml", args => SerializeHtml(args.head)),
@@ -24,7 +28,9 @@ object GraftSql {
       args => GraftCosine(args(0), args(1))),
     ("graft_hyperplane_sig", "graft.spark.HyperplaneSig",
       args => HyperplaneSig(args.head,
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]))
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+    ("parse_fragment_text", "graft.spark.ParseFragmentText",
+      args => ParseFragmentText(args(0), args(1)))
   )
 
   def registerAll(spark: SparkSession): Unit = {

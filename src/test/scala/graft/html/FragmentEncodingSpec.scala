@@ -1,0 +1,63 @@
+package graft.html
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 additions: fragment-parse surface + x-user-defined decoder
+  * (reference myhtml_parse_fragment myhtml.c:240-262; encoding enum
+  * myencoding/myosi.h:47-89). */
+class FragmentEncodingSpec extends AnyFunSuite {
+
+  private def fragText(html: String, ctx: String): String = {
+    val root = HtmlParser.parseFragment(html, ctx)
+    Extractor.extract(root).filter(_.kind != "media").map(_.text).mkString(" ")
+  }
+
+  test("fragment in tr context builds cells") {
+    assert(fragText("<td>a</td><td>b", "tr") == "a b")
+  }
+
+  test("fragment in td context keeps inline formatting text") {
+    assert(fragText("<b>bold</b>rest", "td") == "bold rest")
+  }
+
+  test("fragment in textarea context is RCDATA — tags stay literal") {
+    assert(fragText("<b>notatag", "textarea") == "<b>notatag")
+  }
+
+  test("fragment in script context is script data — '<' stays literal") {
+    // the context element itself is NOT part of the fragment tree (spec:
+    // context only seeds tokenizer state + insertion mode), so the raw
+    // text node hangs off the root and extraction returns it verbatim
+    assert(fragText("if (a<b) x();", "script") == "if (a<b) x();")
+  }
+
+  test("x-user-defined decoder maps high bytes into U+F780..U+F7FF") {
+    val bytes = Array[Byte]('A', 0x80.toByte, 0xFF.toByte, 'z')
+    val s = Encodings.decode(bytes, "x-user-defined")
+    assert(s == "A" + 0xF780.toChar + 0xF7FF.toChar + "z")
+  }
+
+  test("meta prescan rewrites x-user-defined to windows-1252 per spec") {
+    val bytes = "<meta charset=\"x-user-defined\"><p>x</p>".getBytes("ISO-8859-1")
+    assert(Encodings.sniff(bytes) == "windows-1252")
+  }
+
+  test("meta prescan resolves top non-Latin codec labels to canonical names") {
+    def sniffOf(label: String): String =
+      Encodings.sniff(s"""<meta charset="$label"><p>x</p>""".getBytes("ISO-8859-1"))
+    assert(sniffOf("shift_jis") == "Shift_JIS")
+    assert(sniffOf("euc-kr") == "EUC-KR")
+    assert(sniffOf("gb18030") == "GB18030")
+    assert(sniffOf("big5") == "Big5")
+    assert(sniffOf("euc-jp") == "EUC-JP")
+  }
+
+  test("decode never throws on trash bytes for the top non-Latin codecs") {
+    val trash = Array.tabulate[Byte](512)(i => (i * 37 + 11).toByte)
+    Seq("Shift_JIS", "EUC-KR", "GB18030", "Big5", "EUC-JP", "x-user-defined")
+      .foreach { cs =>
+        val s = Encodings.decode(trash, cs)
+        assert(s.nonEmpty)
+      }
+  }
+}

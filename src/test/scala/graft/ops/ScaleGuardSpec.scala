@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 scale-defect regression tests (VERDICT r1 "What's wrong"):
+  * banding recall contracts, degenerate-bucket guards, bounded top-k. */
+class ScaleGuardSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("simhash banding recalls ALL pairs at hamming <= maxHamming (4..6 included)") {
+    import spark.implicits._
+    // perturbed texts around shared bases → realistic signature cloud
+    val texts = (0 until 120).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " * 3
+      (i.toLong, base + s" tail${i % 40} extra${i % 7} suffix${i % 3}")
+    }
+    val sigs = texts.map { case (id, t) => id -> TextOps.simhash64(t) }.toMap
+    val truth = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      h = TextOps.hamming64(sigs(a), sigs(b)) if h <= 6
+    } yield (a, b, h)).toSet
+    assert(truth.exists(_._3 >= 4), "fixture must contain hamming 4..6 pairs")
+    val got = Dedup.simhashCandidates(texts.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 6, maxBucketSize = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("minhash bucket guard drops degenerate buckets; empty docs never band") {
+    import spark.implicits._
+    // 1000 identical docs would produce ~500k candidate pairs without a
+    // guard; with maxBucketSize=16 every bucket is degenerate → 0 pairs
+    val clones = (0 until 1000).map(i => (i.toLong, "same exact tokens here repeated again"))
+    val got = Dedup.minhashCandidates(clones.toDF("doc_id", "text"), "doc_id", "text",
+      k = 32, bands = 8, jaccardThreshold = 0.5, maxBucketSize = 16)
+    assert(got.count() == 0)
+    // whitespace-only docs share the all-MaxValue signature — dropped
+    val blanks = (0 until 50).map(i =>
+      (i.toLong, if (i < 40) "   " else s"alpha$i beta$i gamma$i delta$i"))
+    val got2 = Dedup.minhashCandidates(blanks.toDF("doc_id", "text"), "doc_id", "text",
+      k = 32, bands = 8, jaccardThreshold = 0.5)
+    assert(got2.count() == 0)
+  }
+
+  test("embedding near-dup: planted twins found, zero vectors dropped, guard caps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val twins = base.take(5).map { case (id, v) => (id + 1000, v.clone()) }
+    val zeros = (2000L to 2049L).map(id => (id, Array.fill(16)(0.0f)))
+    val df = (base ++ twins ++ zeros).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+        planes = 8, threshold = 0.999, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == base.take(5).map { case (id, _) => (id, id + 1000) }.toSet)
+    // 50 zero vectors in one bucket would be 1225 pairs — all dropped
+    assert(!got.exists(p => p._1 >= 2000 || p._2 >= 2000))
+  }
+
+  test("bounded top-k is hash-identical to the window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 7).map(i => (i.toLong * 3, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 4)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val scored = corpus.join(broadcast(queries))
+      .select(col("qid").as("query_id"), col("vec_id"),
+        Similarity.cosine(col("qvec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val want = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("ngram jaccard blocking is md5-replayable and guarded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry date elderberry fig grape"),
+      (2L, "apple banana cherry date elderberry fig grapefruit"), // J=6/8
+      (3L, "zeta yotta xenon watt volt umbra tesla")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -42,6 +42,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"UDF leaked into hot path:\n$plan")
   }
 
+  test("ANN top-k plan has no window rank — bounded aggregate only") {
+    // the old row_number().over(Window) shuffled every (query, corpus)
+    // score; the bounded aggregator keeps |Q|·k rows on the wire
+    val df = graft.SparkEntry.queries("q_ann_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window rank leaked back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a typed aggregate for top-k:\n$plan")
+  }
+
+  test("extensions entry point registers every native function") {
+    // GraftExtensions shares GraftSql.entries — assert the shared table
+    // covers the whole GraftFunctions surface (r1 ADVICE: extensions
+    // path had silently drifted to 5 of 10 functions)
+    val names = org.apache.spark.sql.graft.GraftSql.entries.map(_._1).toSet
+    val expected = Set("parse_html_spans", "parse_html_text", "serialize_html",
+      "prescan_charset", "html_quirks_mode", "tokenize_html", "parse_html_nodes",
+      "extract_interleaved_spans", "graft_cosine", "graft_hyperplane_sig",
+      "parse_fragment_text")
+    assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
+  }
+
   test("salted repartition produces the configured partition count") {
     import spark.implicits._
     val cfg = Pipeline.Config(partitions = 6, giantBuckets = 2)
