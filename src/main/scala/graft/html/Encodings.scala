@@ -14,6 +14,35 @@ import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
   */
 object Encodings {
 
+  /** WHATWG label → (canonical WHATWG name, closest JDK charset).
+    * The JDK column is chosen to match the WHATWG *index*, which for the
+    * East-Asian legacy encodings is the wider Windows/HKSCS variant, not
+    * the JDK charset that happens to share the label:
+    * shift_jis ⇒ windows-31j (cp932 superset — WHATWG's index IS cp932),
+    * euc-kr ⇒ x-windows-949 (WHATWG euc-kr is the full UHC/cp949 table),
+    * big5 ⇒ Big5-HKSCS (WHATWG's index carries the HKSCS extensions).
+    * Divergence notes live in BASELINE.md §encodings. Reference: the 40
+    * per-byte decoders in source/myencoding/encoding.c + enum
+    * myencoding/myosi.h:47-89. */
+  val whatwgLabels: Map[String, (String, String)] = {
+    def all(canon: String, jdk: String, labels: String*) =
+      labels.map(_ -> (canon, jdk))
+    (all("Shift_JIS", "windows-31j",
+        "shift_jis", "shift-jis", "sjis", "ms_kanji", "ms932", "csshiftjis",
+        "windows-31j", "x-sjis") ++
+     all("EUC-KR", "x-windows-949",
+        "euc-kr", "cseuckr", "korean", "ks_c_5601-1987", "ks_c_5601-1989",
+        "ksc_5601", "ksc5601", "iso-ir-149", "csksc56011987", "windows-949") ++
+     all("Big5", "Big5-HKSCS",
+        "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5") ++
+     all("gb18030", "GB18030", "gb18030") ++
+     all("GBK", "GBK",
+        "gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese", "csgb2312",
+        "csiso58gb231280", "iso-ir-58", "x-gbk") ++
+     all("EUC-JP", "EUC-JP",
+        "euc-jp", "cseucpkdfmtjapanese", "x-euc-jp")).toMap
+  }
+
   /** BOM detection (reference detect.c:164-231). Returns (charsetName,
     * bomLength) or null. */
   def detectBom(bytes: Array[Byte]): (String, Int) = {
@@ -64,6 +93,13 @@ object Encodings {
               case "utf-16" | "utf-16le" | "utf-16be" => "utf-8"
               case "x-user-defined" => "windows-1252"
               case other => other
+            }
+            whatwgLabels.get(cs) match {
+              case Some((canonical, jdk)) =>
+                if (Charset.isSupported(jdk)) return Some(canonical)
+                // fall through to the plain JDK lookup if the preferred
+                // variant charset is missing from this JVM
+              case None =>
             }
             if (Charset.isSupported(cs)) return Some(Charset.forName(cs).name())
             return None
@@ -197,13 +233,19 @@ object Encodings {
     val name = if (charsetName != null) charsetName else sniff(bytes)
     if (name != null && name.equalsIgnoreCase("x-user-defined"))
       return decodeXUserDefined(bytes)
+    // canonical WHATWG name (or any alias) → the JDK charset whose table
+    // matches the WHATWG index (cp932 / cp949 / HKSCS variants)
+    val mapped = whatwgLabels.get(if (name == null) "" else name.toLowerCase) match {
+      case Some((_, jdk)) if Charset.isSupported(jdk) => jdk
+      case _ => name
+    }
     val bomLen = detectBom(bytes) match {
       case null => 0
       case (cs, l) if cs == name => l
       case _ => 0
     }
     val cs =
-      try Charset.forName(name)
+      try Charset.forName(mapped)
       catch { case _: Exception => StandardCharsets.UTF_8 }
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)

@@ -42,14 +42,29 @@ class FragmentEncodingSpec extends AnyFunSuite {
     assert(Encodings.sniff(bytes) == "windows-1252")
   }
 
-  test("meta prescan resolves top non-Latin codec labels to canonical names") {
+  test("meta prescan resolves top non-Latin codec labels to WHATWG canonical names") {
     def sniffOf(label: String): String =
       Encodings.sniff(s"""<meta charset="$label"><p>x</p>""".getBytes("ISO-8859-1"))
     assert(sniffOf("shift_jis") == "Shift_JIS")
+    assert(sniffOf("sjis") == "Shift_JIS")        // alias
     assert(sniffOf("euc-kr") == "EUC-KR")
-    assert(sniffOf("gb18030") == "GB18030")
+    assert(sniffOf("ks_c_5601-1987") == "EUC-KR") // alias
+    assert(sniffOf("gb18030") == "gb18030")
+    assert(sniffOf("gb2312") == "GBK")            // WHATWG folds gb2312 into GBK
     assert(sniffOf("big5") == "Big5")
     assert(sniffOf("euc-jp") == "EUC-JP")
+  }
+
+  test("shift_jis decodes through the cp932 index (the WHATWG table), not plain SJIS") {
+    val bytes = "①".getBytes("windows-31j") // ① — NEC extension row, cp932-only
+    assert(Encodings.decode(bytes, "Shift_JIS") == "①")
+    assert(Encodings.decode(bytes, "shift_jis") == "①")
+  }
+
+  test("euc-kr decodes through the cp949/UHC index (the WHATWG table)") {
+    val s = "갂" // 갂 — outside KS X 1001, inside UHC
+    val bytes = s.getBytes("x-windows-949")
+    assert(Encodings.decode(bytes, "EUC-KR") == s)
   }
 
   test("decode never throws on trash bytes for the top non-Latin codecs") {
