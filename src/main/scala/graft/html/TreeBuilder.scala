@@ -68,6 +68,25 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   var framesetOk = true
   private var fosterParenting = false
   private var ignoreNextLf = false
+
+  /** Node-level tree-mutation callbacks (reference
+    * myhtml_callback_tree_node_insert_set / _remove_set,
+    * api.h:2420-2482 + callback.c, fired from the tree.c:399,416,433,465
+    * attach/detach primitives; Perl surface MyHTML.xs:325-401). Null by
+    * default — a branch test per mutation, zero cost on the extraction
+    * hot path. A node MOVE (adoption agency, foster reattach) fires
+    * remove-then-insert, exactly like the reference's
+    * node_remove → add_child sequence. */
+  var onNodeInsert: Node => Unit = null
+  var onNodeRemove: Node => Unit = null
+  @inline private def fireInsert(n: Node): Unit =
+    if (onNodeInsert != null) onNodeInsert(n)
+  /** Detach `n`, firing the remove callback if it was attached. */
+  private def detach(n: Node): Unit = {
+    val wasAttached = n.parent != null
+    n.remove()
+    if (wasAttached && onNodeRemove != null) onNodeRemove(n)
+  }
   var done = false
 
   /** Set by the parser facade so the builder can switch content models
@@ -184,6 +203,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def insertAtPlace(n: Node): Unit = {
     if (apBefore == null) apParent.appendChild(n)
     else apParent.insertBefore(n, apBefore)
+    fireInsert(n)
   }
 
   private def createElement(tok: StartTagTok, ns: Int): Node = {
@@ -243,7 +263,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def insertComment(tok: CommentTok, parent: Node = null): Unit = {
     val c = Node.comment(tok.text)
     c.rawBegin = tok.rawBegin
-    if (parent != null) parent.appendChild(c)
+    if (parent != null) { parent.appendChild(c); fireInsert(c) }
     else { appropriatePlace(); insertAtPlace(c) }
   }
 
@@ -532,23 +552,27 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
             stack(nodeStackIdx) = clone
             node = clone
             if (lastNode eq furthestBlock) bookmark = nodeAfeIdx + 1
+            detach(lastNode)
             node.appendChild(lastNode)
+            fireInsert(lastNode)
             lastNode = node
           }
         }
       }
       // insert lastNode at appropriate place with commonAncestor override
-      lastNode.remove()
+      detach(lastNode)
       appropriatePlace(commonAncestor)
       insertAtPlace(lastNode)
       // new element for fmt token, adopt furthestBlock's children
       val newFmt = createElement(fmtEntry.token, Ns.HTML)
       while (furthestBlock.children.nonEmpty) {
         val c = furthestBlock.children.head
-        c.remove()
+        detach(c)
         newFmt.appendChild(c)
+        fireInsert(c)
       }
       furthestBlock.appendChild(newFmt)
+      fireInsert(newFmt)
       // AFE: remove fmt entry, insert new at bookmark
       var fmtIdx2 = afe.length - 1
       while (fmtIdx2 >= 0 && (afe(fmtIdx2) ne fmtEntry)) fmtIdx2 -= 1
@@ -761,6 +785,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case d: DoctypeTok =>
       val n = Node.doctype(if (d.name == null) "" else d.name, d.publicId, d.systemId)
       doc.appendChild(n)
+      fireInsert(n)
       quirks = determineQuirks(d)
       mode = BEFORE_HTML
     case EofTok => quirks = QuirksMode.Quirks; mode = BEFORE_HTML; process(tok)
@@ -783,6 +808,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case st: StartTagTok if st.name == "html" =>
       val n = createElement(st, Ns.HTML)
       doc.appendChild(n)
+      fireInsert(n)
       stack += n
       htmlNode = n
       mode = BEFORE_HEAD
@@ -796,6 +822,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def anythingElseBeforeHtml(): Unit = {
     val n = Node.element("html")
     doc.appendChild(n)
+    fireInsert(n)
     stack += n
     htmlNode = n
     mode = BEFORE_HEAD
@@ -997,7 +1024,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case "frameset" =>
       if (framesetOk && stack.length > 1 && stack(1).isElement("body")) {
         val body = stack(1)
-        body.remove()
+        detach(body)
         while (stack.length > 1) stack.remove(stack.length - 1)
         insertElement(st)
         mode = IN_FRAMESET
@@ -1882,6 +1909,24 @@ object HtmlParser {
   /** Full-document parse → Document node. */
   def parse(html: String, scripting: Boolean = false): Node = {
     val builder = new TreeBuilder(scripting)
+    val tokenizer = new Tokenizer(html, builder)
+    tokenizer.scripting = scripting
+    builder.tokenizer = tokenizer
+    tokenizer.run()
+    builder.doc
+  }
+
+  /** Parse with node-level tree-mutation callbacks (reference
+    * myhtml_callback_tree_node_insert_set / _remove_set,
+    * api.h:2420-2482 + callback.c; Perl surface MyHTML.xs:325-401).
+    * `onInsert` fires on every attach (including re-attach after an
+    * adoption-agency or foster move), `onRemove` on every detach. */
+  def parseWithNodeCallbacks(html: String, onInsert: Node => Unit,
+                             onRemove: Node => Unit,
+                             scripting: Boolean = false): Node = {
+    val builder = new TreeBuilder(scripting)
+    builder.onNodeInsert = onInsert
+    builder.onNodeRemove = onRemove
     val tokenizer = new Tokenizer(html, builder)
     tokenizer.scripting = scripting
     builder.tokenizer = tokenizer

@@ -31,6 +31,27 @@ class FragmentEncodingSpec extends AnyFunSuite {
     assert(fragText("if (a<b) x();", "script") == "if (a<b) x();")
   }
 
+  test("node-level insert/remove callbacks fire like the reference's tree primitives") {
+    val inserted = scala.collection.mutable.ArrayBuffer[String]()
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    def label(n: Node) = if (n.kind == NodeKind.Text) "#text" else n.name
+    // AAA with a furthest block: <b>…<div>…</b> — the adoption agency
+    // MOVES nodes (div reparents, div's children migrate into the new
+    // b), so both hooks must fire (reference tree.c:465 remove + :399
+    // insert around the same node)
+    HtmlParser.parseWithNodeCallbacks("<b>1<div>2</b>3</div>",
+      n => inserted += label(n), n => removed += label(n))
+    assert(inserted.take(4) == Seq("html", "head", "body", "b"))
+    assert(inserted.count(_ == "b") >= 2, s"AAA should insert the cloned b: $inserted")
+    assert(removed.nonEmpty, "adoption agency must fire remove on moved nodes")
+    // plain document: inserts only, no removes
+    removed.clear(); inserted.clear()
+    HtmlParser.parseWithNodeCallbacks("<div><p>x</p></div>",
+      n => inserted += label(n), n => removed += label(n))
+    assert(inserted == Seq("html", "head", "body", "div", "p", "#text"))
+    assert(removed.isEmpty)
+  }
+
   test("x-user-defined decoder maps high bytes into U+F780..U+F7FF") {
     val bytes = Array[Byte]('A', 0x80.toByte, 0xFF.toByte, 'z')
     val s = Encodings.decode(bytes, "x-user-defined")
