@@ -163,11 +163,16 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs → cluster ids, via
-    * iterative min-label propagation (the standard large-graph
-    * alternative to driver-side union-find: each iteration is one
-    * shuffle; converges in O(diameter) rounds, and near-dup clusters
-    * are shallow). Returns (id, cluster) where cluster = min id in the
-    * component. Ids not in any pair map to themselves. */
+    * iterative min-label propagation WITH path halving (each round,
+    * after adopting the neighborhood min, every node also jumps to its
+    * label's label — the pointer-doubling trick from the large-star /
+    * small-star family). Converges in O(log diameter) rounds instead of
+    * O(diameter): near-dup clusters are usually shallow, but one
+    * adversarial 10^4-long dup chain must not turn into 10^4 shuffle
+    * rounds at corpus scale. Each iteration = two key-joins + one
+    * aggregate, all on (id, label) longs. Returns (id, cluster) where
+    * cluster = min id in the component; ids not in any pair map to
+    * themselves. */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                maxIterations: Int = 10): DataFrame = {
     val spark = ids.sparkSession
@@ -182,9 +187,16 @@ object Dedup {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val propagated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // path halving: label(x) ← label(label(x)). Labels only ever point
+      // to ids with smaller-or-equal labels (min propagation from
+      // self-labels), so the jump is monotone and safe.
+      val mapping = propagated.select(col("id").as("mid"), col("cluster").as("mcluster"))
+      val updated = propagated.join(mapping, propagated("cluster") === col("mid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("mcluster"), col("cluster"))).as("cluster"))
       val changed = updated.as("u").join(labels.as("l"), "id")
         .filter(col("u.cluster") =!= col("l.cluster")).limit(1).count() > 0
       // truncate lineage each round. On a real cluster set a checkpoint

@@ -81,6 +81,18 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("clusters converge on a 64-deep chain within 10 rounds (path halving)") {
+    import spark.implicits._
+    // plain O(diameter) min-propagation would need 64 rounds; the
+    // pointer-jumping variant must finish inside the default budget
+    val n = 64
+    val ids = (0L until n.toLong).toDF("id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, "id", pairs, maxIterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("ngram jaccard blocking is md5-replayable and guarded") {
     import spark.implicits._
     val docs = Seq(
