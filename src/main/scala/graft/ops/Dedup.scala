@@ -38,8 +38,15 @@ object Dedup {
     * O(bucket²) and OOM a task at corpus scale). The guard itself is one
     * map-side-combined groupBy on the same key — no extra wide shuffle. */
   private def guardedBucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val small = banded.join(
-      banded.groupBy("band", "bucket")
+    // one explicit shuffle on the bucket key that ALL THREE consumers
+    // (guard counts, join left, join right) hang off — Catalyst's
+    // exchange-reuse turns them into one physical computation, so the
+    // signature/banding expressions are evaluated once per row, not
+    // three times (the expensive part of LSH at corpus scale is the
+    // signature, not the join)
+    val shuffled = banded.repartition(col("band"), col("bucket"))
+    val small = shuffled.join(
+      shuffled.groupBy("band", "bucket")
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") <= maxBucketSize)
         .select("band", "bucket"),
@@ -143,10 +150,14 @@ object Dedup {
     // — including which blocks the skew guard drops — is hard-verified.
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(length(trim(col("text"))) > 0)
+    // same exchange-reuse shape as guardedBucketPairs: one shuffle on
+    // the block key feeds the size guard and both join sides, so the
+    // md5-min-token blocking is computed once per doc
     val keyed = texts.withColumn("block",
         expr("array_min(transform(slice(filter(split(lower(trim(text)), '\\\\s+'), " +
           "t -> t != ''), 1, 64), t -> md5(cast(t as binary))))"))
       .select("id", "block")
+      .repartition(col("block"))
     val blockSizes = keyed.groupBy("block")
       .agg(count(lit(1)).as("block_n"))
       .filter(col("block_n") <= maxBlockSize)

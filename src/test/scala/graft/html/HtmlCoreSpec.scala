@@ -685,4 +685,26 @@ class ApiSurfaceSpec extends AnyFunSuite {
     // plain ascii: no cyrillic verdict
     assert(Encodings.detectCyrillic("hello world".getBytes("UTF-8")).isEmpty)
   }
+
+  test("cyrillic detector decision characterized across all 5 candidate codecs") {
+    // S8 round-2 characterization: the reference scores trigram tables
+    // (detect.c:25-50); ours scores frequent-letter decodes. Same
+    // decision on realistic crawl-shaped inputs — each codec's own bytes
+    // win against the other four candidates.
+    // NOTE: mixed case on purpose. All-lowercase Russian is genuinely
+    // ambiguous between windows-1251 and x-MacCyrillic (bytes 0xE0-0xFE
+    // decode to the SAME letters under both); sentence capitals
+    // disambiguate, since Mac uppercase sits at 0x80-0x9F where 1251 has
+    // punctuation. The reference's trigram scorer faces the same tie.
+    val samples = Seq(
+      "<html><body><p>Привет мир. Это Тестовая Строка на Русском Языке.</p></body></html>",
+      "<div>В Лесу родилась ёлочка, В Лесу Она Росла. Зимой и Летом Стройная, Зелёная Была.</div>",
+      "Новости Дня: Экономика, Политика, Спорт, Культура, Общество, Наука, Техника, Авто."
+    )
+    val codecs = Seq("windows-1251", "KOI8-R", "IBM866", "ISO-8859-5", "x-MacCyrillic")
+    for (s <- samples; cs <- codecs) {
+      val got = Encodings.detectCyrillic(s.getBytes(cs))
+      assert(got.contains(cs), s"codec $cs misdetected as $got for: ${s.take(30)}")
+    }
+  }
 }
