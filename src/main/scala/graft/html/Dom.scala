@@ -43,18 +43,36 @@ final class Node(
     var name: String,
     var ns: Int = Ns.HTML
 ) {
+  // first-child/last-child + sibling links — the reference's exact node
+  // layout (source/myhtml/tree.h:78-95). O(1) attach, detach, and
+  // sibling navigation, and no per-element child-buffer allocations
+  // (the ArrayBuffer wrapper + Object[] backing were the #2/#4
+  // allocation sources in the parse kernel's JFR profile; foster
+  // parenting's insert-before-table was an arraycopy per character
+  // token in the worst case).
   var parent: Node = _
-  // children allocated lazily: text/comment leaves dominate real DOMs and
-  // must not pay an array allocation (hot-path GC pressure at 10^9 rows)
-  private var _children: ArrayBuffer[Node] = _
-  def children: ArrayBuffer[Node] = {
-    if (_children == null) _children = new ArrayBuffer[Node](4)
-    _children
+  var firstChild: Node = _
+  var lastChild: Node = _
+  /** next sibling (null at the end). */
+  var next: Node = _
+  /** previous sibling (null at the start). */
+  var prev: Node = _
+
+  @inline def hasChildren: Boolean = firstChild != null
+  /** O(children) — walk firstChild/next directly in hot paths. */
+  def childCount: Int = {
+    var c = firstChild; var n = 0
+    while (c != null) { n += 1; c = c.next }
+    n
   }
-  @inline def hasChildren: Boolean = _children != null && _children.nonEmpty
-  @inline def childCount: Int = if (_children == null) 0 else _children.length
-  /** Read access without forcing allocation; caller checks childCount. */
-  @inline def childAt(i: Int): Node = _children(i)
+  /** Materializing snapshot, document order — for tests/tools; hot
+    * paths walk firstChild/next directly. */
+  def children: ArrayBuffer[Node] = {
+    val b = new ArrayBuffer[Node](4)
+    var c = firstChild
+    while (c != null) { b += c; c = c.next }
+    b
+  }
   var attrs: ArrayBuffer[DomAttr] = _
   /** Tag category bits (Tags.flagsFor) — set once at element creation. */
   val flags: Int =
@@ -104,68 +122,54 @@ final class Node(
     * myhtml_node_delete_recursive, tree.c:386-529). */
   def deleteRecursive(): Unit = {
     remove()
-    if (_children != null) _children.clear()
+    firstChild = null
+    lastChild = null
   }
 
   def appendChild(c: Node): Unit = {
     if (c.parent != null) c.remove()
     c.parent = this
-    children += c
+    if (lastChild == null) { firstChild = c; lastChild = c }
+    else { lastChild.next = c; c.prev = lastChild; lastChild = c }
   }
 
   def insertBefore(c: Node, ref: Node): Unit = {
+    if (ref == null || (ref.parent ne this)) { appendChild(c); return }
     if (c.parent != null) c.remove()
-    val i = children.indexOf(ref)
     c.parent = this
-    if (i < 0) children += c else children.insert(i, c)
+    c.next = ref
+    c.prev = ref.prev
+    if (ref.prev == null) firstChild = c else ref.prev.next = c
+    ref.prev = c
   }
 
   def remove(): Unit = {
     if (parent != null) {
-      if (parent._children != null) {
-        val i = parent._children.indexOf(this)
-        if (i >= 0) parent._children.remove(i)
-      }
+      if (prev == null) parent.firstChild = next else prev.next = next
+      if (next == null) parent.lastChild = prev else next.prev = prev
       parent = null
+      prev = null
+      next = null
     }
   }
 
-  def lastChild: Node = if (childCount == 0) null else _children.last
+  @inline def nextSibling: Node = next
+  @inline def prevSibling: Node = prev
 
-  def firstChild: Node = if (childCount == 0) null else _children.head
-
-  def nextSibling: Node = {
-    if (parent == null || parent._children == null) null
-    else {
-      val cs = parent._children
-      val i = cs.indexOf(this)
-      if (i >= 0 && i + 1 < cs.length) cs(i + 1) else null
-    }
-  }
-
-  def prevSibling: Node = {
-    if (parent == null || parent._children == null) null
-    else {
-      val cs = parent._children
-      val i = cs.indexOf(this)
-      if (i > 0) cs(i - 1) else null
-    }
-  }
-
-  /** Pre-order DFS over the subtree rooted here, excluding `this`
-    * (reference iterative DFS: source/myhtml/myhtml.c:435-483). */
+  /** Pre-order DFS over the subtree rooted here, excluding `this` —
+    * pure pointer walk, zero allocation (reference iterative DFS:
+    * source/myhtml/myhtml.c:435-483). */
   def descendants: Iterator[Node] = new Iterator[Node] {
-    private val stack: ArrayBuffer[Node] = {
-      val b = new ArrayBuffer[Node](childCount)
-      var i = childCount - 1
-      while (i >= 0) { b += _children(i); i -= 1 }
-      b
-    }
-    def hasNext: Boolean = stack.nonEmpty
+    private var cur: Node = firstChild
+    def hasNext: Boolean = cur != null
     def next(): Node = {
-      val n = stack.remove(stack.length - 1)
-      var i = n.childCount - 1
-      while (i >= 0) { stack += n._children(i); i -= 1 }
+      val n = cur
+      if (n.firstChild != null) cur = n.firstChild
+      else {
+        var x = n
+        while ((x ne Node.this) && x.next == null) x = x.parent
+        cur = if (x eq Node.this) null else x.next
+      }
       n
     }
   }

@@ -80,9 +80,8 @@ object Extractor {
             }
             k = childKind(name, kind)
           }
-          var i = 0
-          val cc = n.childCount
-          while (i < cc) { walk(n.childAt(i), k, depth + 1); i += 1 }
+          var c = n.firstChild
+          while (c != null) { walk(c, k, depth + 1); c = c.next }
       }
     }
     walk(doc, KindText, 0)
@@ -124,11 +123,11 @@ object Extractor {
           if (cfg.skipTags.contains(n.name)) return
           val nb = if (n.ns == Ns.HTML && blockTags.contains(n.name)) n else block
           val il = inLink || (n.ns == Ns.HTML && n.name == "a")
-          var i = 0
-          while (i < n.childCount) { collect(n.childAt(i), nb, il); i += 1 }
+          var c = n.firstChild
+          while (c != null) { collect(c, nb, il); c = c.next }
         case NodeKind.Document =>
-          var i = 0
-          while (i < n.childCount) { collect(n.childAt(i), block, inLink); i += 1 }
+          var c = n.firstChild
+          while (c != null) { collect(c, block, inLink); c = c.next }
         case _ =>
       }
     }
@@ -170,8 +169,8 @@ object Extractor {
             }
             k = childKind(name, kind)
           }
-          var i = 0
-          while (i < n.childCount) { walk(n.childAt(i), k, nowBlocked); i += 1 }
+          var c = n.firstChild
+          while (c != null) { walk(c, k, nowBlocked); c = c.next }
       }
     }
     walk(doc, KindText, blocked = false)

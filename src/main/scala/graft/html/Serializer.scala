@@ -59,14 +59,15 @@ object Serializer {
     * reference's tree serializer does from the root). */
   def innerHtml(node: Node): String = {
     val sb = new java.lang.StringBuilder(256)
-    node.children.foreach(serialize(_, sb))
+    var c = node.firstChild
+    while (c != null) { serialize(c, sb); c = c.next }
     sb.toString
   }
 
   private def serialize(n: Node, sb: java.lang.StringBuilder): Unit = n.kind match {
     case NodeKind.Document =>
-      var i = 0
-      while (i < n.childCount) { serialize(n.childAt(i), sb); i += 1 }
+      var c = n.firstChild
+      while (c != null) { serialize(c, sb); c = c.next }
     case NodeKind.Doctype =>
       sb.append("<!DOCTYPE ").append(n.name)
       if (n.publicId != null) {
@@ -89,8 +90,8 @@ object Serializer {
       }
       sb.append('>')
       if (!(n.ns == Ns.HTML && Tags.void.contains(n.name))) {
-        var i = 0
-        while (i < n.childCount) { serialize(n.childAt(i), sb); i += 1 }
+        var c = n.firstChild
+        while (c != null) { serialize(c, sb); c = c.next }
         sb.append("</").append(n.name).append('>')
       }
   }
@@ -102,7 +103,8 @@ object Serializer {
     * conformance corpus format; see /root/reference/README.md:21). */
   def dump(doc: Node): String = {
     val sb = new java.lang.StringBuilder(256)
-    doc.children.foreach(dumpNode(_, 0, sb))
+    var c = doc.firstChild
+    while (c != null) { dumpNode(c, 0, sb); c = c.next }
     sb.toString
   }
 
@@ -136,9 +138,11 @@ object Serializer {
             while (j < depth + 1) { sb.append("  "); j += 1 }
             sb.append(a.name).append("=\"").append(a.value).append("\"\n")
           }
-        n.children.foreach(dumpNode(_, depth + 1, sb))
+        var c = n.firstChild
+        while (c != null) { dumpNode(c, depth + 1, sb); c = c.next }
       case _ =>
-        n.children.foreach(dumpNode(_, depth + 1, sb))
+        var c = n.firstChild
+        while (c != null) { dumpNode(c, depth + 1, sb); c = c.next }
     }
   }
 
@@ -148,7 +152,8 @@ object Serializer {
     val sb = new java.lang.StringBuilder
     def go(x: Node, d: Int): Unit = {
       sb.append("  " * d).append(x.toString).append('\n')
-      x.children.foreach(go(_, d + 1))
+      var c = x.firstChild
+      while (c != null) { go(c, d + 1); c = c.next }
     }
     go(n, depth)
     sb.toString

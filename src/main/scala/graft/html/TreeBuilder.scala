@@ -248,14 +248,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   private def insertChars(s: String, rawBegin: Int): Unit = {
     if (s.isEmpty) return
     appropriatePlace()
-    val prev =
-      if (apBefore != null) {
-        // identity scan, newest-first: the foster target is near the end
-        val cs = apParent.children
-        var i = cs.length - 1
-        while (i >= 0 && (cs(i) ne apBefore)) i -= 1
-        if (i > 0) cs(i - 1) else null
-      } else apParent.lastChild
+    // O(1) with sibling links (was a newest-first identity scan)
+    val prev = if (apBefore != null) apBefore.prev else apParent.lastChild
     if (prev != null && prev.kind == NodeKind.Text) prev.text += s
     else insertAtPlace(Node.text(s, rawBegin))
   }
@@ -565,8 +559,8 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       insertAtPlace(lastNode)
       // new element for fmt token, adopt furthestBlock's children
       val newFmt = createElement(fmtEntry.token, Ns.HTML)
-      while (furthestBlock.children.nonEmpty) {
-        val c = furthestBlock.children.head
+      while (furthestBlock.firstChild != null) {
+        val c = furthestBlock.firstChild
         detach(c)
         newFmt.appendChild(c)
         fireInsert(c)

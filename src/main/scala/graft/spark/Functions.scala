@@ -145,11 +145,11 @@ object HtmlUdfs {
         UTF8String.fromString(Ns.names(n.ns)), depth,
         UTF8String.fromString(ntype), UTF8String.fromString(text),
         if (n.attrs == null) 0 else n.attrs.length)
-      var i = 0
-      while (i < n.childCount) { walk(n.childAt(i), depth + 1); i += 1 }
+      var c = n.firstChild
+      while (c != null) { walk(c, depth + 1); c = c.next }
     }
-    var i = 0
-    while (i < doc.childCount) { walk(doc.childAt(i), 0); i += 1 }
+    var c = doc.firstChild
+    while (c != null) { walk(c, 0); c = c.next }
     new GenericArrayData(rows.toArray)
   }
 
