@@ -197,6 +197,7 @@ object Tags {
   object Names {
     private val known: Array[String] = (
       special ++ formatting ++ void ++ rawtext ++ rcdata ++ headings ++
+        svgTagAdjust.keySet ++
         Set("html", "a", "span", "i", "b", "u", "em", "strong", "font",
           "option", "optgroup", "br", "body", "head", "svg", "math",
           "circle", "rect", "path", "g", "text", "tspan", "image", "line",
@@ -249,6 +250,41 @@ object Tags {
         probes += 1
       }
       flagsFor(name, Ns.HTML)
+    }
+
+    /** Per-slot canonical TAG name — the myhtml tag-table model: tag
+      * identity is a case-insensitive id whose NAME string comes from
+      * the static table (tag_init.c), so `<foreignobject>` reports as
+      * `foreignObject` in EVERY namespace, plain HTML included
+      * (verified against the binary), and `</foreignobject>` matches it
+      * because end tags canonicalize identically. */
+    private val canonicalTable: Array[String] = {
+      val arr = new Array[String](mask + 1)
+      var i = 0
+      while (i <= mask) {
+        if (table(i) != null) arr(i) = svgTagAdjust.getOrElse(table(i), table(i))
+        i += 1
+      }
+      arr
+    }
+
+    /** intern + tag-table canonicalization (see canonicalTable) — used
+      * for TAG names; attribute names use plain `intern`. */
+    def internTag(sb: java.lang.StringBuilder): String = {
+      var h = 0
+      var i = 0
+      val n = sb.length
+      while (i < n) { h = h * 31 + sb.charAt(i); i += 1 }
+      var idx = h & mask
+      var probes = 0
+      while (probes <= mask) {
+        val cand = table(idx)
+        if (cand == null) return sb.toString
+        if (cand.length == n && cand.contentEquals(sb)) return canonicalTable(idx)
+        idx = (idx + 1) & mask
+        probes += 1
+      }
+      sb.toString
     }
 
     /** Canonical string for the builder's content; allocates only for

@@ -261,7 +261,25 @@ final class Tokenizer(src0: String, sink: TokenSink) {
     case _ => DATA
   }
 
-  /** Returns null on EOF-in-tag. */
+  /** Returns null when the tag is DROPPED at EOF (reference
+    * tokenizer_end.c: EOF in a QUOTED attribute value or in the
+    * self-closing-start state queues nothing); EOF in the attribute-name
+    * family (before/in/after attr name, before value, UNQUOTED value)
+    * EMITS the partial token exactly like the reference
+    * (tokenizer_end.c:128-215 all call myhtml_queue_add — verified
+    * against the binary: "x<div a" ⇒ <div a="">, "x<div a=b" ⇒
+    * <div a="b">, "x<div a=\"b" ⇒ nothing; end tags are emitted too and
+    * the tree's not-in-scope rule usually drops them).
+    *
+    * Stray '/' mid-tag follows the reference's flag model, which
+    * diverges from WHATWG: '/' seen in before-attr-name or while
+    * scanning an attr NAME sets the self-closing flag immediately
+    * (tokenizer.c before_attribute_name '/': type |= CLOSE_SELF) — so
+    * `<svg><g / >c` self-closes g — while '/' right after the tag name
+    * or after a QUOTED value enters self-closing-start, which on
+    * anything but '>' reconsumes WITHOUT the flag (tokenizer.c
+    * state_self_closing_start_tag) — so `<svg><g/ >c` keeps c inside g.
+    * Verified against the binary for all six slash positions. */
   private def parseTagBody(rawBegin: Int, isEnd: Boolean): Token = {
     eofInTagName = false
     // tag name
@@ -277,83 +295,116 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       pos += 1
     }
     if (pos >= len) { eofInTagName = true; return null }
-    val name = Tags.Names.intern(nameSb)
+    val name = Tags.Names.internTag(nameSb)
     var attrs: ArrayBuffer[DomAttr] = null
     var selfClosing = false
 
+    def mkToken(): Token =
+      if (isEnd) EndTagTok(name, rawBegin)
+      else StartTagTok(name, if (attrs == null) emptyAttrs else attrs,
+        selfClosing, rawBegin)
+
+    def addAttr(anm: String, value: String): Unit = {
+      var dup = false
+      if (attrs != null) {
+        var ai = 0
+        while (ai < attrs.length && !dup) { dup = attrs(ai).name == anm; ai += 1 }
+      }
+      if (anm.nonEmpty && !dup) {
+        if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
+        attrs += DomAttr(anm, value) // duplicate-attribute: first wins
+      }
+    }
+
     var done = false
+    var dropped = false
+    var emitted: Token = null
+
+    /** self-closing-start state: '>' sets the flag and finishes; EOF
+      * drops the whole token; anything else reconsumes (no flag). */
+    def selfClosingStart(): Unit = {
+      pos += 1 // the '/'
+      if (pos >= len) { dropped = true; done = true }
+      else if (src.charAt(pos) == '>') {
+        selfClosing = true; pos += 1; emitted = mkToken(); done = true
+      }
+      // else: reconsume in before-attr-name, flag NOT set
+    }
+
+    // SCS entered directly from the tag name's '/' terminator
+    if (src.charAt(pos) == '/') selfClosingStart()
+
     while (!done) {
-      // skip whitespace
+      // before attribute name: skip whitespace
       while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
-      if (pos >= len) return null
-      c = src.charAt(pos)
-      if (c == '>') { pos += 1; done = true }
-      else if (c == '/') {
-        pos += 1
-        if (pos < len && src.charAt(pos) == '>') { selfClosing = true; pos += 1; done = true }
-        // else: unexpected-solidus-in-tag, reconsume in before-attr-name
-      } else {
-        // attribute name
-        val an = attrNameBuf
-        an.setLength(0)
-        if (c == '=') { an.append('='); pos += 1 } // unexpected-equals: goes into name
-        var brk = false
-        while (!brk && pos < len) {
-          c = src.charAt(pos)
-          if (TextPrep.isWhitespace(c) || c == '/' || c == '>' || c == '=') brk = true
-          else {
-            an.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar
-                      else if (c == 0) '�' else c)
-            pos += 1
+      if (pos >= len) { emitted = mkToken(); done = true }
+      else {
+        c = src.charAt(pos)
+        if (c == '>') { pos += 1; emitted = mkToken(); done = true }
+        else if (c == '/') { selfClosing = true; pos += 1 } // CLOSE_SELF, stay
+        else {
+          // attribute name
+          val an = attrNameBuf
+          an.setLength(0)
+          if (c == '=') { an.append('='); pos += 1 } // unexpected-equals: goes into name
+          var brk = false
+          while (!brk && pos < len) {
+            c = src.charAt(pos)
+            if (TextPrep.isWhitespace(c) || c == '/' || c == '>' || c == '=') brk = true
+            else {
+              an.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar
+                        else if (c == 0) '�' else c)
+              pos += 1
+            }
           }
-        }
-        if (pos >= len) return null
-        // after attribute name
-        while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
-        if (pos >= len) return null
-        var value = ""
-        if (src.charAt(pos) == '=') {
-          pos += 1
-          while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
-          if (pos >= len) return null
-          val q = src.charAt(pos)
-          // slice the RAW value first, then decode it as one unit — the
-          // reference decodes the attr token's raw range (worker model);
-          // decoding inline at '&' would let the entity walk see PAST the
-          // value terminator and change end-of-name resolution
-          if (q == '"' || q == '\'') {
-            pos += 1
-            val vStart = pos
-            while (pos < len && src.charAt(pos) != q) pos += 1
-            if (pos >= len) return null
-            value = decodeAttrValue(src.substring(vStart, pos))
-            pos += 1
+          val anm = Tags.Names.intern(an)
+          if (pos >= len) { // EOF in attr name: emit with the empty-valued attr
+            addAttr(anm, ""); emitted = mkToken(); done = true
           } else {
-            // unquoted
-            val vStart = pos
-            while (pos < len && {
-              c = src.charAt(pos)
-              !TextPrep.isWhitespace(c) && c != '>'
-            }) pos += 1
-            if (pos >= len) return null
-            value = decodeAttrValue(src.substring(vStart, pos))
+            // after attribute name
+            while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
+            if (pos >= len) { addAttr(anm, ""); emitted = mkToken(); done = true }
+            else if (src.charAt(pos) != '=') {
+              addAttr(anm, "") // '/', '>' or next attr handled by the loop
+            } else {
+              pos += 1
+              while (pos < len && TextPrep.isWhitespace(src.charAt(pos))) pos += 1
+              if (pos >= len) { addAttr(anm, ""); emitted = mkToken(); done = true }
+              else {
+                val q = src.charAt(pos)
+                // slice the RAW value first, then decode it as one unit —
+                // the reference decodes the attr token's raw range (worker
+                // model); decoding inline at '&' would let the entity walk
+                // see PAST the value terminator and change end-of-name
+                // resolution
+                if (q == '"' || q == '\'') {
+                  pos += 1
+                  val vStart = pos
+                  while (pos < len && src.charAt(pos) != q) pos += 1
+                  if (pos >= len) { dropped = true; done = true } // EOF in quoted value
+                  else {
+                    addAttr(anm, decodeAttrValue(src.substring(vStart, pos)))
+                    pos += 1
+                    // after-attribute-value-quoted: '/' enters SCS
+                    if (pos < len && src.charAt(pos) == '/') selfClosingStart()
+                  }
+                } else {
+                  // unquoted ('/' stays part of the value)
+                  val vStart = pos
+                  while (pos < len && {
+                    c = src.charAt(pos)
+                    !TextPrep.isWhitespace(c) && c != '>'
+                  }) pos += 1
+                  addAttr(anm, decodeAttrValue(src.substring(vStart, pos)))
+                  if (pos >= len) { emitted = mkToken(); done = true } // EOF in unquoted value: emit
+                }
+              }
+            }
           }
-        }
-        val anm = Tags.Names.intern(an)
-        var dup = false
-        if (attrs != null) {
-          var ai = 0
-          while (ai < attrs.length && !dup) { dup = attrs(ai).name == anm; ai += 1 }
-        }
-        if (anm.nonEmpty && !dup) {
-          if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
-          attrs += DomAttr(anm, value) // duplicate-attribute: first wins
         }
       }
     }
-    if (isEnd) EndTagTok(name, rawBegin)
-    else StartTagTok(name, if (attrs == null) emptyAttrs else attrs,
-      selfClosing, rawBegin)
+    if (dropped) null else emitted
   }
 
   // ------------------------------------------------- markup declarations

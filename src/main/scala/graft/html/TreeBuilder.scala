@@ -1025,9 +1025,23 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       }
     case "address" | "article" | "aside" | "blockquote" | "center" | "details" |
          "dialog" | "dir" | "div" | "dl" | "fieldset" | "figcaption" | "figure" |
-         "footer" | "header" | "hgroup" | "main" | "menu" | "nav" | "ol" | "p" |
+         "footer" | "header" | "hgroup" | "main" | "nav" | "ol" | "p" |
          "section" | "summary" | "ul" =>
       if (inButtonScope("p")) closePElement()
+      insertElement(st)
+    case "menu" =>
+      // reference keeps the pre-2017 menuitem rule: <menu> pops a current
+      // menuitem before inserting (rules.c:1370-1382)
+      if (inButtonScope("p")) closePElement()
+      if (currentNode != null && currentNode.isElement("menuitem"))
+        stack.remove(stack.length - 1)
+      insertElement(st)
+    case "menuitem" =>
+      // reference rules.c:1851-1862: pop a current menuitem, reconstruct
+      // AFE, insert (menuitem nests like an <option>, not a container)
+      if (currentNode != null && currentNode.isElement("menuitem"))
+        stack.remove(stack.length - 1)
+      reconstructAfe()
       insertElement(st)
     case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
       if (inButtonScope("p")) closePElement()
@@ -1094,14 +1108,20 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       insertElement(st)
       framesetOk = false
     case "a" =>
-      val i = afeIndexOfName("a")
-      if (i >= 0) {
-        val n = afe(i).node
+      if (afeIndexOfName("a") >= 0) {
         adoptionAgency("a")
-        val ai = afeIndexOfNode(n)
-        if (ai >= 0) afe.remove(ai)
-        val si = stackIndexOf(n)
-        if (si >= 0) stack.remove(si)
+        // RE-look-up after AAA (reference rules.c MyHTML_TAG_A: a second
+        // active_formatting_between_last_marker call): eight AAA
+        // iterations re-point the entry at the newest CLONE, so removing
+        // the pre-AAA node would miss and leave a stale <a> on the stack
+        // — the new anchor must be a SIBLING, never a child
+        val i2 = afeIndexOfName("a")
+        if (i2 >= 0) {
+          val n2 = afe(i2).node
+          afe.remove(i2)
+          val si = stackIndexOf(n2)
+          if (si >= 0) stack.remove(si)
+        }
       }
       reconstructAfe()
       val n = insertElement(st)
@@ -1141,6 +1161,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       popIfSame(insertElement(st))
     case "hr" =>
       if (inButtonScope("p")) closePElement()
+      // reference rules.c:1729: <hr> also pops a current menuitem
+      if (currentNode != null && currentNode.isElement("menuitem"))
+        stack.remove(stack.length - 1)
       popIfSame(insertElement(st))
       framesetOk = false
     case "image" =>
@@ -1844,7 +1867,10 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         var node = if (i >= 0) stack(i) else null
         var loop = node != null
         while (loop) {
-          if (node.name.toLowerCase == name) {
+          // tag names are tokenizer-canonicalized (Tags.Names.internTag)
+          // on BOTH the element and the end tag — equality here is the
+          // reference's tag_id comparison
+          if (node.name == name) {
             while (stack.length > i) stack.remove(stack.length - 1)
             loop = false
           } else {
