@@ -174,10 +174,15 @@ object Entities {
       var lastDepth = 0
       while (true) {
         if (pos + depth >= len) {
-          // end of input: current node (legacy end) else last legacy end;
-          // nothing follows, so no terminator gate
+          // end of input (token boundary): current node (legacy end) else
+          // last legacy end; nothing follows, so no terminator gate. The
+          // fallback consumes ALL walked chars, not just through the
+          // match — the reference's walk buffer is never re-emitted, so
+          // "&noti"+EOF decodes to ¬ with the "i" DROPPED (binary-probed;
+          // same before a tag: "x&noti<p>" → "x¬"), while "&notit" stops
+          // at the mismatching 't' and keeps "it" via the mismatch path.
           if (node.value != null) return (node.value, depth)
-          if (lastVal != null) return (lastVal, lastDepth)
+          if (lastVal != null) return (lastVal, depth)
           return null
         }
         val c = input.charAt(pos + depth)

@@ -22,9 +22,19 @@ object TextPrep {
   @inline def isWhitespace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
+  /** Extraction-side "inter-element whitespace" test — matches the
+    * reference recipe's byte-mode Perl `\s` (clear_text.pl), which is
+    * HTML5 whitespace PLUS vertical tab \x0B (binary-probed: a VT-only
+    * text node is dropped, an NBSP-only one is kept). The tokenizer's
+    * per-char isWhitespace stays strictly HTML5 — tag parsing and the
+    * token whitespace flag must NOT treat VT as whitespace. */
   def isWhitespaceOnly(s: String): Boolean = {
     var i = 0
-    while (i < s.length) { if (!isWhitespace(s.charAt(i))) return false; i += 1 }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!isWhitespace(c) && c != '\u000B') return false
+      i += 1
+    }
     true
   }
 }

@@ -474,9 +474,33 @@ final class Tokenizer(src0: String, sink: TokenSink) {
         endData = j; consumedTo = j + 4; found = true
       } else i = j + 1
     }
-    val data =
-      if (endData < 0) { val d = src.substring(pos); pos = len; d }
-      else { val d = src.substring(pos, endData); pos = consumedTo; d }
+    if (endData < 0) {
+      // EOF in a comment — per-state flush, binary-probed:
+      //  - "<!--"+EOF (zero raw chars): the reference's token keeps tag
+      //    UNDEF and queues it → a "-undef" ELEMENT enters the tree
+      //    through the normal start-tag rules (fosters in tables, forces
+      //    body creation — tokenizer_end.c comment handler + rules);
+      //  - EOF in comment-end state (content ends with "--"): the two
+      //    dashes are stripped; if nothing remains the token is dropped;
+      //  - EOF in comment or comment-end-dash: emit content as-is
+      //    (single pending dash kept: "<!---" → comment "-").
+      val d = src.substring(pos)
+      pos = len
+      if (d.isEmpty) {
+        val undefSb = new java.lang.StringBuilder("-undef")
+        sink.process(StartTagTok(Tags.Names.internTag(undefSb),
+          new ArrayBuffer[DomAttr](0), false, rawBegin))
+      } else if (d.endsWith("--")) {
+        val stripped = d.substring(0, d.length - 2)
+        if (stripped.nonEmpty)
+          sink.process(CommentTok(stripped.replace('\u0000', '�'), rawBegin))
+      } else {
+        sink.process(CommentTok(d.replace('\u0000', '�'), rawBegin))
+      }
+      return
+    }
+    val data = src.substring(pos, endData)
+    pos = consumedTo
     sink.process(CommentTok(data.replace('\u0000', '�'), rawBegin))
   }
 
