@@ -61,6 +61,9 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   var mode: Int = INITIAL
   private var originalMode: Int = INITIAL
   private val templateModes = new ArrayBuffer[Int](4)
+  /** Fragment-init hook (spec fragment step: a template CONTEXT pushes
+    * "in template" onto the template insertion mode stack). */
+  private[html] def pushTemplateMode(m: Int): Unit = templateModes += m
 
   var htmlNode: Node = _
   var headNode: Node = _
@@ -1842,9 +1845,14 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     case c: CommentTok => insertComment(c)
     case _: DoctypeTok =>
     case st: StartTagTok
-        if breakoutTags.contains(st.name) ||
+        if (breakoutTags.contains(st.name) ||
           (st.name == "font" && st.attrs.exists(a =>
-            a.name == "color" || a.name == "face" || a.name == "size")) =>
+            a.name == "color" || a.name == "face" || a.name == "size"))) &&
+          fragmentContext == null =>
+      // breakout popping is for DOCUMENT parses only — in a fragment the
+      // reference falls through to the foreign-insert path unconditionally
+      // (rules.c:3826 `if(tree->fragment == NULL)`; without the guard a
+      // breakout tag at the fragment root reprocesses forever)
       foreignBreakout(tok)
     // NOTE: current WHATWG breaks out on </br> and </p> too; the reference
     // routes ALL end tags through end_other (rules.c:3720-3733) — e.g.
@@ -1863,28 +1871,26 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
           currentNode.name == "script") {
         stack.remove(stack.length - 1)
       } else {
+        // exact end_other walk (rules.c:3676-3705 in_foreign_content_end_
+        // other): the loop NEVER examines stack index 0 — `while (i)` —
+        // so the fragment root can't be popped by a matching end tag
+        // ("</html>" in a desc fragment is ignored by in_body instead of
+        // emptying the stack), and EVERY no-match exit routes the token
+        // to the current insertion mode. Name equality = the reference's
+        // tag_id comparison (both sides tokenizer-canonicalized).
         var i = stack.length - 1
-        var node = if (i >= 0) stack(i) else null
-        var loop = node != null
-        while (loop) {
-          // tag names are tokenizer-canonicalized (Tags.Names.internTag)
-          // on BOTH the element and the end tag — equality here is the
-          // reference's tag_id comparison
-          if (node.name == name) {
+        var matched = false
+        var toMode = false
+        while (i > 0 && !matched && !toMode) {
+          if (stack(i).name == name) {
             while (stack.length > i) stack.remove(stack.length - 1)
-            loop = false
+            matched = true
           } else {
             i -= 1
-            if (i < 0) loop = false
-            else {
-              node = stack(i)
-              if (node.ns == Ns.HTML) {
-                processMode(mode, tok)
-                loop = false
-              }
-            }
+            if (stack(i).ns == Ns.HTML) toMode = true
           }
         }
+        if (!matched) processMode(mode, tok)
       }
     case EofTok => processMode(mode, tok)
   }
@@ -1989,6 +1995,12 @@ object HtmlParser {
     builder.stack += root
     builder.htmlNode = root
     builder.mode = Mode.BEFORE_HEAD
+    // spec fragment step 4.2 / reference fragment init: a template
+    // context seeds the template insertion mode stack, so in_template
+    // drives the fragment's children (td in a template fragment builds
+    // a cell, not foster text — binary-verified, corpus docs15)
+    if (contextNs == Ns.HTML && contextTag == "template")
+      builder.pushTemplateMode(Mode.IN_TEMPLATE)
     builder.resetInsertionMode()
     tokenizer.run()
     root
