@@ -52,6 +52,20 @@ class FragmentEncodingSpec extends AnyFunSuite {
     assert(removed.isEmpty)
   }
 
+  test("foreign-context fragments never loop or pop the root (r2 crashers)") {
+    // breakout tag at a foreign fragment root used to reprocess forever
+    val r1 = HtmlParser.parseFragment("<h1>x", "annotation-xml", Ns.MathML)
+    assert(r1.firstChild != null && r1.firstChild.name == "h1")
+    assert(r1.firstChild.ns == Ns.MathML) // foreign insert, not breakout
+    // end tag matching the root name used to pop the root (NPE on insert)
+    val r2 = HtmlParser.parseFragment("</html/>t", "desc", Ns.SVG)
+    assert(r2.firstChild != null && r2.firstChild.kind == NodeKind.Text &&
+      r2.firstChild.text == "t")
+    // template context drives in_template: td builds a real cell
+    val r3 = HtmlParser.parseFragment("<td>a</td>", "template")
+    assert(Extractor.extract(r3).map(_.text) == Seq("a"))
+  }
+
   test("x-user-defined decoder maps high bytes into U+F780..U+F7FF") {
     val bytes = Array[Byte]('A', 0x80.toByte, 0xFF.toByte, 'z')
     val s = Encodings.decode(bytes, "x-user-defined")
