@@ -195,7 +195,25 @@ object SparkEntry {
       d.select(col("doc_id"),
         GraftFunctions.parse_fragment_text(rowFrag, lit("tr")).as("row_cells"),
         GraftFunctions.parse_fragment_text(cellFrag, lit("td")).as("cell_text"),
-        GraftFunctions.parse_fragment_text(rawFrag, lit("textarea")).as("rcdata_text"))
+        GraftFunctions.parse_fragment_text(rawFrag, lit("textarea")).as("rcdata_text"),
+        // template context seeds the template-insertion-mode stack
+        // (fragment init; binary-verified in parity corpus docs15)
+        GraftFunctions.parse_fragment_text(
+          concat(lit("<td>"), col("source"), lit("</td>")), lit("template"))
+          .as("tmpl_cell"))
+    }),
+
+    // boilerplate stripping — the north star's DOM-heuristic main-content
+    // mode (text-density / link-density scoring): the link-farm <nav> and
+    // <footer> blocks are dropped from main_text but kept in full_text
+    "q_html_boiler" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val html = concat(lit("<article><p>"), col("text"),
+        lit("</p></article><nav><a href=\"/a\">aa</a> <a href=\"/b\">bb</a></nav>" +
+          "<footer><a href=\"/c\">x</a></footer>"))
+      d.select(col("doc_id"),
+        GraftFunctions.extract_main_text(html).as("main_text"),
+        GraftFunctions.parse_html_text(html).as("full_text"))
     }),
 
     "q_charset_sniff" -> ((s, dir) => {
@@ -456,8 +474,12 @@ object SparkEntry {
     "q_html_fragment" ->
       """SELECT doc_id, source || ' ' || lang AS row_cells,
         |       source || ' rest' AS cell_text,
-        |       '<b>' || source AS rcdata_text
+        |       '<b>' || source AS rcdata_text,
+        |       source AS tmpl_cell
         |FROM documents""".stripMargin,
+
+    "q_html_boiler" ->
+      "SELECT doc_id, text AS main_text, text || ' aa bb x' AS full_text FROM documents",
 
     "q_charset_sniff" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)

@@ -54,6 +54,12 @@ object HtmlUdfs {
   def parseText(html: UTF8String): UTF8String =
     joinSpanText(Extractor.extractHtml(html.toString))
 
+  /** parse + BOILERPLATE-STRIP → visible main-content text (north-star
+    * extraction mode: text-density / link-density block scoring drops
+    * link-dominated nav/footer chrome; Extractor.Boiler). */
+  def mainText(html: UTF8String): UTF8String =
+    joinSpanText(Extractor.extractHtml(html.toString, Extractor.Boiler))
+
   /** fragment-parse `html` with `context` as the context element
     * (reference myhtml_parse_fragment, myhtml.c:240-262) → visible text
     * of the fragment, spans joined by a single space. The context tag
@@ -420,6 +426,21 @@ case class ParseFragmentText(left: Expression, right: Expression)
   override def prettyName: String = "parse_fragment_text"
 }
 
+/** Native boilerplate-stripping extraction: `extract_main_text(html)` —
+  * the north star's DOM-heuristic main-content mode as a SQL function. */
+case class ExtractMainText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.mainText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.mainText($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractMainText =
+    copy(child = newChild)
+  override def prettyName: String = "extract_main_text"
+}
+
 case class TokenizeHtml(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.tokenArrayType
@@ -450,6 +471,7 @@ object GraftFunctions {
     call_function("extract_interleaved_spans", c)
   def parse_fragment_text(html: Column, context: Column): Column =
     call_function("parse_fragment_text", html, context)
+  def extract_main_text(c: Column): Column = call_function("extract_main_text", c)
 
   /** Register the native expressions + helper UDFs on a live session. */
   def registerAll(spark: SparkSession): Unit = {

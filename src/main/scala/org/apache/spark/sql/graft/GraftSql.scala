@@ -30,7 +30,9 @@ object GraftSql {
       args => HyperplaneSig(args.head,
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
     ("parse_fragment_text", "graft.spark.ParseFragmentText",
-      args => ParseFragmentText(args(0), args(1)))
+      args => ParseFragmentText(args(0), args(1))),
+    ("extract_main_text", "graft.spark.ExtractMainText",
+      args => ExtractMainText(args.head))
   )
 
   def registerAll(spark: SparkSession): Unit = {

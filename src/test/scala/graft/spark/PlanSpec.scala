@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite {
     val expected = Set("parse_html_spans", "parse_html_text", "serialize_html",
       "prescan_charset", "html_quirks_mode", "tokenize_html", "parse_html_nodes",
       "extract_interleaved_spans", "graft_cosine", "graft_hyperplane_sig",
-      "parse_fragment_text")
+      "parse_fragment_text", "extract_main_text")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
