@@ -166,9 +166,12 @@ final class Node(
       val n = cur
       if (n.firstChild != null) cur = n.firstChild
       else {
+        // ascend until a sibling exists or we're back at the iteration
+        // root; the null guard covers concurrent detachment of the
+        // subtree being walked (ancestor chain ends early)
         var x = n
-        while ((x ne Node.this) && x.next == null) x = x.parent
-        cur = if (x eq Node.this) null else x.next
+        while (x != null && (x ne Node.this) && x.next == null) x = x.parent
+        cur = if (x == null || (x eq Node.this)) null else x.next
       }
       n
     }
