@@ -436,7 +436,9 @@ object SparkEntry {
         |FROM documents WHERE length(text) >= 10""".stripMargin,
 
     "q_html_attrs" ->
-      """SELECT doc_id, CAST(1 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2,
+      // duplicate attribute: reference semantics = first position, LAST
+      // value (class=c2 wins over CLASS=c1 — binary-probed round 2)
+      """SELECT doc_id, CAST(0 AS BIGINT) AS c1, CAST(1 AS BIGINT) AS c2,
         |       CAST(1 AS BIGINT) AS idm FROM documents""".stripMargin,
 
     "q_html_serialize" ->

@@ -305,15 +305,23 @@ final class Tokenizer(src0: String, sink: TokenSink) {
         selfClosing, rawBegin)
 
     def addAttr(anm: String, value: String): Unit = {
-      var dup = false
+      if (anm.isEmpty) return
       if (attrs != null) {
         var ai = 0
-        while (ai < attrs.length && !dup) { dup = attrs(ai).name == anm; ai += 1 }
+        while (ai < attrs.length) {
+          if (attrs(ai).name == anm) {
+            // duplicate attribute: the reference REPLACES the value in
+            // place — first position, LAST value wins (binary-probed:
+            // "<div a=1 b=9 a=2>" chains a=2 then b=9; WHATWG's
+            // first-wins drop is a spec divergence the reference keeps)
+            attrs(ai).value = value
+            return
+          }
+          ai += 1
+        }
       }
-      if (anm.nonEmpty && !dup) {
-        if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
-        attrs += DomAttr(anm, value) // duplicate-attribute: first wins
-      }
+      if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
+      attrs += DomAttr(anm, value)
     }
 
     var done = false
