@@ -496,8 +496,11 @@ final class Tokenizer(src0: String, sink: TokenSink) {
       pos = len
       if (d.isEmpty) {
         val undefSb = new java.lang.StringBuilder("-undef")
+        // rawBegin = one before the (empty) content, matching the
+        // '<'-before-name convention (the reference's raw_begin for the
+        // UNDEF token is the comment-content offset, i.e. ours + 1)
         sink.process(StartTagTok(Tags.Names.internTag(undefSb),
-          new ArrayBuffer[DomAttr](0), false, rawBegin))
+          new ArrayBuffer[DomAttr](0), false, pos - 1))
       } else if (d.endsWith("--")) {
         val stripped = d.substring(0, d.length - 2)
         if (stripped.nonEmpty)
