@@ -436,9 +436,10 @@ object SparkEntry {
         |FROM documents WHERE length(text) >= 10""".stripMargin,
 
     "q_html_attrs" ->
-      // duplicate attribute: reference semantics = first position, LAST
-      // value (class=c2 wins over CLASS=c1 — binary-probed round 2)
-      """SELECT doc_id, CAST(0 AS BIGINT) AS c1, CAST(1 AS BIGINT) AS c2,
+      // duplicate attributes are KEPT on the chain (reference model) and
+      // the attr matcher walks the whole chain (myhtml.c while(attr)) —
+      // BOTH [class=c1] and [class=c2] match the same div
+      """SELECT doc_id, CAST(1 AS BIGINT) AS c1, CAST(1 AS BIGINT) AS c2,
         |       CAST(1 AS BIGINT) AS idm FROM documents""".stripMargin,
 
     "q_html_serialize" ->

@@ -242,7 +242,11 @@ object AttrMatch {
   }
 
   def select(root: Node, key: String, value: String, m: Mode, ci: Boolean = false): Seq[Node] =
+    // the reference walks the node's WHOLE attr chain (myhtml.c:1131
+    // while(attr)) — with duplicate attrs kept verbatim, every value of
+    // a repeated key participates in matching
     root.descendants.filter { n =>
-      n.kind == NodeKind.Element && n.attr(key).exists(v => matches(v, value, m, ci))
+      n.kind == NodeKind.Element && n.attrs != null &&
+        n.attrs.exists(a => a.name == key && matches(a.value, value, m, ci))
     }.toSeq
 }

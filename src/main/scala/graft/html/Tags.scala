@@ -69,7 +69,10 @@ object Tags {
 
   /** "Generate implied end tags" set (reference: tree.c:1068-1157). */
   val impliedEnd: Set[String] = Set(
-    "dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"
+    // menuitem: the reference keeps it in the implied-end set
+    // (tree.c generate_implied_end_tags MyHTML_TAG_MENUITEM; pre-2017
+    // spec) — "<ruby><menuitem><rt>" closes menuitem before rt
+    "dd", "dt", "li", "menuitem", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"
   )
 
   /** "Generate all implied end tags thoroughly" set. */

@@ -306,20 +306,14 @@ final class Tokenizer(src0: String, sink: TokenSink) {
 
     def addAttr(anm: String, value: String): Unit = {
       if (anm.isEmpty) return
-      if (attrs != null) {
-        var ai = 0
-        while (ai < attrs.length) {
-          if (attrs(ai).name == anm) {
-            // duplicate attribute: the reference REPLACES the value in
-            // place — first position, LAST value wins (binary-probed:
-            // "<div a=1 b=9 a=2>" chains a=2 then b=9; WHATWG's
-            // first-wins drop is a spec divergence the reference keeps)
-            attrs(ai).value = value
-            return
-          }
-          ai += 1
-        }
-      }
+      // duplicate attributes are kept VERBATIM in token order — the
+      // reference's tokenizer never dedups the attr chain (WHATWG's
+      // duplicate-attribute drop is a spec divergence it doesn't have).
+      // Binary-probed: "<body><body a=x a='&amp;'>" merges a=x into the
+      // existing body (copy-if-absent sees the FIRST chain entry), while
+      // the Perl binding's attr HASH view shows the LAST — both only
+      // reproducible when the chain holds both entries. Lookup by name
+      // (Node.attr) returns the first match, like attr_by_name.
       if (attrs == null) attrs = new ArrayBuffer[DomAttr](4)
       attrs += DomAttr(anm, value)
     }

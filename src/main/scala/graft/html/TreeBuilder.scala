@@ -1004,10 +1004,29 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     stack.clear()
   }
 
+  /** Second-html/body attr merge (reference rules.c:1206-1217): a node
+    * that still has NO token (implied — our discriminator: rawBegin < 0
+    * and no attrs) ADOPTS the incoming token wholesale, duplicate attrs
+    * included; a token-bearing node gets per-attr copy-if-absent
+    * (token.c attr_copy_with_check — the check consults the DEST, so the
+    * second duplicate of a just-copied key is skipped). */
+  private def mergeTagAttrs(target: Node, st: StartTagTok): Unit = {
+    if (target.rawBegin < 0 && target.attrs == null) {
+      if (st.attrs.nonEmpty) {
+        val dst = new ArrayBuffer[DomAttr](st.attrs.length)
+        st.attrs.foreach(a => dst += DomAttr(a.name, a.value, a.ns))
+        target.attrs = dst
+      }
+      target.rawBegin = st.rawBegin // the node now carries this token
+    } else {
+      st.attrs.foreach(a => if (!target.hasAttr(a.name)) target.setAttr(a.name, a.value))
+    }
+  }
+
   private def inBodyStartTag(st: StartTagTok): Unit = st.name match {
     case "html" =>
       if (!templateOnStack && htmlNode != null)
-        st.attrs.foreach(a => if (!htmlNode.hasAttr(a.name)) htmlNode.setAttr(a.name, a.value))
+        mergeTagAttrs(htmlNode, st)
     case "base" | "basefont" | "bgsound" | "link" | "meta" | "noframes" |
          "script" | "style" | "template" | "title" =>
       modeInHead(st)
@@ -1015,8 +1034,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       if (stack.length > 1 && stack(1).isElement("body") &&
           !templateOnStack) {
         framesetOk = false
-        val body = stack(1)
-        st.attrs.foreach(a => if (!body.hasAttr(a.name)) body.setAttr(a.name, a.value))
+        mergeTagAttrs(stack(1), st)
       }
     case "frameset" =>
       if (framesetOk && stack.length > 1 && stack(1).isElement("body")) {

@@ -216,13 +216,14 @@ class TreeBuilderSpec extends AnyFunSuite {
         #|     <p>""".stripMargin('#'))
   }
 
-  test("attributes: case, duplicates (first position, LAST value — reference), unquoted, entities") {
+  test("attributes: case, duplicate chain kept (reference model), unquoted, entities") {
     val doc = HtmlParser.parse(
       """<div ID=a id=b data-x=1&amp;2 title="&copy; ok" href=x&copy=2></div>""")
     val div = doc.descendants.find(_.isElement("div")).get
-    // reference replaces the duplicate's VALUE in place (binary-probed)
-    assert(div.attr("id").contains("b"))
-    assert(div.attrs.head.name == "id") // position of the FIRST occurrence
+    // the reference keeps duplicate attrs verbatim on the chain;
+    // attr-by-name returns the FIRST match (binary-probed round 2)
+    assert(div.attr("id").contains("a"))
+    assert(div.attrs.count(_.name == "id") == 2)
     assert(div.attr("data-x").contains("1&2"))
     assert(div.attr("title").contains("© ok"))
     // &copy followed by '=' in attribute: NOT decoded (legacy attr rule)

@@ -15,8 +15,13 @@ object MineAttrsAll extends App {
       n.kind match {
         case NodeKind.Text => if (n.text != null && n.text.nonEmpty) out.println("T " + esc(n.text))
         case NodeKind.Element =>
-          if (n.attrs != null)
-            n.attrs.toSeq.sortBy(_.name).foreach(a => out.println("A " + n.name + " " + esc(a.name) + "=" + esc(a.value)))
+          if (n.attrs != null) {
+            // match the Perl binding's attr HASH view: last value per key
+            val collapsed = scala.collection.mutable.LinkedHashMap[String, String]()
+            n.attrs.foreach(a => collapsed(a.name) = a.value)
+            collapsed.toSeq.sortBy(_._1).foreach { case (k, v) =>
+              out.println("A " + n.name + " " + esc(k) + "=" + esc(v)) }
+          }
         case NodeKind.Doctype =>
           // the reference stores doctype parts as token ATTRS: an
           // empty-key attr carrying system-id (else public-id), plus
