@@ -145,13 +145,19 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
         val mathmlTextIp = acn.ns == Ns.MathML && Tags.scopeBaseMathML.contains(acn.name) &&
           acn.name != "annotation-xml"
         val htmlIp = isHtmlIntegrationPoint(acn)
+        // the reference routes ANY non-CLOSE token (comments and doctype
+        // included, not just start tags/characters as the spec words it)
+        // to the insertion mode at an integration point
+        // (rules.c tree_dispatcher: `(token->type & CLOSE) == 0`) —
+        // observable: "<svg></body><title ><?" puts the bogus comment on
+        // the HTML element via after_body, not inside the foreign title
         tok match {
           case st: StartTagTok =>
             (mathmlTextIp && st.name != "mglyph" && st.name != "malignmark") ||
               (acn.ns == Ns.MathML && acn.name == "annotation-xml" && st.name == "svg") ||
               htmlIp
-          case _: CharsTok => mathmlTextIp || htmlIp
-          case _ => false
+          case _: EndTagTok => false
+          case _ => mathmlTextIp || htmlIp // chars, comments, doctype
         }
       }
     if (useHtmlRules) processMode(mode, tok)
