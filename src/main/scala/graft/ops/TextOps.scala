@@ -145,26 +145,45 @@ object TextOps {
 
   /** MinHash signature: k permutation-hashes over 3-word shingles
     * (standard a*h+b mod p family, seeded — public MMDS construction). */
+  /** Per-k permutation constants (seeded affine family; splitmix of j) —
+    * hoisted out of the per-shingle loop and cached per k: the k×shingles
+    * inner loop is the hottest arithmetic in the dedup family. Values are
+    * IDENTICAL to the inline computation they replace (signatures are
+    * pinned by oracles — the hoist must not move a single bit). */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def perms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, k2 => {
+      val as = new Array[Long](k2)
+      val bs = new Array[Long](k2)
+      var j = 0
+      while (j < k2) {
+        var z = (j + 1).toLong * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        as(j) = (z | 1L) & 0x3FFFFFFFFFFFFFFFL
+        bs(j) = (z >>> 13) & 0x3FFFFFFFFFFFFFFFL
+        j += 1
+      }
+      (as, bs)
+    })
+
   def minhash(text: String, k: Int = 64): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     if (text == null) return sig
     val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.length == 0) return sig
     val prime = 2305843009213693951L // 2^61 - 1
+    val (as, bs) = perms(k)
     var i = 0
     val last = math.max(toks.length - 2, 1)
     while (i < last) {
       val end = math.min(i + 3, toks.length)
       val shingle = toks.slice(i, end).mkString(" ")
       val h = scala.util.hashing.MurmurHash3.stringHash(shingle).toLong & 0x7FFFFFFFFFFFFFFFL
+      val hm = h % prime
       var j = 0
       while (j < k) {
-        // seeded affine permutations; constants from splitmix of j
-        var z = (j + 1).toLong * 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        val a = (z | 1L) & 0x3FFFFFFFFFFFFFFFL
-        val b = (z >>> 13) & 0x3FFFFFFFFFFFFFFFL
-        val v = (a * (h % prime) + b) % prime
+        val v = (as(j) * hm + bs(j)) % prime
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -183,11 +202,10 @@ object TextOps {
     inter.toDouble / (sa.size + sb.size - inter)
   }
 
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.udf.register("graft_lang_id", (s: String) => langIdHeuristic(s))
-    spark.udf.register("graft_fingerprint64", (s: String) => fingerprint64(s))
-    spark.udf.register("graft_simhash64", (s: String) => simhash64(s))
-    spark.udf.register("graft_minhash", (s: String, k: Int) => minhash(s, k))
-    spark.udf.register("graft_jaccard", (a: String, b: String) => jaccardTokens(a, b))
-  }
+  /** The graft_* SQL names above are native Catalyst expressions since
+    * round 3 (graft.spark.TextExprs — one static call per row inside
+    * whole-stage codegen, replacing the Scala-UDF registrations that
+    * used to live here). Registration is one table: GraftSql.entries. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftSql.registerAll(spark)
 }

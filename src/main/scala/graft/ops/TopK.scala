@@ -44,8 +44,17 @@ object TopK {
 
   /** (query_id, vec_id, cosine) → (query_id, vec_id, cosine, rank≤k),
     * rank 1-based by (cosine desc, vec_id asc). One map-side-combined
-    * aggregate; no full-score shuffle. */
+    * aggregate; no full-score shuffle.
+    *
+    * The aggregation buffer carries vec_id as a long, so the id column
+    * must be integral — a string/decimal id would otherwise cast to
+    * NULL silently and corrupt the ranking (round-2 ADVICE: fail loud). */
   def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = scored.schema("vec_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"perQueryTopK needs an integral vec_id (byte/short/int/long); got $idType — " +
+        "map your ids to longs (e.g. xxhash64 or a dictionary join) before ranking")
     val agg = udaf(new TopKAgg(k), Encoders.product[Scored])
     scored.groupBy("query_id")
       .agg(agg(col("vec_id").cast("long"), col("cosine")).as("top"))

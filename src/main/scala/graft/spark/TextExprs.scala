@@ -1,0 +1,124 @@
+package graft.spark
+
+import graft.ops.TextOps
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup signature kernels —
+  * graft_minhash / graft_simhash64 / graft_jaccard / graft_hamming64 /
+  * graft_fingerprint64 / graft_lang_id. Round-2 verdict item #2: these
+  * sat in the hot path of the biggest jobs in the suite as row-at-a-time
+  * Scala UDFs (closure call + CatalystTypeConverters per row, a codegen
+  * boundary per use); the repo's own GraftCosine/HyperplaneSig pattern
+  * (spark/Functions.scala) is the proven better plan — whole-stage
+  * codegen emits one static call per row. The arithmetic lives in
+  * graft.ops.TextOps (JVM-static, shared by both eval paths) and is
+  * UNCHANGED: every signature is pinned by DuckDB oracles and
+  * ScaleGuardSpec brute-force truths, so outputs must not move a bit.
+  *
+  * All of these return non-null for non-null inputs (TextOps' null
+  * branches are unreachable behind nullIntolerant), so the default
+  * child-driven nullability is correct — no GraftCosine-style nullable
+  * override needed (CLAUDE.md native-expression rule).
+  */
+object TextKernels {
+  def simhash64(t: UTF8String): Long = TextOps.simhash64(t.toString)
+  def minhash(t: UTF8String, k: Int): ArrayData = {
+    val sig = TextOps.minhash(t.toString, k)
+    val boxed = new Array[Any](sig.length)
+    var i = 0
+    while (i < sig.length) { boxed(i) = sig(i); i += 1 }
+    new GenericArrayData(boxed)
+  }
+  def jaccard(a: UTF8String, b: UTF8String): Double =
+    TextOps.jaccardTokens(a.toString, b.toString)
+  def fingerprint64(t: UTF8String): Long = TextOps.fingerprint64(t.toString)
+  def langId(t: UTF8String): UTF8String =
+    UTF8String.fromString(TextOps.langIdHeuristic(t.toString))
+}
+
+/** 64-bit SimHash over 3-word shingles: `graft_simhash64(text)`. */
+case class GraftSimhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftSimhash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** MinHash signature: `graft_minhash(text, k)` → array<bigint> of k
+  * permutation minima (k is plan-time constant, like HyperplaneSig). */
+case class GraftMinhash(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.minhash($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): GraftMinhash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** Exact token-set Jaccard: `graft_jaccard(a, b)` — the verify kernel
+  * every candidate pair pays. */
+case class GraftJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spark.TextKernels.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaccard"
+}
+
+/** Hamming distance of two 64-bit signatures: `graft_hamming64(a, b)` —
+  * pure Long.bitCount, inlined by codegen. */
+case class GraftHamming64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftHamming64 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_hamming64"
+}
+
+/** 64-bit rolling document fingerprint: `graft_fingerprint64(text)`. */
+case class GraftFingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.fingerprint64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.fingerprint64($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftFingerprint64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fingerprint64"
+}
+
+/** Marker-heuristic language id: `graft_lang_id(text)`. */
+case class GraftLangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftLangId =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lang_id"
+}

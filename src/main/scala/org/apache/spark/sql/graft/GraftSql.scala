@@ -32,7 +32,21 @@ object GraftSql {
     ("parse_fragment_text", "graft.spark.ParseFragmentText",
       args => ParseFragmentText(args(0), args(1))),
     ("extract_main_text", "graft.spark.ExtractMainText",
-      args => ExtractMainText(args.head))
+      args => ExtractMainText(args.head)),
+    // dedup signature kernels — native since round 3 (previously Scala
+    // UDFs registered by TextOps.registerAll; same names, same bits)
+    ("graft_simhash64", "graft.spark.GraftSimhash64",
+      args => GraftSimhash64(args.head)),
+    ("graft_minhash", "graft.spark.GraftMinhash",
+      args => GraftMinhash(args.head, args(1).eval().asInstanceOf[Int])),
+    ("graft_jaccard", "graft.spark.GraftJaccard",
+      args => GraftJaccard(args(0), args(1))),
+    ("graft_hamming64", "graft.spark.GraftHamming64",
+      args => GraftHamming64(args(0), args(1))),
+    ("graft_fingerprint64", "graft.spark.GraftFingerprint64",
+      args => GraftFingerprint64(args.head)),
+    ("graft_lang_id", "graft.spark.GraftLangId",
+      args => GraftLangId(args.head))
   )
 
   def registerAll(spark: SparkSession): Unit = {

@@ -29,14 +29,17 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
-  test("minhash bucket guard drops degenerate buckets; empty docs never band") {
+  test("minhash bucket guard stars degenerate buckets; empty docs never band") {
     import spark.implicits._
     // 1000 identical docs would produce ~500k candidate pairs without a
-    // guard; with maxBucketSize=16 every bucket is degenerate → 0 pairs
+    // guard; with maxBucketSize=16 every bucket is oversized → the star
+    // degradation emits exactly 999 hub pairs (min id 0 × each member),
+    // keeping the clone cluster connected without the O(n²) blowup
     val clones = (0 until 1000).map(i => (i.toLong, "same exact tokens here repeated again"))
     val got = Dedup.minhashCandidates(clones.toDF("doc_id", "text"), "doc_id", "text",
-      k = 32, bands = 8, jaccardThreshold = 0.5, maxBucketSize = 16)
-    assert(got.count() == 0)
+        k = 32, bands = 8, jaccardThreshold = 0.5, maxBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == 999 && got.forall(_._1 == 0L))
     // whitespace-only docs share the all-MaxValue signature — dropped
     val blanks = (0 until 50).map(i =>
       (i.toLong, if (i < 40) "   " else s"alpha$i beta$i gamma$i delta$i"))
