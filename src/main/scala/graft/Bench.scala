@@ -153,6 +153,18 @@ object Bench {
       try force(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
+    } :+ {
+      // the PRODUCTION blocking path (xxhash64 keys) — q_ngram_jaccard
+      // stays on the md5 oracle path, this row shows what ships
+      val t0 = System.nanoTime()
+      try {
+        graft.spark.GraftFunctions.registerAll(spark)
+        force(graft.ops.Dedup.ngramJaccardPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", threshold = 0.3))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q_ngram_jaccard_prod: ${e.getMessage}") }
+      "q_ngram_jaccard_prod" -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
 

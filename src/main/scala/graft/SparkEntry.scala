@@ -293,7 +293,10 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3)),
+      // oracleBlocking: the md5 block key is what DuckDB replays — the
+      // production default is xxhash64 (benched as q_ngram_jaccard_prod)
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3,
+        oracleBlocking = true)),
 
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
