@@ -252,12 +252,20 @@ object Dedup {
     * (random hyperplane signatures — seeded, deterministic).
     * `bands` independent signatures are OR-ed (a pair is a candidate if
     * it collides in ANY band): with p = P(same bucket) per band, recall
-    * is 1-(1-p)^bands instead of p — e.g. cosine 0.99 / 8 planes has
-    * p≈0.69, so 4 bands lift recall from 0.69 to ≈0.99. Zero vectors are
-    * dropped before banding (they all land in one bucket and their
-    * cosine is undefined), and degenerate buckets are guarded exactly
-    * like the text LSH joins. Identical or positively-scaled vectors
-    * always share every band, so exact-dup recall is 1 by construction. */
+    * is 1-(1-p)^bands instead of p. Zero vectors are dropped before
+    * banding (they all land in one bucket and their cosine is
+    * undefined), and degenerate buckets are guarded exactly like the
+    * text LSH joins. Identical or positively-scaled vectors always share
+    * every band, so exact-dup recall is 1 by construction.
+    *
+    * Recall AT the threshold boundary is what the defaults must be
+    * sized for (round-2 verdict): measured against brute-force truth on
+    * pairs planted at cosine 0.91-0.99 with threshold 0.9 —
+    * planes=8/bands=4 → 0.89, planes=8/bands=8 → 0.95 (deterministic
+    * pins in ScaleGuardSpec; theory + table in BASELINE.md §lsh-recall).
+    * Raise `bands` when the workload needs boundary recall; each band
+    * adds one (id, band, bucket) explode row per vector, never a vector
+    * copy. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int = 16, threshold: Double = 0.95,
                        bands: Int = 4, maxBucketSize: Int = 1024): DataFrame = {

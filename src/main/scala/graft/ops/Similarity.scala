@@ -47,16 +47,33 @@ object Similarity {
   /** IVF-style ANN: assign every corpus vector to its LSH bucket, probe
     * only matching buckets for each query (candidate reduction ~2^planes),
     * then exact cosine + top-k within candidates. Recall < 1 by design —
-    * the 100 TB path where brute force is off the table. */
+    * the 100 TB path where brute force is off the table.
+    *
+    * `probeHamming = 1` enables multiprobe: each query also probes the
+    * `planes` buckets one sign-flip away (the standard recall lever —
+    * a true neighbor's signature differs from the query's in a few
+    * low-margin bits, so the hamming-1 shell catches most single-bit
+    * misses at (planes+1)× candidate cost, still exponentially under
+    * brute force). Only the small broadcast query side fans out; the
+    * corpus is still hashed once. Recall numbers: BASELINE.md §lsh-recall. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int = 10, planes: Int = 8): DataFrame = {
+              k: Int = 10, planes: Int = 8, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming=$probeHamming: only the hamming-0/1 probe shells are implemented")
     val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
       .withColumn("bucket", hyperplaneSignature(col("cvec"), planes))
+    val sig = hyperplaneSignature(col("qvec"), planes)
+    val probeBuckets =
+      if (probeHamming == 0) array(sig)
+      else array(sig +: (0 until planes).map(b => sig.bitwiseXOR(lit(1 << b))): _*)
     val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
-      .withColumn("bucket", hyperplaneSignature(col("qvec"), planes))
+      .withColumn("bucket", explode(probeBuckets))
     val scored = bc.join(broadcast(bq), "bucket")
       .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    // probe shells are disjoint buckets and a corpus vector lives in
+    // exactly one bucket, so (query, vec) candidates are already unique —
+    // no dedup shuffle needed even with multiprobe
     TopK.perQueryTopK(scored, k)
   }
 }

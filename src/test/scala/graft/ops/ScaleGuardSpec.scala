@@ -96,6 +96,140 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  // ---- round-3 boundary-recall gates (VERDICT r2 #1): recall measured
+  // against brute-force truth on graded-similarity corpora. All inputs
+  // are seeded/deterministic, so the measured recalls are exact repo
+  // constants — the floors below are pins, not statistical hopes.
+  // Measured values are tabled in BASELINE.md §lsh-recall.
+
+  private def unitVec(rnd: scala.util.Random, dim: Int): Array[Double] = {
+    val v = Array.fill(dim)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  private def cosF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+  }
+
+  /** base corpus + neighbors planted at graded cosines around the 0.9
+    * threshold (v = cosθ·u + sinθ·w, w ⊥ u). */
+  private lazy val gradedEmbeddings: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(123)
+    val dim = 16
+    val grades = Seq(0.91, 0.93, 0.95, 0.97, 0.99)
+    val base = (0 until 200).map(i => i.toLong -> unitVec(rnd, dim))
+    val planted = base.take(100).zipWithIndex.map { case ((id, u), ix) =>
+      val t = grades(ix % grades.length)
+      val r = unitVec(rnd, dim)
+      val proj = (0 until dim).map(i => r(i) * u(i)).sum
+      val w0 = (0 until dim).map(i => r(i) - proj * u(i)).toArray
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      val v = (0 until dim).map(i => t * u(i) + math.sqrt(1 - t * t) * w0(i) / wn)
+      (id + 10000L, v.map(_.toFloat).toArray)
+    }
+    base.map { case (id, u) => (id, u.map(_.toFloat)) } ++ planted
+  }
+
+  test("embedding LSH recall at the threshold boundary vs brute force") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      if cosF(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 80, s"fixture must plant a rich boundary set, got ${truth.size}")
+    val df = all.toDF("vec_id", "embedding")
+    def recall(bands: Int): Double = {
+      val found = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+          planes = 8, threshold = 0.9, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found.subsetOf(truth), s"verify must reject sub-threshold: ${found -- truth}")
+      found.size.toDouble / truth.size
+    }
+    val r4 = recall(4)
+    val r8 = recall(8)
+    info(f"recall@0.9 threshold: bands=4 → $r4%.4f, bands=8 → $r8%.4f (truth=${truth.size})")
+    assert(r8 >= r4, f"more bands must not lose recall: $r8%.4f < $r4%.4f")
+    assert(r4 >= 0.85, f"bands=4 boundary recall regressed: $r4%.4f (measured 0.89)")
+    assert(r8 >= 0.93, f"bands=8 boundary recall regressed: $r8%.4f (measured 0.95)")
+  }
+
+  test("lshTopK multiprobe lifts recall@k toward brute force") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    val byId = all.toMap
+    def truthTop(q: Array[Float], k: Int): Set[Long] =
+      all.map { case (id, v) => (id, cosF(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    // two recall reads per probe level:
+    //  - recall@10 vs exact truth — the worst case for LSH (a diffuse
+    //    random corpus: most "top-10 neighbors" sit at cosine ~0.4 where
+    //    hyperplane collision is near-random; documented, low floor)
+    //  - planted-partner recall — the metric that matters for near-dup /
+    //    retrieval: is the cosine-0.91..0.99 planted neighbor found?
+    def recallAt(probeHamming: Int): (Double, Double) = {
+      val got = Similarity.lshTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, planes = 8, probeHamming = probeHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rAt10 = queryRows.map { case (qid, _) =>
+        val t = truthTop(byId(qid), 10)
+        (got.getOrElse(qid, Set.empty) & t).size.toDouble / t.size
+      }.sum / queryRows.size
+      val planted = queryRows.map(_._1).filter(q => byId.contains(q + 10000L))
+      val rPlanted = planted.count(q =>
+        got.getOrElse(q, Set.empty).contains(q + 10000L)).toDouble / planted.size
+      (rAt10, rPlanted)
+    }
+    val (r0, p0) = recallAt(0)
+    val (r1, p1) = recallAt(1)
+    info(f"lshTopK recall@10: single-probe → $r0%.4f, hamming-1 multiprobe → $r1%.4f")
+    info(f"lshTopK planted-partner (cos .91-.99) recall: single → $p0%.4f, multiprobe → $p1%.4f")
+    assert(r1 >= r0, f"multiprobe must not lose recall: $r1%.4f < $r0%.4f")
+    assert(p1 >= p0, f"multiprobe must not lose planted recall: $p1%.4f < $p0%.4f")
+    assert(r1 >= 0.30, f"multiprobe recall@10 regressed: $r1%.4f")
+    assert(p1 >= 0.70, f"multiprobe planted-partner recall regressed: $p1%.4f")
+  }
+
+  test("minhash recall at graded jaccard overlaps vs brute force") {
+    import spark.implicits._
+    // pair p at grade (m, n): docs share m of n tokens each → J = m/(2n-m)
+    // grades: (30,40)→0.60, (36,40)→0.818, (38,40)→0.905
+    val grades = Seq((30, 40), (36, 40), (38, 40))
+    val docs = grades.zipWithIndex.flatMap { case ((m, n), g) =>
+      (0 until 20).flatMap { p =>
+        val shared = (0 until m).map(i => s"g${g}p${p}s$i")
+        val aOnly = (0 until n - m).map(i => s"g${g}p${p}a$i")
+        val bOnly = (0 until n - m).map(i => s"g${g}p${p}b$i")
+        val idBase = (g * 100 + p) * 10L
+        Seq((idBase, (shared ++ aOnly).mkString(" ")),
+          (idBase + 1, (shared ++ bOnly).mkString(" ")))
+      }
+    }
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      if TextOps.jaccardTokens(ta, tb) >= 0.8
+    } yield (ia, ib)).toSet
+    assert(truth.size == 40, s"grades 0.818/0.905 → 40 true pairs, got ${truth.size}")
+    val found = Dedup.minhashCandidates(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 64, bands = 16, jaccardThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth))
+    val recall = found.size.toDouble / truth.size
+    info(f"minhash recall at J∈{0.818, 0.905} with k=64/b=16 → $recall%.4f")
+    assert(recall >= 0.95, f"graded-jaccard recall regressed: $recall%.4f")
+  }
+
   test("ngram jaccard blocking is md5-replayable and guarded") {
     import spark.implicits._
     val docs = Seq(
