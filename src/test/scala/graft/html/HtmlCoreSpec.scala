@@ -710,4 +710,25 @@ class ApiSurfaceSpec extends AnyFunSuite {
       assert(got.contains(cs), s"codec $cs misdetected as $got for: ${s.take(30)}")
     }
   }
+
+  test("short/caps cyrillic detection pinned vs the reference binary (round-3 probe)") {
+    // tools/parity/detect_probe.c drove the reference's PUBLIC
+    // myencoding_detect over 52 transcoded probes (BASELINE.md §cyrillic
+    // divergence table): 42/52 agree and every agreement matches the true
+    // codec; the 10 divergences are characterized, 9 in our favor — the
+    // reference's trigram tables are lowercase-only (ALL-CAPS text falls
+    // through to the not-determined default) and prefer windows-1251
+    // over x-MacCyrillic on lowercase bytes (0xE0-0xFE decode to the
+    // same letters under both). These pins hold the short-input and
+    // all-caps wins.
+    val shortRu = Seq("привет", "доброе утро", "мир труд май")
+    val codecs4 = Seq("windows-1251", "KOI8-R", "IBM866", "ISO-8859-5")
+    for (s <- shortRu; cs <- codecs4)
+      assert(Encodings.detectCyrillic(s.getBytes(cs)).contains(cs),
+        s"short input misdetected under $cs")
+    val caps = "МОСКВА НОВОСТИ СЕГОДНЯ ВЕЧЕРОМ"
+    for (cs <- codecs4)
+      assert(Encodings.detectCyrillic(caps.getBytes(cs)).contains(cs),
+        s"all-caps input misdetected under $cs")
+  }
 }
