@@ -47,53 +47,90 @@ object Serializer {
     sb.toString
   }
 
+  /** Output driver shared by the buffer and callback serialization
+    * entry points (the reference has the same pair:
+    * serialization.c:36-55 buffer driver wrapping the callback driver).
+    * With `cb == null` everything accumulates in `sb` (buffer mode);
+    * otherwise `sb` is a bounded staging buffer flushed to `cb` at node
+    * boundaries once it reaches `chunkChars` — multi-MB subtrees stream
+    * without ever materializing one giant String. */
+  private final class Emitter(chunkChars: Int, cb: CharSequence => Unit) {
+    val sb = new java.lang.StringBuilder(
+      if (cb == null) 256 else math.min(chunkChars + 64, 1 << 16))
+    @inline def maybeFlush(): Unit =
+      if (cb != null && sb.length >= chunkChars) { cb(sb); sb.setLength(0) }
+    def finish(): Unit = if (cb != null && sb.length > 0) { cb(sb); sb.setLength(0) }
+  }
+
   /** Serialize a node's subtree to HTML (the node itself included unless
     * it is a Document). */
   def toHtml(node: Node): String = {
-    val sb = new java.lang.StringBuilder(256)
-    serialize(node, sb)
-    sb.toString
+    val em = new Emitter(0, null)
+    serialize(node, em)
+    em.sb.toString
   }
 
   /** Serialize only the children (innerHTML semantics — what the
     * reference's tree serializer does from the root). */
   def innerHtml(node: Node): String = {
-    val sb = new java.lang.StringBuilder(256)
+    val em = new Emitter(0, null)
     var c = node.firstChild
-    while (c != null) { serialize(c, sb); c = c.next }
-    sb.toString
+    while (c != null) { serialize(c, em); c = c.next }
+    em.sb.toString
   }
 
-  private def serialize(n: Node, sb: java.lang.StringBuilder): Unit = n.kind match {
-    case NodeKind.Document =>
-      var c = n.firstChild
-      while (c != null) { serialize(c, sb); c = c.next }
-    case NodeKind.Doctype =>
-      sb.append("<!DOCTYPE ").append(n.name)
-      if (n.publicId != null) {
-        sb.append(" PUBLIC \"").append(n.publicId).append('"')
-        if (n.systemId != null) sb.append(" \"").append(n.systemId).append('"')
-      } else if (n.systemId != null) {
-        sb.append(" SYSTEM \"").append(n.systemId).append('"')
-      }
-      sb.append('>')
-    case NodeKind.Comment =>
-      sb.append("<!--").append(n.text).append("-->")
-    case NodeKind.Text =>
-      val parentRaw = n.parent != null && n.parent.kind == NodeKind.Element &&
-        n.parent.ns == Ns.HTML && rawTextTags.contains(n.parent.name)
-      sb.append(if (parentRaw) n.text else escapeText(n.text))
-    case NodeKind.Element =>
-      sb.append('<').append(n.name)
-      if (n.attrs != null) n.attrs.foreach { a =>
-        sb.append(' ').append(a.name).append("=\"").append(escapeAttr(a.value)).append('"')
-      }
-      sb.append('>')
-      if (!(n.ns == Ns.HTML && Tags.void.contains(n.name))) {
+  /** Streaming/callback serialization driver (reference
+    * serialization.c:466-555 + callback.c): emits exactly the bytes
+    * `toHtml` would, as ordered chunks of ~`chunkChars` through `cb` —
+    * the memory-bounded path for multi-MB serialized output. The
+    * CharSequence handed to `cb` is a reused staging buffer: consume it
+    * before returning (copy if retaining). */
+  def serializeWith(node: Node, chunkChars: Int = 64 * 1024)
+                   (cb: CharSequence => Unit): Unit = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    val em = new Emitter(chunkChars, cb)
+    serialize(node, em)
+    em.finish()
+  }
+
+  private def serialize(n: Node, em: Emitter): Unit = {
+    val sb = em.sb
+    n.kind match {
+      case NodeKind.Document =>
         var c = n.firstChild
-        while (c != null) { serialize(c, sb); c = c.next }
-        sb.append("</").append(n.name).append('>')
-      }
+        while (c != null) { serialize(c, em); c = c.next }
+      case NodeKind.Doctype =>
+        sb.append("<!DOCTYPE ").append(n.name)
+        if (n.publicId != null) {
+          sb.append(" PUBLIC \"").append(n.publicId).append('"')
+          if (n.systemId != null) sb.append(" \"").append(n.systemId).append('"')
+        } else if (n.systemId != null) {
+          sb.append(" SYSTEM \"").append(n.systemId).append('"')
+        }
+        sb.append('>')
+        em.maybeFlush()
+      case NodeKind.Comment =>
+        sb.append("<!--").append(n.text).append("-->")
+        em.maybeFlush()
+      case NodeKind.Text =>
+        val parentRaw = n.parent != null && n.parent.kind == NodeKind.Element &&
+          n.parent.ns == Ns.HTML && rawTextTags.contains(n.parent.name)
+        sb.append(if (parentRaw) n.text else escapeText(n.text))
+        em.maybeFlush()
+      case NodeKind.Element =>
+        sb.append('<').append(n.name)
+        if (n.attrs != null) n.attrs.foreach { a =>
+          sb.append(' ').append(a.name).append("=\"").append(escapeAttr(a.value)).append('"')
+        }
+        sb.append('>')
+        em.maybeFlush()
+        if (!(n.ns == Ns.HTML && Tags.void.contains(n.name))) {
+          var c = n.firstChild
+          while (c != null) { serialize(c, em); c = c.next }
+          sb.append("</").append(n.name).append('>')
+          em.maybeFlush()
+        }
+    }
   }
 
   // ------------------------------------------------- html5lib dump style
