@@ -47,29 +47,70 @@ object Dedup {
     * exact verify step (jaccard / hamming / cosine) still gates each
     * emitted pair. The guard itself is one map-side-combined groupBy on
     * the same key — no extra wide shuffle. */
-  private def guardedBucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private def guardedBucketPairs(banded: DataFrame, maxBucketSize: Int,
+                                 carry: Seq[String] = Nil): DataFrame = {
     // one explicit shuffle on the bucket key that ALL consumers (guard
-    // counts, join sides, star hub join) hang off — Catalyst's
-    // exchange-reuse turns them into one physical computation, so the
-    // signature/banding expressions are evaluated once per row, not
-    // four times (the expensive part of LSH at corpus scale is the
-    // signature, not the join)
-    val shuffled = banded.repartition(col("band"), col("bucket"))
-    val counts = shuffled.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bucket_n"), min(col("id")).as("hub"))
+    // counts, join sides, star hub join) hang off — AQE's stage reuse
+    // turns them into one physical computation, so the signature/banding
+    // expressions are evaluated ONCE per row (the expensive part of LSH
+    // at corpus scale is the signature, not the join). Stage reuse
+    // demands CANONICALLY IDENTICAL subtrees under every consumer, which
+    // two optimizer behaviors silently break (probed at 3.0 signature
+    // evals/doc before round 3; now pinned at 1.0 by PlanSpec):
+    //  - the equi-joins push an isnotnull(id) constraint into only the
+    //    join branches → the explicit filter below puts the same
+    //    conjunct in every branch (null ids could never verify anyway —
+    //    the text/vector rejoin is an id equi-join)
+    //  - column pruning drops the hub (min id) from the small branch's
+    //    copy of the guard aggregate → the coalesce() in smallPairs
+    //    keeps it referenced (see below)
+    // the null filter covers band/bucket too: the bucket equi-joins push
+    // isnotnull(band)/isnotnull(bucket) into only the join branches —
+    // making them explicit keeps every branch canonical-equal (conjuncts
+    // on non-nullable columns constant-fold away identically everywhere).
+    // Carry columns are NOT filtered here: an isnotnull(<carry>) filter
+    // would re-evaluate the signature kernel inside the filter predicate;
+    // instead every pair output routes carries through coalesce, which
+    // BLOCKS isnotnull back-propagation below the exchange entirely.
+    val shuffled = Seq("id", "band", "bucket")
+      .foldLeft(banded) { (d, c) => d.filter(col(c).isNotNull) }
+      .repartition(col("band"), col("bucket"))
+    // `carry` columns ride the banding shuffle and come back on both
+    // pair sides as <c>_a/<c>_b — a narrow signature (simhash's one
+    // long) rides for free and saves BOTH verify rejoins; hub-side
+    // values come from min_by (the hub IS min(id), so min_by is exact)
+    val aggCols = Seq(count(lit(1)).as("bucket_n"), min(col("id")).as("hub")) ++
+      carry.map(c => min_by(col(c), col("id")).as(s"hub_$c"))
+    val counts = shuffled.groupBy("band", "bucket").agg(aggCols.head, aggCols.tail: _*)
+    val keep = Seq("band", "bucket", "hub") ++ carry.map(c => s"hub_$c")
     val small = shuffled.join(
-      counts.filter(col("bucket_n") <= maxBucketSize).select("band", "bucket"),
+      counts.filter(col("bucket_n") <= maxBucketSize).select(keep.map(col): _*),
       Seq("band", "bucket"))
+    // coalesce(x, hub_x) == x (ids are non-null here): the hub reference
+    // only exists so column pruning keeps the hub aggregates inside THIS
+    // counts copy too — drop it and the guard exchange loses columns,
+    // canonical equality breaks, and the signatures recompute
     val smallPairs = small.as("l").join(small.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .select(coalesce(col("l.id"), col("l.hub")).as("id_a") +:
+        coalesce(col("r.id"), col("r.hub")).as("id_b") +:
+        carry.flatMap(c => Seq(
+          coalesce(col(s"l.$c"), col(s"l.hub_$c")).as(s"${c}_a"),
+          coalesce(col(s"r.$c"), col(s"r.hub_$c")).as(s"${c}_b"))): _*)
     // hub = min id, so hub < id always → pairs stay (lo, hi)-ordered
+    // star carries go through coalesce too (hub_c is never null — min_by
+    // over non-null signatures): a bare column reference here would let
+    // a verify predicate above push isnotnull(<carry>) into ONLY the
+    // star branch and break the exchange unification
     val starPairs = shuffled.join(
-        counts.filter(col("bucket_n") > maxBucketSize).select("band", "bucket", "hub"),
+        counts.filter(col("bucket_n") > maxBucketSize).select(keep.map(col): _*),
         Seq("band", "bucket"))
       .filter(col("id") =!= col("hub"))
-      .select(col("hub").as("id_a"), col("id").as("id_b"))
+      .select(col("hub").as("id_a") +: col("id").as("id_b") +:
+        carry.flatMap(c => Seq(
+          coalesce(col(s"hub_$c"), col(c)).as(s"${c}_a"),
+          coalesce(col(c), col(s"hub_$c")).as(s"${c}_b"))): _*)
     smallPairs.unionByName(starPairs).distinct()
   }
 
@@ -136,11 +177,11 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(length(trim(col("text"))) > 0)
       .withColumn("sim", expr("graft_simhash64(text)"))
-    val banded = sig.select(col("id"),
+    // the 8-byte signature RIDES the banding shuffle (carry) — verify
+    // needs no rejoin, and the simhash kernel runs exactly once per doc
+    val banded = sig.select(col("id"), col("sim"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    guardedBucketPairs(banded, maxBucketSize)
-      .join(sig.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+    guardedBucketPairs(banded, maxBucketSize, carry = Seq("sim"))
       .withColumn("hamming", expr("graft_hamming64(sim_a, sim_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -25,8 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * override needed (CLAUDE.md native-expression rule).
   */
 object TextKernels {
-  def simhash64(t: UTF8String): Long = TextOps.simhash64(t.toString)
+  /** Local-mode observability: how many times the expensive signature
+    * kernels actually ran. The LSH operators promise "signatures
+    * evaluated once per row" via exchange reuse — PlanSpec counts
+    * evaluations through this (plan strings are unreliable under AQE).
+    * One uncontended atomic increment next to a k×shingles loop: noise. */
+  val minhashEvals = new java.util.concurrent.atomic.AtomicLong
+  val simhashEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def simhash64(t: UTF8String): Long = {
+    simhashEvals.incrementAndGet()
+    TextOps.simhash64(t.toString)
+  }
   def minhash(t: UTF8String, k: Int): ArrayData = {
+    minhashEvals.incrementAndGet()
     val sig = TextOps.minhash(t.toString, k)
     val boxed = new Array[Any](sig.length)
     var i = 0

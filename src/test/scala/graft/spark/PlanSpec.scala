@@ -52,6 +52,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature evaluated exactly once per banded row (exchange reuse)") {
+    // The LSH guard promises "signatures computed once per row" via AQE
+    // stage reuse — plan strings are unreliable under AQE, so this pins
+    // the ACTUAL kernel invocation count (round-3 finding: a pushed-down
+    // isnotnull(id) + pruned hub broke canonical subtree equality and
+    // the signatures silently recomputed 3x per row).
+    val spark2 = spark
+    graft.spark.GraftFunctions.registerAll(spark2)
+    val docs = spark2.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0)
+    val n = docs.count()
+    graft.spark.TextKernels.minhashEvals.set(0)
+    graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 32, bands = 8, jaccardThreshold = 0.9).collect()
+    val evals = graft.spark.TextKernels.minhashEvals.get
+    assert(evals == n, s"minhash must run once per doc: $evals evals for $n docs")
+    // simhash additionally carries its signature THROUGH the banding
+    // shuffle (no verify rejoin) — same once-per-doc contract
+    graft.spark.TextKernels.simhashEvals.set(0)
+    graft.ops.Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3).collect()
+    val sEvals = graft.spark.TextKernels.simhashEvals.get
+    assert(sEvals == n, s"simhash must run once per doc: $sEvals evals for $n docs")
+  }
+
   test("ANN top-k plan has no window rank — bounded aggregate only") {
     // the old row_number().over(Window) shuffled every (query, corpus)
     // score; the bounded aggregator keeps |Q|·k rows on the wire
