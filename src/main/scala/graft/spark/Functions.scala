@@ -310,6 +310,11 @@ case class ParseHtmlNodes(child: Expression)
 object VecUdfs {
   import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
+  /** Local-mode observability, same role as TextKernels.minhashEvals:
+    * PlanSpec pins signatures-per-row through actual invocation counts
+    * because plan strings are unreliable under AQE. */
+  val hyperplaneEvals = new java.util.concurrent.atomic.AtomicLong
+
   /** Exact arithmetic twin of the SQL cosine composition; null on
     * length mismatch or null element (zip_with-pad semantics). */
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
@@ -329,6 +334,7 @@ object VecUdfs {
   }
 
   def hyperplaneSig(vec: ArrayData, planes: Int, seed: Int): Int = {
+    hyperplaneEvals.incrementAndGet()
     val n = vec.numElements()
     var sig = 0
     var p = 0

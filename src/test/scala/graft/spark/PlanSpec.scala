@@ -78,6 +78,17 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3).collect()
     val sEvals = graft.spark.TextKernels.simhashEvals.get
     assert(sEvals == n, s"simhash must run once per doc: $sEvals evals for $n docs")
+    // hyperplane LSH: exactly one signature per (vector, band)
+    val vecs = spark2.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val nv = vecs.count()
+    graft.spark.VecUdfs.hyperplaneEvals.set(0)
+    graft.ops.Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      planes = 8, threshold = 0.9, bands = 4).collect()
+    val hEvals = graft.spark.VecUdfs.hyperplaneEvals.get
+    assert(hEvals == 4 * nv,
+      s"hyperplane sig must run once per (vec, band): $hEvals evals for $nv vecs x 4 bands")
   }
 
   test("ANN top-k plan has no window rank — bounded aggregate only") {
