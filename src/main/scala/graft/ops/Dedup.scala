@@ -210,24 +210,41 @@ object Dedup {
     //    no Spark-compatible xxhash64), the family's strongest oracle
     val tokenKey =
       if (oracleBlocking) "t -> md5(cast(t as binary))" else "t -> xxhash64(t)"
+    // the null sentinel never fires (texts are pre-filtered non-empty,
+    // so the token list has a min) — it exists to make the block column
+    // NON-NULLABLE, so the block equi-joins generate no isnotnull(block)
+    // constraint that would land in only some branches and break the
+    // exchange unification (same canonical-equality discipline as
+    // guardedBucketPairs; an explicit isnotnull filter would instead
+    // re-evaluate the 64-hash key inside the filter predicate)
+    val sentinel = if (oracleBlocking) "''" else "cast(0 as bigint)"
+    // explicit isnotnull(id): the pair self-join pushes this constraint
+    // into only its own branches — making it uniform keeps every
+    // consumer of the block-key exchange canonical-equal
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .filter(length(trim(col("text"))) > 0)
+      .filter(length(trim(col("text"))) > 0 && col("id").isNotNull)
     // same exchange-reuse shape as guardedBucketPairs: one shuffle on
     // the block key feeds the size guard and both join sides, so the
     // min-token blocking is computed once per doc
     val keyed = texts.withColumn("block",
-        expr("array_min(transform(slice(filter(split(lower(trim(text)), '\\\\s+'), " +
-          s"t -> t != ''), 1, 64), $tokenKey))"))
+        expr("coalesce(array_min(transform(slice(filter(split(lower(trim(text)), '\\\\s+'), " +
+          s"t -> t != ''), 1, 64), $tokenKey)), $sentinel)"))
       .select("id", "block")
       .repartition(col("block"))
+    // min(id) rides the guard aggregate and the pair outputs anchor it
+    // with coalesce(id, hub) == id — this keeps the id column inside the
+    // guard branch's copy of the exchange (column pruning would
+    // otherwise split it off and recompute the block keys; see
+    // guardedBucketPairs)
     val blockSizes = keyed.groupBy("block")
-      .agg(count(lit(1)).as("block_n"))
+      .agg(count(lit(1)).as("block_n"), min(col("id")).as("hub"))
       .filter(col("block_n") <= maxBlockSize)
-    val selective = keyed.join(blockSizes.select("block"), "block")
+    val selective = keyed.join(blockSizes.select("block", "hub"), "block")
     // self-join on (id, block) only; text rejoins per candidate pair
     selective.as("l").join(selective.as("r"),
         col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .select(coalesce(col("l.id"), col("l.hub")).as("id_a"),
+        coalesce(col("r.id"), col("r.hub")).as("id_b"))
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", expr("graft_jaccard(text_a, text_b)"))
