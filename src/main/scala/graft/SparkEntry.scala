@@ -406,6 +406,29 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // IVF ANN end-to-end (train → invert → probe) on an EXACT-arithmetic
+    // planted clustering: 8 orthogonal one-hot clusters of 8 identical
+    // vectors each. k-means init = the 8 distinct values, means of
+    // identical vectors are float-exact (sum of 8 equal doubles / 8), so
+    // the trained centroids EQUAL the cluster directions and assignment
+    // is provably exact — the whole pipeline is SQL-replayable
+    "q_ann_ivf" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      import s.implicits._
+      def vec(j: Int, scale: Float): Array[Float] = {
+        val v = new Array[Float](8); v(j) = (j + 1) * scale; v
+      }
+      val corpus = (for (j <- 0 until 8; i <- 0 until 8)
+        yield ((j * 100 + i).toLong, vec(j, 1f))).toDF("vec_id", "embedding")
+      val queries = (0 until 8).map(j => ((1000 + j).toLong, vec(j, 2f)))
+        .toDF("qid", "qvec")
+      val centroids = Similarity.trainCentroids(corpus, "embedding", k = 8, iters = 2)
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec",
+          centroids, k = 3, nprobe = 1)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     "q_multimodal_stub" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(
@@ -715,6 +738,15 @@ object SparkEntry {
         |  (104, 104, 1.0, 1), (104, 204, 0.980198, 2),
         |  (105, 105, 1.0, 1), (105, 205, 1.0, 2)
         |) AS t(query_id, vec_id, cosine, rank)""".stripMargin,
+
+    // fully determined: every query's cell holds exactly its cluster's 8
+    // identical-direction vectors (cosine exactly 1.0; Pythagorean-free —
+    // one nonzero coordinate), ranked by the id tie-break
+    "q_ann_ivf" ->
+      """SELECT CAST(1000 + j AS BIGINT) AS query_id,
+        |       CAST(j * 100 + r - 1 AS BIGINT) AS vec_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine, CAST(r AS INT) AS rank
+        |FROM range(0, 8) t(j) CROSS JOIN range(1, 4) s(r)""".stripMargin,
 
     "q_multimodal_stub" ->
       """SELECT CAST(doc_id AS VARCHAR) AS media_id,

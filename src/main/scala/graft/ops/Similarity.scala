@@ -44,6 +44,73 @@ object Similarity {
     // contract) must have run on the session.
     call_function("graft_hyperplane_sig", vec, lit(planes), lit(seed))
 
+  /** Deterministic distributed Lloyd's k-means in cosine geometry — the
+    * IVF coarse quantizer trainer. Init = the k lowest-id vectors among
+    * DISTINCT vector values (deterministic; duplicates collapse so a
+    * clone-heavy corpus still seeds k distinct directions). Each
+    * iteration: one broadcast-side assignment pass (native
+    * nearest-centroid expression, no join) + one k×dim-row aggregate
+    * (explode to (cid, pos) and sum — only k·dim rows shuffle, never a
+    * vector). Centroids come back to the driver: k×dim floats, the one
+    * structure in this module that is MEANT to be driver-side (it is
+    * broadcast into the assignment expression). */
+  def trainCentroids(corpus: DataFrame, vecCol: String,
+                     k: Int = 256, iters: Int = 5): Array[Array[Float]] = {
+    import org.apache.spark.sql.graft.GraftSql
+    val vecs = corpus.select(col(vecCol).as("vec"))
+      .filter(aggregate(col("vec"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")) > 0.0)
+    // init: k distinct vector VALUES ordered by a 64-bit value hash —
+    // deterministic, duplicate-free (a clone-heavy corpus still seeds k
+    // distinct directions), no id column required
+    var centroids = vecs.distinct()
+      .withColumn("__o", xxhash64(col("vec").cast("string")))
+      .orderBy("__o").limit(k)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "trainCentroids: empty corpus")
+    var it = 0
+    while (it < iters) {
+      val assign = GraftSql.column(graft.spark.GraftNearestCentroids(
+        GraftSql.expressionOf(col("vec")), centroids, 1))
+      val sums = vecs.withColumn("cid", element_at(assign, 1))
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // empty cells keep their previous centroid (standard Lloyd's)
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN: assign every corpus vector to its nearest trained centroid
+    * (the inverted file), probe the `nprobe` nearest lists per query,
+    * exact cosine + bounded top-k within the candidates. The classic
+    * two-level scale path: candidate reduction ~k/nprobe with recall
+    * governed by nprobe — the quantizer-aware sibling of `lshTopK`
+    * (data-adaptive cells vs data-oblivious hyperplanes). */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              centroids: Array[Array[Float]],
+              k: Int = 10, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    def nearest(c: Column, n: Int): Column =
+      GraftSql.column(graft.spark.GraftNearestCentroids(
+        GraftSql.expressionOf(c), centroids, n))
+    val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+      .withColumn("cell", element_at(nearest(col("cvec"), 1), 1))
+    val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+      .withColumn("cell", explode(nearest(col("qvec"), nprobe)))
+    val scored = bc.join(broadcast(bq), "cell")
+      .select(col("query_id"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cosine"))
+    TopK.perQueryTopK(scored, k)
+  }
+
   /** IVF-style ANN: assign every corpus vector to its LSH bucket, probe
     * only matching buckets for each query (candidate reduction ~2^planes),
     * then exact cosine + top-k within candidates. Recall < 1 by design —

@@ -402,6 +402,66 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Int)
   override def prettyName: String = "graft_hyperplane_sig"
 }
 
+/** Native nearest-centroid assignment for IVF ANN:
+  * `graft_nearest_centroids(vec, <centroid matrix literal>, nprobe)` →
+  * array<int> of the nprobe nearest centroid indices by cosine
+  * (descending; ties break on the lower index). The centroid matrix is
+  * a plan-time constant (the trained coarse quantizer is tiny — k×dim
+  * floats — and rides the closure/codegen references, never a join). */
+case class GraftNearestCentroids(child: Expression,
+    centroids: Array[Array[Float]], nprobe: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length,
+    s"nprobe=$nprobe must be in [1, ${centroids.length}]")
+  // centroid norms are precomputed once per plan; cosine(vec, c) ranks
+  // identically to dot(vec, c)/|c| (the |vec| factor is constant per row)
+  @transient private lazy val invNorms: Array[Double] = centroids.map { c =>
+    val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    if (n > 0) 1.0 / n else 0.0
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+  def nearest(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var dot = 0.0
+      var i = 0
+      val lim = math.min(n, cv.length)
+      while (i < lim) { dot += vec.getFloat(i).toDouble * cv(i); i += 1 }
+      scores(c) = dot * invNorms(c)
+      c += 1
+    }
+    val picked = new Array[Any](nprobe)
+    val used = new Array[Boolean](centroids.length)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < scores.length) {
+        if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new GenericArrayData(picked)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[GraftNearestCentroids].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftNearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroids"
+}
+
 case class ExtractInterleavedSpans(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.spanArrayType

@@ -49,6 +49,16 @@ object GraftSql {
       args => GraftLangId(args.head))
   )
 
+  /** Column from a raw Catalyst expression — for expressions whose
+    * constructor carries plan-time constants a SQL literal can't express
+    * cleanly (GraftNearestCentroids' k×dim matrix). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Expression behind a Column (the inverse, for wrapping). */
+  def expressionOf(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     entries.foreach { case (name, clazz, builder) =>

@@ -201,6 +201,41 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(p1 >= 0.70, f"multiprobe planted-partner recall regressed: $p1%.4f")
   }
 
+  test("IVF ANN: trained quantizer recall vs brute force; nprobe lifts recall") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    val byId = all.toMap
+    val centroids = Similarity.trainCentroids(corpus, "embedding", k = 16, iters = 3)
+    assert(centroids.length == 16)
+    def truthTop(q: Array[Float], k: Int): Set[Long] =
+      all.map { case (id, v) => (id, cosF(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    def recallAt(nprobe: Int): (Double, Double) = {
+      val got = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", centroids, k = 10, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rAt10 = queryRows.map { case (qid, _) =>
+        val t = truthTop(byId(qid), 10)
+        (got.getOrElse(qid, Set.empty) & t).size.toDouble / t.size
+      }.sum / queryRows.size
+      val planted = queryRows.map(_._1).filter(q => byId.contains(q + 10000L))
+      val rPlanted = planted.count(q =>
+        got.getOrElse(q, Set.empty).contains(q + 10000L)).toDouble / planted.size
+      (rAt10, rPlanted)
+    }
+    val (r1, p1) = recallAt(1)
+    val (r4, p4) = recallAt(4)
+    info(f"ivfTopK recall@10: nprobe=1 → $r1%.4f, nprobe=4 → $r4%.4f")
+    info(f"ivfTopK planted-partner recall: nprobe=1 → $p1%.4f, nprobe=4 → $p4%.4f")
+    assert(r4 >= r1 && p4 >= p1, "more probes must not lose recall")
+    assert(p4 >= 0.95, f"ivf planted-partner recall regressed: $p4%.4f (measured 1.0)")
+    assert(r4 >= 0.75, f"ivf recall@10 regressed: $r4%.4f (measured 0.825)")
+  }
+
   test("minhash recall at graded jaccard overlaps vs brute force") {
     import spark.implicits._
     // pair p at grade (m, n): docs share m of n tokens each → J = m/(2n-m)
