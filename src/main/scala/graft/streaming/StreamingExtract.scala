@@ -55,4 +55,43 @@ object StreamingExtract {
     val q = start(spark, inputDir, outDir, checkpointDir, cfg, availableNowOnly = true)
     q.awaitTermination()
   }
+
+  /** Per-hash dedup state: how many copies seen, which doc won. */
+  final case class DedupState(first_doc_id: String, copies: Long)
+  /** Dedup verdict row emitted per input doc. */
+  final case class DedupVerdict(doc_id: String, text_hash: String,
+                                is_first: Boolean, copies_so_far: Long)
+
+  /** Streaming exact dedup over an unbounded doc stream: the first doc
+    * per normalized text hash passes (`is_first`), later copies are
+    * flagged with their running count — the stateful building block a
+    * continuous ingestion pipeline puts in front of extraction.
+    * `flatMapGroupsWithState` keeps ONE small state row per distinct
+    * hash (the custom-state pattern the north-rule growth path needs;
+    * built-in dropDuplicates can't expose the copy counts or the winning
+    * doc id). State is hash-keyed, so the shuffle carries (hash, doc_id)
+    * only; update mode emits one verdict per input row per micro-batch. */
+  def dedupVerdicts(docs: org.apache.spark.sql.Dataset[(String, String)])
+      : org.apache.spark.sql.Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).cast("string").as("text_hash"))
+      .as[(String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[(String, String)], state: GroupState[DedupState]) => {
+          // deterministic winner inside a micro-batch: smallest doc_id
+          val batch = rows.toSeq.sortBy(_._1)
+          var st = state.getOption.getOrElse(DedupState(batch.head._1, 0L))
+          val out = batch.map { case (docId, _) =>
+            st = DedupState(st.first_doc_id, st.copies + 1)
+            DedupVerdict(docId, hash, st.copies == 1 && docId == st.first_doc_id,
+              st.copies)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

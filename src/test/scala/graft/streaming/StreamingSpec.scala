@@ -39,4 +39,29 @@ class StreamingSpec extends AnyFunSuite {
     // metrics landed
     assert(spark.read.parquet(s"$base/out/metrics").count() > 0)
   }
+
+  test("streaming stateful dedup: first doc per hash wins across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val verdicts = StreamingExtract.dedupVerdicts(in.toDS())
+    val q = verdicts.writeStream.format("memory")
+      .queryName("dedup_verdicts").outputMode("update").start()
+    try {
+      // batch 1: d1/d2 share a text (d1 wins), d3 unique
+      in.addData(("d2", "same text"), ("d1", "same text"), ("d3", "other"))
+      q.processAllAvailable()
+      // batch 2: another copy of the same text + a repeat of d3's text
+      in.addData(("d9", "  SAME TEXT "), ("d4", "other"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_verdicts")
+        .collect().map(r => r.getString(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+      assert(got("d1") == (true, 1L), s"d1 must win its hash: $got")
+      assert(got("d2") == (false, 2L))
+      assert(got("d3") == (true, 1L))
+      assert(got("d9") == (false, 3L), "normalization must unify case/whitespace")
+      assert(got("d4") == (false, 2L))
+    } finally q.stop()
+  }
 }
