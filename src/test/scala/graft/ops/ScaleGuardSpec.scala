@@ -46,6 +46,13 @@ class ScaleGuardSpec extends AnyFunSuite {
     val got2 = Dedup.minhashCandidates(blanks.toDF("doc_id", "text"), "doc_id", "text",
       k = 32, bands = 8, jaccardThreshold = 0.5)
     assert(got2.count() == 0)
+    // simhash star pairs verify through the CARRIED hub signature
+    // (min_by) — 600 clones, tiny cap → 599 hub pairs, all hamming 0
+    val sClones = (0 until 600).map(i => (i.toLong, "same exact tokens here again"))
+    val got3 = Dedup.simhashCandidates(sClones.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 1, maxBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got3.size == 599 && got3.forall(p => p._1 == 0L && p._3 == 0))
   }
 
   test("embedding near-dup: planted twins found, zero vectors dropped, guard caps") {
