@@ -18,7 +18,15 @@ object Dedup {
     * The groupBy combines map-side, the join carries only
     * (hash, count, min_id) per distinct document. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.withColumn("text_hash", md5(lower(trim(col(textCol)))))
+    // coalesce sentinel (never fires on non-null text) makes the hash
+    // non-nullable, and the explicit repartition is the ONE exchange
+    // both the stats aggregate and the join consume — the 128-bit hash
+    // is computed once per row (same canonical-equality discipline as
+    // guardedBucketPairs; without it the aggregate branch re-hashes the
+    // full text map-side)
+    val hashed = df
+      .withColumn("text_hash", coalesce(md5(lower(trim(col(textCol)))), lit("")))
+      .repartition(col("text_hash"))
     val stats = hashed.groupBy("text_hash")
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("__canon_id"))
     hashed.join(stats, "text_hash")
@@ -266,9 +274,17 @@ object Dedup {
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                maxIterations: Int = 10): DataFrame = {
     val spark = ids.sparkSession
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // undirected edge list, both directions — MATERIALIZED once up
+    // front: `pairs` is usually the output of a whole LSH candidate
+    // pipeline, and every propagation round references the edges twice;
+    // without the checkpoint the candidate generation would re-execute
+    // 2×rounds times (the single biggest hidden cost of iterative graph
+    // algorithms over lazily-defined inputs)
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges =
+      if (spark.sparkContext.getCheckpointDir.isDefined) edges0.checkpoint(true)
+      else edges0.localCheckpoint(true)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var converged = false
     var i = 0
