@@ -39,10 +39,15 @@ final case class DomAttr(var name: String, var value: String, var ns: Int = Ns.H
   * api.h:1379) — this is where extracted span offsets come from.
   */
 final class Node(
-    val kind: Int,
-    var name: String,
-    var ns: Int = Ns.HTML
+    kind0: Int,
+    name0: String,
+    ns0: Int = Ns.HTML
 ) {
+  var kind: Int = _
+  var name: String = _
+  var ns: Int = _
+  /** Tag category bits (Tags.flagsFor) — set at (re)initialization. */
+  var flags: Int = _
   // first-child/last-child + sibling links — the reference's exact node
   // layout (source/myhtml/tree.h:78-95). O(1) attach, detach, and
   // sibling navigation, and no per-element child-buffer allocations
@@ -74,16 +79,26 @@ final class Node(
     b
   }
   var attrs: ArrayBuffer[DomAttr] = _
-  /** Tag category bits (Tags.flagsFor) — set once at element creation. */
-  val flags: Int =
-    if (kind != NodeKind.Element) 0
-    else if (ns == Ns.HTML) Tags.Names.htmlFlags(name)
-    else Tags.flagsFor(name, ns)
   var text: String = ""
   var rawBegin: Int = -1
   // doctype fields
   var publicId: String = _
   var systemId: String = _
+
+  /** (Re)initialize every field — the arena-reuse contract (NodeArena):
+    * a reset node is indistinguishable from a fresh `new Node(...)`.
+    * Any field added to this class MUST be cleared here. */
+  def reset(k: Int, nm: String, n: Int): Node = {
+    kind = k; name = nm; ns = n
+    flags =
+      if (k != NodeKind.Element) 0
+      else if (n == Ns.HTML) Tags.Names.htmlFlags(nm)
+      else Tags.flagsFor(nm, n)
+    parent = null; firstChild = null; lastChild = null; next = null; prev = null
+    attrs = null; text = ""; rawBegin = -1; publicId = null; systemId = null
+    this
+  }
+  reset(kind0, name0, ns0)
 
   def attr(key: String): Option[String] = {
     if (attrs == null) return None
@@ -189,6 +204,44 @@ final class Node(
     case NodeKind.Comment  => s"#comment(${text.take(20)})"
     case NodeKind.Doctype  => s"#doctype($name)"
     case NodeKind.Document => "#document"
+  }
+}
+
+/** Bump-pointer Node arena for parse→extract→DISCARD lifecycles — the
+  * JVM analog of the reference's mcobject node pools
+  * (source/mycore/utils/mcobject_async.c): the extraction kernel parses
+  * a document, reads the tree, and throws it away, so nodes can be
+  * recycled wholesale with one index reset per document. Reused nodes
+  * stay cache-resident instead of burning allocation bandwidth — the
+  * measured wall at 32-wide (BASELINE.md). NOT thread-safe: use one
+  * arena per thread (Extractor keeps a ThreadLocal). Never hand an
+  * arena to a parse whose tree outlives the next `releaseAll()`. */
+final class NodeArena(initialCapacity: Int = 256) {
+  private var buf = new Array[Node](initialCapacity)
+  private var used = 0
+  /** High-water mark cap: after releaseAll a giant document's node array
+    * shrinks back so one outlier doc doesn't pin memory per thread. */
+  private val maxRetained = 1 << 16
+
+  def alloc(kind: Int, name: String, ns: Int): Node = {
+    if (used == buf.length)
+      buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    val slot = buf(used)
+    used += 1
+    if (slot == null) {
+      val n = new Node(kind, name, ns)
+      buf(used - 1) = n
+      n
+    } else slot.reset(kind, name, ns)
+  }
+
+  /** Recycle every node handed out since the last release. The nodes'
+    * object graphs (attrs/strings of the PREVIOUS doc) stay reachable
+    * until their slot is reused — bounded by one document per thread. */
+  def releaseAll(): Unit = {
+    if (buf.length > maxRetained)
+      buf = java.util.Arrays.copyOf(buf, maxRetained)
+    used = 0
   }
 }
 

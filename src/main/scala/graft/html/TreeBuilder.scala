@@ -42,10 +42,31 @@ object QuirksMode {
   * source/myhtml/tree.c). One instance per document row; state never
   * crosses rows (SURVEY §2.1 "Tree" row).
   */
-final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
+final class TreeBuilder(scripting: Boolean = false,
+                        arena: NodeArena = null) extends TokenSink {
   import Mode._
 
-  val doc: Node = Node.document()
+  // node allocation goes through the optional arena (parse→extract→
+  // discard lifecycles recycle nodes wholesale — NodeArena doc); a null
+  // arena means plain heap allocation, the API-safe default for any
+  // caller that keeps the returned tree
+  @inline private def allocDocument(): Node =
+    if (arena == null) Node.document()
+    else arena.alloc(NodeKind.Document, "#document", Ns.HTML)
+  @inline private[html] def allocElement(name: String, ns: Int = Ns.HTML): Node =
+    if (arena == null) Node.element(name, ns)
+    else arena.alloc(NodeKind.Element, name, ns)
+  @inline private def allocText(s: String, rawBegin: Int): Node =
+    if (arena == null) Node.text(s, rawBegin)
+    else { val n = arena.alloc(NodeKind.Text, "#text", Ns.HTML); n.text = s; n.rawBegin = rawBegin; n }
+  @inline private def allocComment(s: String): Node =
+    if (arena == null) Node.comment(s)
+    else { val n = arena.alloc(NodeKind.Comment, "#comment", Ns.HTML); n.text = s; n }
+  @inline private def allocDoctype(name: String, pub: String, sys: String): Node =
+    if (arena == null) Node.doctype(name, pub, sys)
+    else { val n = arena.alloc(NodeKind.Doctype, name, Ns.HTML); n.publicId = pub; n.systemId = sys; n }
+
+  val doc: Node = allocDocument()
   var quirks: Int = QuirksMode.NoQuirks
 
   /** Open-elements stack (reference tree.c:839-1066). */
@@ -216,7 +237,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def createElement(tok: StartTagTok, ns: Int): Node = {
-    val n = Node.element(tok.name, ns)
+    val n = allocElement(tok.name, ns)
     n.rawBegin = tok.rawBegin
     if (tok.attrs.nonEmpty) {
       val src = tok.attrs
@@ -260,11 +281,11 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
     // O(1) with sibling links (was a newest-first identity scan)
     val prev = if (apBefore != null) apBefore.prev else apParent.lastChild
     if (prev != null && prev.kind == NodeKind.Text) prev.text += s
-    else insertAtPlace(Node.text(s, rawBegin))
+    else insertAtPlace(allocText(s, rawBegin))
   }
 
   private def insertComment(tok: CommentTok, parent: Node = null): Unit = {
-    val c = Node.comment(tok.text)
+    val c = allocComment(tok.text)
     c.rawBegin = tok.rawBegin
     if (parent != null) { parent.appendChild(c); fireInsert(c) }
     else { appropriatePlace(); insertAtPlace(c) }
@@ -786,7 +807,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
       }
     case c: CommentTok => insertComment(c, doc)
     case d: DoctypeTok =>
-      val n = Node.doctype(if (d.name == null) "" else d.name, d.publicId, d.systemId)
+      val n = allocDoctype(if (d.name == null) "" else d.name, d.publicId, d.systemId)
       doc.appendChild(n)
       fireInsert(n)
       quirks = determineQuirks(d)
@@ -823,7 +844,7 @@ final class TreeBuilder(scripting: Boolean = false) extends TokenSink {
   }
 
   private def anythingElseBeforeHtml(): Unit = {
-    val n = Node.element("html")
+    val n = allocElement("html")
     doc.appendChild(n)
     fireInsert(n)
     stack += n
@@ -1956,9 +1977,14 @@ object HtmlParser {
     })
     tk.run()
   }
-  /** Full-document parse → Document node. */
-  def parse(html: String, scripting: Boolean = false): Node = {
-    val builder = new TreeBuilder(scripting)
+  /** Full-document parse → Document node.
+    *
+    * `arena` (optional) recycles node objects per document — ONLY for
+    * parse→read→discard lifecycles (the extraction kernel): the
+    * returned tree is invalidated by the arena's next releaseAll(). */
+  def parse(html: String, scripting: Boolean = false,
+            arena: NodeArena = null): Node = {
+    val builder = new TreeBuilder(scripting, arena)
     val tokenizer = new Tokenizer(html, builder)
     tokenizer.scripting = scripting
     builder.tokenizer = tokenizer
@@ -1997,9 +2023,10 @@ object HtmlParser {
     * tokenizer fragment init tokenizer.c:204-244). Returns the synthetic
     * html root whose children are the parsed fragment. */
   def parseFragment(html: String, contextTag: String = "div",
-                    contextNs: Int = Ns.HTML, scripting: Boolean = false): Node = {
-    val builder = new TreeBuilder(scripting)
-    val ctx = Node.element(contextTag, contextNs)
+                    contextNs: Int = Ns.HTML, scripting: Boolean = false,
+                    arena: NodeArena = null): Node = {
+    val builder = new TreeBuilder(scripting, arena)
+    val ctx = builder.allocElement(contextTag, contextNs)
     builder.fragmentContext = ctx
     val tokenizer = new Tokenizer(html, builder)
     builder.tokenizer = tokenizer
@@ -2014,7 +2041,7 @@ object HtmlParser {
       case _ =>
     }
     tokenizer.lastStartTag = contextTag
-    val root = Node.element("html")
+    val root = builder.allocElement("html")
     builder.doc.appendChild(root)
     builder.stack += root
     builder.htmlNode = root

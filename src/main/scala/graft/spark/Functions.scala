@@ -65,10 +65,8 @@ object HtmlUdfs {
     * of the fragment, spans joined by a single space. The context tag
     * drives the initial tokenizer content model (textarea ⇒ RCDATA etc.)
     * and the reset-insertion-mode walk, exactly like the document API. */
-  def fragmentText(html: UTF8String, context: UTF8String): UTF8String = {
-    val root = HtmlParser.parseFragment(html.toString, context.toString)
-    joinSpanText(Extractor.extract(root))
-  }
+  def fragmentText(html: UTF8String, context: UTF8String): UTF8String =
+    joinSpanText(Extractor.extractFragment(html.toString, context.toString))
 
   /** serialize(parse(html)) — normalized HTML output. */
   def roundtripHtml(html: UTF8String): UTF8String =
