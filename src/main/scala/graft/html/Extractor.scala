@@ -92,35 +92,16 @@ object Extractor {
     else scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
-  /** Per-thread node arena for the parse→extract→discard kernel
-    * lifecycle (NodeArena doc) — nodes recycle wholesale per document
-    * instead of burning allocation bandwidth, the measured wall at
-    * 32-wide (BASELINE.md). Kill switch: -Dgraft.extract.arena=false. */
-  private val arenaEnabled =
-    java.lang.Boolean.parseBoolean(System.getProperty("graft.extract.arena", "true"))
-  private val arenas: ThreadLocal[NodeArena] =
-    ThreadLocal.withInitial(() => new NodeArena())
-
   /** Parse + extract in one call — the per-row kernel body
     * (SURVEY §3.1 Spark realization). The tree is born and dies inside
-    * this call, so it parses into the thread's node arena. */
+    * this call, so it parses into the thread's node arena (ArenaParse). */
   def extractHtml(html: String, cfg: ExtractConfig = Strict): Seq[Span] =
-    if (!arenaEnabled) extract(HtmlParser.parse(html), cfg)
-    else {
-      val arena = arenas.get()
-      try extract(HtmlParser.parse(html, arena = arena), cfg)
-      finally arena.releaseAll()
-    }
+    ArenaParse.withDoc(html)(doc => extract(doc, cfg))
 
   /** Fragment-parse + extract, same arena lifecycle as extractHtml. */
   def extractFragment(html: String, contextTag: String,
                       cfg: ExtractConfig = Strict): Seq[Span] =
-    if (!arenaEnabled) extract(HtmlParser.parseFragment(html, contextTag), cfg)
-    else {
-      val arena = arenas.get()
-      try extract(HtmlParser.parseFragment(html, contextTag, arena = arena), cfg)
-      finally arena.releaseAll()
-    }
+    ArenaParse.withFragment(html, contextTag)(root => extract(root, cfg))
 
   // ------------------------------------------------ boilerplate scoring
 

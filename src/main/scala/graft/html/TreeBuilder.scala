@@ -2010,8 +2010,9 @@ object HtmlParser {
     builder.doc
   }
 
-  def parseWithQuirks(html: String, scripting: Boolean = false): (Node, Int) = {
-    val builder = new TreeBuilder(scripting)
+  def parseWithQuirks(html: String, scripting: Boolean = false,
+                      arena: NodeArena = null): (Node, Int) = {
+    val builder = new TreeBuilder(scripting, arena)
     val tokenizer = new Tokenizer(html, builder)
     tokenizer.scripting = scripting
     builder.tokenizer = tokenizer

@@ -70,7 +70,8 @@ object HtmlUdfs {
 
   /** serialize(parse(html)) — normalized HTML output. */
   def roundtripHtml(html: UTF8String): UTF8String =
-    UTF8String.fromString(Serializer.innerHtml(HtmlParser.parse(html.toString)))
+    graft.html.ArenaParse.withDoc(html.toString)(doc =>
+      UTF8String.fromString(Serializer.innerHtml(doc)))
 
   /** charset sniff over raw bytes (BOM → meta prescan → heuristics). */
   def sniffCharset(bytes: Array[Byte]): UTF8String =
@@ -78,7 +79,7 @@ object HtmlUdfs {
 
   /** quirks mode of a parsed document: "quirks"|"limited"|"no-quirks". */
   def quirksMode(html: UTF8String): UTF8String = {
-    val q = HtmlParser.parseWithQuirks(html.toString)._2
+    val q = graft.html.ArenaParse.withDocQuirks(html.toString)((_, qq) => qq)
     UTF8String.fromString(q match {
       case QuirksMode.Quirks => "quirks"
       case QuirksMode.Limited => "limited"
@@ -134,8 +135,8 @@ object HtmlUdfs {
   /** DOM exploded to pre-order node rows — the relational view of the
     * reference's collection DFS (myhtml.c:435-483); pair with explode()
     * for the UDTF shape (SURVEY Q1/Q17). */
-  def domNodes(html: UTF8String): ArrayData = {
-    val doc = HtmlParser.parse(html.toString)
+  def domNodes(html: UTF8String): ArrayData = graft.html.ArenaParse
+      .withDoc(html.toString) { doc =>
     val rows = new scala.collection.mutable.ArrayBuffer[Any](32)
     def walk(n: Node, depth: Int): Unit = {
       val (ntype, tag, text) = n.kind match {
@@ -206,11 +207,10 @@ object HtmlUdfs {
   /** CSS attribute-selector match count over the parsed DOM
     * (reference myhtml.c:922-1301 six modes). */
   def attrMatchCount(html: UTF8String, key: UTF8String, value: UTF8String,
-                     mode: UTF8String): Long = {
-    val doc = HtmlParser.parse(html.toString)
-    AttrMatch.select(doc, key.toString, value.toString,
-      AttrMatch.mode(mode.toString)).length.toLong
-  }
+                     mode: UTF8String): Long =
+    graft.html.ArenaParse.withDoc(html.toString)(doc =>
+      AttrMatch.select(doc, key.toString, value.toString,
+        AttrMatch.mode(mode.toString)).length.toLong)
 }
 
 /** Native Catalyst expression: parse_html_spans(html). Codegen emits a
