@@ -732,6 +732,26 @@ class ApiSurfaceSpec extends AnyFunSuite {
         s"all-caps input misdetected under $cs")
   }
 
+  test("arena-parsed extraction equals heap-parsed extraction doc for doc") {
+    // the NodeArena recycles node objects between documents — any field
+    // missed by Node.reset would leak the previous doc's state into the
+    // next; interleave dissimilar docs and compare against fresh heap
+    // parses (the 21-corpus parity sweep is the big detector, this is
+    // the in-suite canary)
+    val docs = Seq(
+      "<table>x<td id=a>cell</td></table><b>tail",
+      "<!DOCTYPE html><p>one<b>two<i>three</b>four</i>five",
+      "<svg><desc>d</desc><circle/></svg><math><mi>m</mi></math>",
+      "<title>t&amp;</title><pre>\nkept</pre><img src=\"m://1\">",
+      "" ,
+      "<div class=x data-n=1>" + ("nested " * 50) + "</div>")
+    for (_ <- 0 until 3; d <- docs) {
+      val viaArena = Extractor.extractHtml(d)
+      val viaHeap = Extractor.extract(HtmlParser.parse(d))
+      assert(viaArena == viaHeap, s"arena/heap divergence on: ${d.take(40)}")
+    }
+  }
+
   test("callback serialization driver streams bounded chunks == buffer driver") {
     // reference serialization.c has both buffer and callback drivers
     // (serialization.c:36-55, 466-555) — round-2 verdict missing #3
