@@ -262,6 +262,13 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepList(docs(s, dir), "doc_id", "source")),
 
+    // the annotate variant (keep every row, flag canonicals) — one
+    // hash exchange consumed by both the stats aggregate and the join
+    "q_dedup_flags" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir).select("doc_id", "source"), "doc_id", "source")
+        .select(col("doc_id"), col("text_hash"), col("dup_count"),
+          col("is_canonical"))),
+
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -573,6 +580,12 @@ object SparkEntry {
       """SELECT md5(lower(trim(source))) AS text_hash, min(doc_id) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_flags" ->
+      """SELECT doc_id, md5(lower(trim(source))) AS text_hash,
+        |  CAST(count(*) OVER (PARTITION BY md5(lower(trim(source)))) AS BIGINT) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(source)))) AS is_canonical
+        |FROM documents""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
