@@ -576,15 +576,18 @@ object SparkEntry {
         |  WHEN 2 THEN 'Shift_JIS' ELSE 'windows-1252' END AS charset
         |FROM documents""".stripMargin,
 
+    // coalesce(…, '') mirrors the engine's null-text sentinel (shared by
+    // Dedup.exact and exactKeepList) — a null-text row groups under ''
+    // on every path, oracle included
     "q_dedup_exact" ->
-      """SELECT md5(lower(trim(source))) AS text_hash, min(doc_id) AS doc_id,
+      """SELECT coalesce(md5(lower(trim(source))), '') AS text_hash, min(doc_id) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_flags" ->
-      """SELECT doc_id, md5(lower(trim(source))) AS text_hash,
-        |  CAST(count(*) OVER (PARTITION BY md5(lower(trim(source)))) AS BIGINT) AS dup_count,
-        |  doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(source)))) AS is_canonical
+      """SELECT doc_id, coalesce(md5(lower(trim(source))), '') AS text_hash,
+        |  CAST(count(*) OVER (PARTITION BY coalesce(md5(lower(trim(source))), '')) AS BIGINT) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY coalesce(md5(lower(trim(source))), '')) AS is_canonical
         |FROM documents""".stripMargin,
 
     "q_text_stats" ->

@@ -235,14 +235,24 @@ final class NodeArena(initialCapacity: Int = 256) {
     } else slot.reset(kind, name, ns)
   }
 
-  /** Recycle every node handed out since the last release. The nodes'
-    * object graphs (attrs/strings of the PREVIOUS doc) stay reachable
-    * until their slot is reused — bounded by one document per thread. */
-  def releaseAll(): Unit = {
-    if (buf.length > maxRetained)
+  /** Allocation watermark — pair with `releaseTo` for nested
+    * parse→read→discard scopes on the same thread (ArenaParse saves the
+    * mark on entry so an inner scope's release can't recycle the outer
+    * document's nodes out from under it). */
+  def mark: Int = used
+
+  /** Recycle every node handed out since `m` was taken. */
+  def releaseTo(m: Int): Unit = {
+    if (m == 0 && buf.length > maxRetained)
       buf = java.util.Arrays.copyOf(buf, maxRetained)
-    used = 0
+    used = m
   }
+
+  /** Recycle every node handed out since the last full release. The
+    * nodes' object graphs (attrs/strings of the PREVIOUS doc) stay
+    * reachable until their slot is reused — bounded by one document per
+    * thread. */
+  def releaseAll(): Unit = releaseTo(0)
 }
 
 object Node {

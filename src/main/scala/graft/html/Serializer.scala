@@ -60,6 +60,31 @@ object Serializer {
     @inline def maybeFlush(): Unit =
       if (cb != null && sb.length >= chunkChars) { cb(sb); sb.setLength(0) }
     def finish(): Unit = if (cb != null && sb.length > 0) { cb(sb); sb.setLength(0) }
+    /** Append a potentially huge piece SLICED across flushes, so one
+      * multi-MB text node / attribute value never materializes a single
+      * giant chunk (ADVICE r3: node-boundary flushing alone bounds the
+      * chunk by the largest syntactic piece, not by chunkChars). The
+      * escapers are per-character (no cross-char state), so escaping a
+      * slice at a time emits identical bytes. */
+    def appendSliced(s: String, escaper: String => String): Unit = {
+      // slice well under chunkChars: an escaper can expand a slice up to
+      // 6x ("&nbsp;"), and maybeFlush only fires between slices — with
+      // slices of chunkChars/4 the emitted chunks stay <= ~2.5x
+      // chunkChars even on pathological all-escape input
+      val slice = math.max(16, chunkChars / 4)
+      if (cb == null || s.length <= slice) {
+        sb.append(if (escaper == null) s else escaper(s))
+      } else {
+        var i = 0
+        while (i < s.length) {
+          val end = math.min(i + slice, s.length)
+          val piece = s.substring(i, end)
+          sb.append(if (escaper == null) piece else escaper(piece))
+          maybeFlush()
+          i = end
+        }
+      }
+    }
   }
 
   /** Serialize a node's subtree to HTML (the node itself included unless
@@ -110,17 +135,21 @@ object Serializer {
         sb.append('>')
         em.maybeFlush()
       case NodeKind.Comment =>
-        sb.append("<!--").append(n.text).append("-->")
+        sb.append("<!--")
+        em.appendSliced(n.text, null)
+        sb.append("-->")
         em.maybeFlush()
       case NodeKind.Text =>
         val parentRaw = n.parent != null && n.parent.kind == NodeKind.Element &&
           n.parent.ns == Ns.HTML && rawTextTags.contains(n.parent.name)
-        sb.append(if (parentRaw) n.text else escapeText(n.text))
+        em.appendSliced(n.text, if (parentRaw) null else escapeText)
         em.maybeFlush()
       case NodeKind.Element =>
         sb.append('<').append(n.name)
         if (n.attrs != null) n.attrs.foreach { a =>
-          sb.append(' ').append(a.name).append("=\"").append(escapeAttr(a.value)).append('"')
+          sb.append(' ').append(a.name).append("=\"")
+          em.appendSliced(a.value, escapeAttr)
+          sb.append('"')
         }
         sb.append('>')
         em.maybeFlush()

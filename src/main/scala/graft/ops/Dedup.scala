@@ -40,7 +40,10 @@ object Dedup {
   /** Exact-dedup keep-list: canonical ids only (groupBy, map-side
     * combine; the usual first stage of a pipeline dedup). */
   def exactKeepList(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(lower(trim(col(textCol)))).as("text_hash"))
+    // same null-text sentinel as `exact` (ADVICE r3): a NULL text row
+    // groups under '' in BOTH variants and in the DuckDB oracles, so the
+    // three paths can never disagree on null handling
+    df.groupBy(coalesce(md5(lower(trim(col(textCol)))), lit("")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dup_count"))
 
   /** Self-join `banded` on (band, bucket) with a skew guard: buckets

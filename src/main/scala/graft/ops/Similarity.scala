@@ -45,9 +45,10 @@ object Similarity {
     call_function("graft_hyperplane_sig", vec, lit(planes), lit(seed))
 
   /** Deterministic distributed Lloyd's k-means in cosine geometry — the
-    * IVF coarse quantizer trainer. Init = the k lowest-id vectors among
-    * DISTINCT vector values (deterministic; duplicates collapse so a
-    * clone-heavy corpus still seeds k distinct directions). Each
+    * IVF coarse quantizer trainer. Init = k DISTINCT vector values
+    * ordered by a 64-bit hash of the value itself (deterministic and
+    * id-free; duplicates collapse so a clone-heavy corpus still seeds k
+    * distinct directions). Each
     * iteration: one broadcast-side assignment pass (native
     * nearest-centroid expression, no join) + one k×dim-row aggregate
     * (explode to (cid, pos) and sum — only k·dim rows shuffle, never a

@@ -765,4 +765,43 @@ class ApiSurfaceSpec extends AnyFunSuite {
     // bounded: a chunk may overshoot by at most one syntactic piece
     assert(chunks.forall(_.length < 256 + 64), "chunk size not bounded")
   }
+
+  test("one giant text node / attr value still streams bounded chunks") {
+    // ADVICE r3: node-boundary flushing alone bounded chunks by the
+    // LARGEST SINGLE PIECE — a multi-MB text node materialized one giant
+    // chunk. appendSliced now slices inside the piece; escaping expands
+    // a slice at most 6x ("&nbsp;"), slices run chunkChars/4, so chunks
+    // stay <= ~2.5x chunkChars even on pathological all-escape input.
+    val big = ("x y&" * 40000) // 160k chars, escape-heavy
+    val html = "<div title=\"" + ("a b" * 2000) + "\"><p>" + big + "</p></div>"
+    val doc = HtmlParser.parse(html)
+    val want = Serializer.toHtml(doc)
+    val chunkChars = 1024
+    val chunks = scala.collection.mutable.ArrayBuffer[String]()
+    Serializer.serializeWith(doc, chunkChars)(cs => chunks += cs.toString)
+    assert(chunks.mkString == want, "sliced chunk concatenation must equal buffer output")
+    val maxLen = chunks.map(_.length).max
+    assert(maxLen <= chunkChars * 5 / 2 + 64,
+      s"giant-piece chunk not bounded: max chunk $maxLen for chunkChars=$chunkChars")
+  }
+
+  test("nested arena scopes: inner parse cannot recycle the outer document") {
+    // ADVICE r3: releaseAll in the inner finally used to reset used=0,
+    // so the NEXT nested parse would recycle the outer tree's nodes
+    // while the outer scope was still reading them (mark/restore fix)
+    ArenaParse.withDoc("<div id=out><p>outer text</p></div>") { outer =>
+      ArenaParse.withDoc("<span>inner one</span>") { inner =>
+        assert(Extractor.extract(inner).map(_.text).mkString(" ") == "inner one")
+      }
+      // second nested parse AFTER the first released — without the mark
+      // this allocation run would reuse (and reset) the outer nodes
+      ArenaParse.withDoc("<b>CLOBBER CLOBBER CLOBBER</b>") { inner2 =>
+        assert(Extractor.extract(inner2).nonEmpty)
+        // outer tree must still read its own content while inner2 is live
+        assert(Extractor.extract(outer).map(_.text).mkString(" ") == "outer text",
+          "outer document recycled by nested arena scope")
+      }
+      assert(Extractor.extract(outer).map(_.text).mkString(" ") == "outer text")
+    }
+  }
 }
