@@ -17,7 +17,64 @@ object Dedup {
     * partial-aggregate; at corpus scale one hot hash key pins a task).
     * The groupBy combines map-side, the join carries only
     * (hash, count, min_id) per distinct document. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df, idCol, textCol, skewSafe = false)
+
+  /** Exact dedup, annotate variant, with an explicit skew trade-off:
+    *
+    *  - `skewSafe = false` (default): ONE scan, ONE full-width exchange
+    *    shared by the stats aggregate and the annotate join (the md5 is
+    *    computed once per row). The cost: every copy of a given hash
+    *    lands in one shuffle partition, so a mega-duplicated document
+    *    (10⁷ boilerplate copies) pins one task — fine for corpora whose
+    *    worst dup cluster fits a task, the common case.
+    *  - `skewSafe = true`: the AQE-splittable formulation for clone-heavy
+    *    corpora. The aggregate runs BEFORE its own exchange (map-side
+    *    partial aggregation collapses clones per input partition — the
+    *    hot hash arrives at the reducer as ≤ #input-partitions partial
+    *    rows, never as raw copies), and the NARROW stats frame
+    *    (hash, count, min_id) is CHECKPOINTED — same materialization
+    *    pattern as `clusters` — so the annotate join sees two PLAIN
+    *    shuffle children (scan-side and checkpoint-scan-side), exactly
+    *    the pattern AQE's OptimizeSkewedJoin requires to split the hot
+    *    probe partition while re-reading the matching build partition
+    *    per split. (A round-trip `repartition` instead of the checkpoint
+    *    gets collapsed by the optimizer — the aggregate's output is
+    *    already hash-partitioned — leaving an aggregate between join and
+    *    shuffle, which AQE refuses to split.) Costs the eager stats job
+    *    + a narrow checkpoint write; the md5 runs once per row per
+    *    branch (2× total) instead of once. ScaleGuardSpec pins a
+    *    10⁵-clone corpus through both shapes. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            skewSafe: Boolean): DataFrame =
+    if (!skewSafe) exactShared(df, idCol, textCol)
+    else {
+      val spark = df.sparkSession
+      val hash = coalesce(md5(lower(trim(col(textCol)))), lit(""))
+      val hashed = df.withColumn("text_hash", hash)
+      val stats0 = hashed.groupBy("text_hash")
+        .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("__canon_id"))
+      // reliable checkpoint when a dir is configured (survives executor
+      // loss on a real cluster); localCheckpoint for dir-less local runs
+      val statsCk =
+        if (spark.sparkContext.getCheckpointDir.isDefined) stats0.checkpoint(true)
+        else stats0.localCheckpoint(true)
+      // re-wrap WITHOUT the preserved hash-partitioning: a build side
+      // that already satisfies the join distribution skips its exchange,
+      // and a no-exchange build side is exactly what stops AQE from
+      // splitting a skewed probe partition (each probe split must
+      // re-read the matching build partition from a shuffle stage). The
+      // extra narrow exchange this forces costs ~nothing next to the
+      // full-width probe shuffle.
+      val stats = spark.createDataFrame(statsCk.rdd, statsCk.schema)
+      hashed.join(stats, "text_hash")
+        .withColumn("is_canonical", col(idCol) === col("__canon_id"))
+        .drop("__canon_id")
+        .select(df.columns.map(col) ++
+          Seq(col("text_hash"), col("dup_count"), col("is_canonical")): _*)
+    }
+
+  private def exactShared(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // coalesce sentinel (never fires on non-null text) makes the hash
     // non-nullable, and the explicit repartition is the ONE exchange
     // both the stats aggregate and the join consume — the 128-bit hash

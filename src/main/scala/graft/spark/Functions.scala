@@ -16,6 +16,18 @@ import org.apache.spark.sql.{SparkSessionExtensions, Column}
   * closure, no serialization; SURVEY §4 custom-work table). */
 object HtmlUdfs {
 
+  /** Local-mode observability, same role as TextKernels.minhashEvals /
+    * VecUdfs.hyperplaneEvals: PlanSpec pins parses-per-row through
+    * ACTUAL invocation counts (plan strings are unreliable under AQE,
+    * and a query projecting several derivatives of one
+    * parse_html_spans(html) silently re-parses per consumer unless
+    * Catalyst's subexpression elimination holds — the exact failure
+    * mode round 3 caught for the signature kernels). One uncontended
+    * CAS per document parse (~50µs); invisible next to the parse. */
+  val spanEvals = new java.util.concurrent.atomic.AtomicLong
+  val textEvals = new java.util.concurrent.atomic.AtomicLong
+  val interleavedEvals = new java.util.concurrent.atomic.AtomicLong
+
   val spanStructType: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("text", StringType, nullable = false),
@@ -26,6 +38,7 @@ object HtmlUdfs {
 
   /** parse html → array<struct<kind,text,media_ref,offset>> */
   def parseSpans(html: UTF8String): ArrayData = {
+    spanEvals.incrementAndGet()
     val spans = Extractor.extractHtml(html.toString)
     val rows = new Array[Any](spans.length)
     var i = 0
@@ -51,8 +64,10 @@ object HtmlUdfs {
 
   /** parse html → concatenated visible text (clear_text.pl semantics),
     * spans joined by a single space. */
-  def parseText(html: UTF8String): UTF8String =
+  def parseText(html: UTF8String): UTF8String = {
+    textEvals.incrementAndGet()
     joinSpanText(Extractor.extractHtml(html.toString))
+  }
 
   /** parse + BOILERPLATE-STRIP → visible main-content text (north-star
     * extraction mode: text-density / link-density block scoring drops
@@ -163,6 +178,7 @@ object HtmlUdfs {
     * (DocKernel semantics; text/media spans pass through without even
     * materializing a java.lang.String). */
   def extractInterleaved(spans: ArrayData): ArrayData = {
+    interleavedEvals.incrementAndGet()
     val n = spans.numElements()
     val out = new scala.collection.mutable.ArrayBuffer[Any](n * 4)
     var i = 0

@@ -55,6 +55,73 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(got3.size == 599 && got3.forall(p => p._1 == 0L && p._3 == 0))
   }
 
+  test("exact dedup survives a 100k-clone hot key on both plan shapes") {
+    // VERDICT r3 #4: the LSH family had a 1000-clone star pin but exact
+    // dedup had none. One text duplicated 10^5 times — the annotate join
+    // key goes maximally hot — through BOTH shapes: the default shared-
+    // exchange plan and the skewSafe AQE-splittable plan. Both must
+    // complete and agree exactly.
+    import spark.implicits._
+    val n = 100000
+    val rows = (0 until n).map(i => (i.toLong,
+      if (i < n - 50) "the same boilerplate page body" else s"unique text $i"))
+    val df = rows.toDF("doc_id", "src")
+    def summarize(out: org.apache.spark.sql.DataFrame) =
+      out.agg(
+        sum(when(col("is_canonical"), 1L).otherwise(0L)),
+        max(col("dup_count")), count(lit(1))).collect()(0)
+    val a = summarize(Dedup.exact(df, "doc_id", "src"))
+    val b = summarize(Dedup.exact(df, "doc_id", "src", skewSafe = true))
+    for (r <- Seq(a, b)) {
+      assert(r.getLong(0) == 51L, s"canonicals: $r")      // 1 hot + 50 unique
+      assert(r.getLong(1) == (n - 50).toLong, s"hot dup_count: $r")
+      assert(r.getLong(2) == n.toLong, s"row preservation: $r")
+    }
+    // the skewSafe shape must be AQE-splittable: the annotate join's
+    // children are PLAIN exchanges (no aggregate between join and
+    // shuffle — the pattern OptimizeSkewedJoin requires). Checked on the
+    // pre-AQE spark plan where the exchanges are still explicit.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def stripToChild(p: SparkPlan): SparkPlan = p match {
+      case s: SortExec => stripToChild(s.child)
+      case s: ProjectExec => stripToChild(s.child)
+      case s: InputAdapter => stripToChild(s.child)
+      case s: WholeStageCodegenExec => stripToChild(s.child)
+      case other => other
+    }
+    // at test scale the stats side auto-broadcasts (skew-immune by
+    // construction); disable broadcast to pin the 100 TB fallback shape
+    // — the SMJ both of whose children are plain exchanges. AQE is
+    // disabled for the probe so executedPlan carries the explicit
+    // exchanges EnsureRequirements inserted (sparkPlan predates them;
+    // under AQE they hide inside query stages).
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Dedup.exact(df, "doc_id", "src", skewSafe = true)
+        .queryExecution.executedPlan
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    val joins = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }
+    assert(joins.nonEmpty, s"expected a shuffled annotate join:\n$plan")
+    for (sides <- joins; side <- sides)
+      assert(stripToChild(side).isInstanceOf[ShuffleExchangeExec],
+        s"join child is not a plain exchange (AQE cannot skew-split):\n${stripToChild(side)}")
+    // the clone cluster also flows through clusters() without an O(n^2)
+    // edge set: star edges (hub 0 <-> each clone) converge in one round
+    val ids = df.select(col("doc_id"))
+    val starEdges = df.filter(col("doc_id") < (n - 50) && col("doc_id") > 0)
+      .select(lit(0L).as("id_a"), col("doc_id").as("id_b"))
+    val clustered = Dedup.clusters(ids, "doc_id", starEdges, maxIterations = 4)
+    assert(clustered.filter(col("cluster") === 0L).count() == (n - 50).toLong)
+  }
+
   test("embedding near-dup: planted twins found, zero vectors dropped, guard caps") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -91,6 +91,40 @@ class PlanSpec extends AnyFunSuite {
       s"hyperplane sig must run once per (vec, band): $hEvals evals for $nv vecs x 4 bands")
   }
 
+  test("html parse kernels run once per row even with multiple consumers") {
+    // VERDICT r3 #3: the signature kernels are pinned at 1.0 evals/doc;
+    // this extends the same invocation-counter discipline to the HTML
+    // kernels. A projection consuming SEVERAL derivatives of one
+    // parse_html_spans(html) (q_html_foster reads element_at 1 and 2)
+    // must parse each row exactly once — Catalyst's subexpression
+    // elimination inside ProjectExec is what keeps it true; if an
+    // optimizer change breaks it, this counter (not a plan string)
+    // catches the silent re-parse.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.filter(length(col("text")) >= 12).count()
+    HtmlUdfs.spanEvals.set(0)
+    graft.SparkEntry.queries("q_html_foster")(spark, sf).collect()
+    val fosterEvals = HtmlUdfs.spanEvals.get
+    assert(fosterEvals == n,
+      s"q_html_foster must parse once per row: $fosterEvals evals for $n rows")
+    // explode consumer: one parse per input row, not per output span
+    val nAll = docs.count()
+    HtmlUdfs.spanEvals.set(0)
+    graft.SparkEntry.queries("q_html_extract")(spark, sf).collect()
+    val extractEvals = HtmlUdfs.spanEvals.get
+    assert(extractEvals == nAll,
+      s"q_html_extract must parse once per input row: $extractEvals evals for $nAll rows")
+    // q_html_entities projects a per-row parse_html_text PLUS one over a
+    // literal: the literal is CONSTANT-FOLDED at plan time (exactly one
+    // evaluation for the whole query) — pin both behaviors: n per-row
+    // parses + 1 folded parse
+    HtmlUdfs.textEvals.set(0)
+    graft.SparkEntry.queries("q_html_entities")(spark, sf).collect()
+    val textEvals = HtmlUdfs.textEvals.get
+    assert(textEvals == nAll + 1,
+      s"q_html_entities: expected $nAll per-row parses + 1 constant-folded literal, got $textEvals")
+  }
+
   test("ANN top-k plan has no window rank — bounded aggregate only") {
     // the old row_number().over(Window) shuffled every (query, corpus)
     // score; the bounded aggregator keeps |Q|·k rows on the wire
