@@ -8,13 +8,35 @@ import org.apache.spark.sql.functions._
   * per-partition transform (the Scala analog of mapInPandas batching —
   * one reusable decoder per partition, rows streamed through it).
   *
-  * The actual image/audio codecs are NOT in this container, so
-  * `decodeStub` below is a clearly-marked deterministic fake; the
-  * Spark-side plumbing — schema, partitioning, batch shape, null
-  * handling — is real and tested, and a production decoder drops in by
-  * replacing that one function.
+  * Since round 4 the CONTAINER-HEADER decode is REAL: PNG / JPEG / GIF
+  * headers are parsed byte-for-byte (format, width, height, bit depth —
+  * graft.spark.MediaUdfs, also exposed as the native SQL expression
+  * `graft_image_header` and oracled by q_multimodal_real). Only the
+  * pixel/feature EMBEDDING remains a clearly-marked deterministic fake
+  * (`decodeStub`): the actual image/audio codecs are not in this
+  * container, and a production embedder drops in by replacing that one
+  * function — the schema, partitioning, batch shape, and null handling
+  * around it are real and tested.
   */
 object Multimodal {
+
+  /** Real container-header decode over a typed media dataset — one
+    * header struct per row, malformed payloads become row verdicts
+    * (format "unknown"), never task failures. Prefer the native
+    * expression `graft_image_header` in DataFrame code (codegen'd); this
+    * typed path exists for Dataset pipelines that already carry
+    * MediaRow. */
+  final case class MediaHeaderRow(
+      media_id: String, format: String, width: Int, height: Int,
+      depth: Int, ok: Boolean)
+
+  def decodeHeaders(ds: Dataset[MediaRow]): Dataset[MediaHeaderRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { row =>
+      val (fmt, w, h, d) = graft.spark.MediaUdfs.decodeHeader(row.payload)
+      MediaHeaderRow(row.media_id, fmt, w, h, d, fmt != "unknown")
+    })
+  }
 
   final case class MediaRow(
       media_id: String,

@@ -46,7 +46,10 @@ object GraftSql {
     ("graft_fingerprint64", "graft.spark.GraftFingerprint64",
       args => GraftFingerprint64(args.head)),
     ("graft_lang_id", "graft.spark.GraftLangId",
-      args => GraftLangId(args.head))
+      args => GraftLangId(args.head)),
+    // multimodal: real image-container header decode (round 4)
+    ("graft_image_header", "graft.spark.GraftImageHeader",
+      args => GraftImageHeader(args.head))
   )
 
   /** Column from a raw Catalyst expression — for expressions whose

@@ -56,6 +56,54 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langIdHeuristic("") == "und")
   }
 
+  test("multimodal real header decode: png/jpeg/gif byte formats") {
+    import graft.spark.MediaUdfs.decodeHeader
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640x480, bit depth 8, color type 6
+    val png = bytes("89504E470D0A1A0A0000000D49484452" +
+      "00000280000001E0" + "0806000000000000")
+    assert(decodeHeader(png) == ("png", 640, 480, 8))
+    // PNG with a non-IHDR first chunk is malformed per spec
+    val badPng = bytes("89504E470D0A1A0A0000000D73524742" +
+      "00000280000001E0" + "0806000000000000")
+    assert(decodeHeader(badPng)._1 == "unknown")
+    // JPEG: APP0 + COM + DRI + fill bytes + RST before a PROGRESSIVE SOF2
+    val jpg = bytes("FFD8" +
+      "FFE000104A46494600010100000100010000" + // APP0 (16)
+      "FFFE0005414141" +                       // COM len 5, 3 bytes payload
+      "FFDD0004001E" +                         // DRI len 4
+      "FFFFFF" + "D3" +                        // fill bytes + RST3 (standalone)
+      "FFC2000B08" + "0100" + "0200" + "01011100" + // SOF2: h=256 w=512 prec 8
+      "FFD9")
+    assert(decodeHeader(jpg) == ("jpeg", 512, 256, 8))
+    // JPEG with EOI before any SOF → unknown
+    assert(decodeHeader(bytes("FFD8FFD9"))._1 == "unknown")
+    // GIF89a 322x204 little-endian, color resolution 8 (flags F7)
+    val gif = bytes("474946383961" + "4201" + "CC00" + "F70000")
+    assert(decodeHeader(gif) == ("gif", 322, 204, 8))
+    // GIF87a variant + lower color resolution (flags 0x22 → depth 3)
+    val gif87 = bytes("474946383761" + "1000" + "2000" + "220000")
+    assert(decodeHeader(gif87) == ("gif", 16, 32, 3))
+    // truncation at every prefix length never throws, short ones unknown
+    for (full <- Seq(png, jpg, gif); n <- 0 until full.length)
+      decodeHeader(full.take(n)) // total function — must not throw
+    assert(decodeHeader(Array.emptyByteArray)._1 == "unknown")
+    assert(decodeHeader(null)._1 == "unknown")
+    // typed Dataset path agrees with the kernel
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow("p", "image", png, 0, 0, 0L),
+      Multimodal.MediaRow("j", "image", jpg, 0, 0, 0L),
+      Multimodal.MediaRow("g", "image", gif, 0, 0, 0L),
+      Multimodal.MediaRow("x", "image", "garbage".getBytes, 0, 0, 0L)).toDS()
+    val hdrs = Multimodal.decodeHeaders(rows).collect().map(h => h.media_id -> h).toMap
+    assert(hdrs("p").width == 640 && hdrs("p").height == 480 && hdrs("p").ok)
+    assert(hdrs("j").format == "jpeg" && hdrs("j").width == 512)
+    assert(hdrs("g").format == "gif" && hdrs("g").height == 204)
+    assert(!hdrs("x").ok && hdrs("x").width == -1)
+  }
+
   test("multimodal stub: deterministic features, batch plumbing") {
     import spark.implicits._
     val rows = Seq(

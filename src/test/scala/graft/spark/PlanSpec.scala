@@ -145,7 +145,7 @@ class PlanSpec extends AnyFunSuite {
       "extract_interleaved_spans", "graft_cosine", "graft_hyperplane_sig",
       "parse_fragment_text", "extract_main_text",
       "graft_simhash64", "graft_minhash", "graft_jaccard", "graft_hamming64",
-      "graft_fingerprint64", "graft_lang_id")
+      "graft_fingerprint64", "graft_lang_id", "graft_image_header")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
