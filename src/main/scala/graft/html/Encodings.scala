@@ -14,34 +14,106 @@ import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
   */
 object Encodings {
 
-  /** WHATWG label → (canonical WHATWG name, closest JDK charset).
-    * The JDK column is chosen to match the WHATWG *index*, which for the
-    * East-Asian legacy encodings is the wider Windows/HKSCS variant, not
-    * the JDK charset that happens to share the label:
+  /** COMPLETE WHATWG label registry → (canonical WHATWG name, decoder id)
+    * — all 213 labels across the 40 encodings the reference recognizes
+    * (its table: source/myencoding/detect_resource.h:130-520, enum
+    * myosi.h:47-89; same registry as encoding.spec.whatwg.org). The
+    * decoder id is a JDK charset chosen to match the WHATWG *index* —
+    * for the East-Asian legacy encodings that is the wider Windows/HKSCS
+    * variant, not the JDK charset that happens to share the label:
     * shift_jis ⇒ windows-31j (cp932 superset — WHATWG's index IS cp932),
     * euc-kr ⇒ x-windows-949 (WHATWG euc-kr is the full UHC/cp949 table),
-    * big5 ⇒ Big5-HKSCS (WHATWG's index carries the HKSCS extensions).
-    * Divergence notes live in BASELINE.md §encodings. Reference: the 40
-    * per-byte decoders in source/myencoding/encoding.c + enum
-    * myencoding/myosi.h:47-89. */
+    * big5 ⇒ Big5-HKSCS (WHATWG's index carries the HKSCS extensions),
+    * windows-874 ⇒ x-windows-874 (cp874 with €, not bare TIS-620),
+    * macintosh ⇒ x-MacRoman, iso-8859-8-i ⇒ iso-8859-8 (identical byte
+    * table; the -I only flips bidi PRESENTATION order). Ids prefixed
+    * with '@' are hand-written decoders for tables the JDK lacks
+    * entirely (x-user-defined, iso-8859-10, iso-8859-14). Residual
+    * single-slot divergences are tabled in BASELINE.md §encodings. */
   val whatwgLabels: Map[String, (String, String)] = {
     def all(canon: String, jdk: String, labels: String*) =
       labels.map(_ -> (canon, jdk))
-    (all("Shift_JIS", "windows-31j",
-        "shift_jis", "shift-jis", "sjis", "ms_kanji", "ms932", "csshiftjis",
-        "windows-31j", "x-sjis") ++
-     all("EUC-KR", "x-windows-949",
-        "euc-kr", "cseuckr", "korean", "ks_c_5601-1987", "ks_c_5601-1989",
-        "ksc_5601", "ksc5601", "iso-ir-149", "csksc56011987", "windows-949") ++
-     all("Big5", "Big5-HKSCS",
+    (all("Big5", "Big5-HKSCS",
         "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5") ++
+     all("EUC-JP", "EUC-JP",
+        "cseucpkdfmtjapanese", "euc-jp", "x-euc-jp") ++
+     all("EUC-KR", "x-windows-949",
+        "cseuckr", "csksc56011987", "euc-kr", "iso-ir-149", "korean",
+        "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601", "windows-949") ++
      all("gb18030", "GB18030", "gb18030") ++
      all("GBK", "GBK",
-        "gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese", "csgb2312",
-        "csiso58gb231280", "iso-ir-58", "x-gbk") ++
-     all("EUC-JP", "EUC-JP",
-        "euc-jp", "cseucpkdfmtjapanese", "x-euc-jp")).toMap
+        "chinese", "csgb2312", "csiso58gb231280", "gb2312", "gb_2312",
+        "gb_2312-80", "gbk", "iso-ir-58", "x-gbk") ++
+     all("IBM866", "IBM866", "866", "cp866", "csibm866", "ibm866") ++
+     all("ISO-2022-JP", "ISO-2022-JP", "csiso2022jp", "iso-2022-jp") ++
+     all("ISO-8859-10", "@iso-8859-10",
+        "csisolatin6", "iso-8859-10", "iso-ir-157", "iso8859-10",
+        "iso885910", "l6", "latin6") ++
+     all("ISO-8859-13", "ISO-8859-13", "iso-8859-13", "iso8859-13", "iso885913") ++
+     all("ISO-8859-14", "@iso-8859-14", "iso-8859-14", "iso8859-14", "iso885914") ++
+     all("ISO-8859-15", "ISO-8859-15",
+        "csisolatin9", "iso-8859-15", "iso8859-15", "iso885915", "iso_8859-15", "l9") ++
+     all("ISO-8859-16", "ISO-8859-16", "iso-8859-16") ++
+     all("ISO-8859-2", "ISO-8859-2",
+        "csisolatin2", "iso-8859-2", "iso-ir-101", "iso8859-2", "iso88592",
+        "iso_8859-2", "iso_8859-2:1987", "l2", "latin2") ++
+     all("ISO-8859-3", "ISO-8859-3",
+        "csisolatin3", "iso-8859-3", "iso-ir-109", "iso8859-3", "iso88593",
+        "iso_8859-3", "iso_8859-3:1988", "l3", "latin3") ++
+     all("ISO-8859-4", "ISO-8859-4",
+        "csisolatin4", "iso-8859-4", "iso-ir-110", "iso8859-4", "iso88594",
+        "iso_8859-4", "iso_8859-4:1988", "l4", "latin4") ++
+     all("ISO-8859-5", "ISO-8859-5",
+        "csisolatincyrillic", "cyrillic", "iso-8859-5", "iso-ir-144",
+        "iso8859-5", "iso88595", "iso_8859-5", "iso_8859-5:1988") ++
+     all("ISO-8859-6", "ISO-8859-6",
+        "arabic", "asmo-708", "csiso88596e", "csiso88596i", "csisolatinarabic",
+        "ecma-114", "iso-8859-6", "iso-8859-6-e", "iso-8859-6-i", "iso-ir-127",
+        "iso8859-6", "iso88596", "iso_8859-6", "iso_8859-6:1987") ++
+     all("ISO-8859-7", "ISO-8859-7",
+        "csisolatingreek", "ecma-118", "elot_928", "greek", "greek8",
+        "iso-8859-7", "iso-ir-126", "iso8859-7", "iso88597", "iso_8859-7",
+        "iso_8859-7:1987", "sun_eu_greek") ++
+     all("ISO-8859-8", "ISO-8859-8",
+        "csiso88598e", "csisolatinhebrew", "hebrew", "iso-8859-8",
+        "iso-8859-8-e", "iso-ir-138", "iso8859-8", "iso88598", "iso_8859-8",
+        "iso_8859-8:1988", "visual") ++
+     all("ISO-8859-8-I", "ISO-8859-8", "csiso88598i", "iso-8859-8-i", "logical") ++
+     all("KOI8-R", "KOI8-R", "cskoi8r", "koi", "koi8", "koi8-r", "koi8_r") ++
+     all("KOI8-U", "KOI8-U", "koi8-ru", "koi8-u") ++
+     all("macintosh", "x-MacRoman", "csmacintosh", "mac", "macintosh", "x-mac-roman") ++
+     all("Shift_JIS", "windows-31j",
+        "csshiftjis", "ms932", "ms_kanji", "shift-jis", "shift_jis", "sjis",
+        "windows-31j", "x-sjis") ++
+     all("UTF-16BE", "UTF-16BE", "utf-16be") ++
+     all("UTF-16LE", "UTF-16LE", "utf-16", "utf-16le") ++
+     all("UTF-8", "UTF-8", "unicode-1-1-utf-8", "utf-8", "utf8") ++
+     all("windows-1250", "windows-1250", "cp1250", "windows-1250", "x-cp1250") ++
+     all("windows-1251", "windows-1251", "cp1251", "windows-1251", "x-cp1251") ++
+     all("windows-1252", "windows-1252",
+        "ansi_x3.4-1968", "ascii", "cp1252", "cp819", "csisolatin1", "ibm819",
+        "iso-8859-1", "iso-ir-100", "iso8859-1", "iso88591", "iso_8859-1",
+        "iso_8859-1:1987", "l1", "latin1", "us-ascii", "windows-1252", "x-cp1252") ++
+     all("windows-1253", "windows-1253", "cp1253", "windows-1253", "x-cp1253") ++
+     all("windows-1254", "windows-1254",
+        "cp1254", "csisolatin5", "iso-8859-9", "iso-ir-148", "iso8859-9",
+        "iso88599", "iso_8859-9", "iso_8859-9:1989", "l5", "latin5",
+        "windows-1254", "x-cp1254") ++
+     all("windows-1255", "windows-1255", "cp1255", "windows-1255", "x-cp1255") ++
+     all("windows-1256", "windows-1256", "cp1256", "windows-1256", "x-cp1256") ++
+     all("windows-1257", "windows-1257", "cp1257", "windows-1257", "x-cp1257") ++
+     all("windows-1258", "windows-1258", "cp1258", "windows-1258", "x-cp1258") ++
+     all("windows-874", "x-windows-874",
+        "dos-874", "iso-8859-11", "iso8859-11", "iso885911", "tis-620", "windows-874") ++
+     all("x-mac-cyrillic", "x-MacCyrillic", "x-mac-cyrillic", "x-mac-ukrainian") ++
+     all("x-user-defined", "@x-user-defined", "x-user-defined")).toMap
   }
+
+  /** Resolve any WHATWG label (ASCII-trimmed, case-insensitive) to
+    * (canonical name, decoder id); None for labels outside the registry.
+    * '@'-prefixed ids are the hand-written decoders below. */
+  def resolveLabel(label: String): Option[(String, String)] =
+    if (label == null) None else whatwgLabels.get(label.trim.toLowerCase)
 
   /** BOM detection (reference detect.c:164-231). Returns (charsetName,
     * bomLength) or null. */
@@ -96,12 +168,15 @@ object Encodings {
             }
             whatwgLabels.get(cs) match {
               case Some((canonical, jdk)) =>
-                if (Charset.isSupported(jdk)) return Some(canonical)
+                // '@' ids are our hand decoders — always available
+                if (jdk.startsWith("@") || Charset.isSupported(jdk))
+                  return Some(canonical)
                 // fall through to the plain JDK lookup if the preferred
                 // variant charset is missing from this JVM
               case None =>
             }
-            if (Charset.isSupported(cs)) return Some(Charset.forName(cs).name())
+            if (try Charset.isSupported(cs) catch { case _: Exception => false })
+              return Some(Charset.forName(cs).name())
             return None
           case None =>
         }
@@ -226,22 +301,70 @@ object Encodings {
     sb.toString
   }
 
+  /** ISO-8859-10 / ISO-8859-14 high-byte tables — hand-written per-byte
+    * decoders for the two WHATWG single-byte encodings absent from the
+    * JDK (reference: myencoding_map_iso_8859_10 / _14,
+    * source/myencoding/encoding.c:193,229 + resource.h tables; values
+    * regenerated from the public ISO/WHATWG index data). Char at index i
+    * is the mapping of byte 0x80+i; bytes < 0x80 map to themselves. */
+  private val iso885910High: String =
+    "\u0080\u0081\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B" +
+    "\u008C\u008D\u008E\u008F\u0090\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+    "\u0098\u0099\u009A\u009B\u009C\u009D\u009E\u009F\u00A0\u0104\u0112\u0122" +
+    "\u012A\u0128\u0136\u00A7\u013B\u0110\u0160\u0166\u017D\u00AD\u016A\u014A" +
+    "\u00B0\u0105\u0113\u0123\u012B\u0129\u0137\u00B7\u013C\u0111\u0161\u0167" +
+    "\u017E\u2015\u016B\u014B\u0100\u00C1\u00C2\u00C3\u00C4\u00C5\u00C6\u012E" +
+    "\u010C\u00C9\u0118\u00CB\u0116\u00CD\u00CE\u00CF\u00D0\u0145\u014C\u00D3" +
+    "\u00D4\u00D5\u00D6\u0168\u00D8\u0172\u00DA\u00DB\u00DC\u00DD\u00DE\u00DF" +
+    "\u0101\u00E1\u00E2\u00E3\u00E4\u00E5\u00E6\u012F\u010D\u00E9\u0119\u00EB" +
+    "\u0117\u00ED\u00EE\u00EF\u00F0\u0146\u014D\u00F3\u00F4\u00F5\u00F6\u0169" +
+    "\u00F8\u0173\u00FA\u00FB\u00FC\u00FD\u00FE\u0138"
+
+  private val iso885914High: String =
+    "\u0080\u0081\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B" +
+    "\u008C\u008D\u008E\u008F\u0090\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+    "\u0098\u0099\u009A\u009B\u009C\u009D\u009E\u009F\u00A0\u1E02\u1E03\u00A3" +
+    "\u010A\u010B\u1E0A\u00A7\u1E80\u00A9\u1E82\u1E0B\u1EF2\u00AD\u00AE\u0178" +
+    "\u1E1E\u1E1F\u0120\u0121\u1E40\u1E41\u00B6\u1E56\u1E81\u1E57\u1E83\u1E60" +
+    "\u1EF3\u1E84\u1E85\u1E61\u00C0\u00C1\u00C2\u00C3\u00C4\u00C5\u00C6\u00C7" +
+    "\u00C8\u00C9\u00CA\u00CB\u00CC\u00CD\u00CE\u00CF\u0174\u00D1\u00D2\u00D3" +
+    "\u00D4\u00D5\u00D6\u1E6A\u00D8\u00D9\u00DA\u00DB\u00DC\u00DD\u0176\u00DF" +
+    "\u00E0\u00E1\u00E2\u00E3\u00E4\u00E5\u00E6\u00E7\u00E8\u00E9\u00EA\u00EB" +
+    "\u00EC\u00ED\u00EE\u00EF\u0175\u00F1\u00F2\u00F3\u00F4\u00F5\u00F6\u1E6B" +
+    "\u00F8\u00F9\u00FA\u00FB\u00FC\u00FD\u0177\u00FF"
+
+  private def decodeHighTable(bytes: Array[Byte], table: String): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      sb.append(if (b < 0x80) b.toChar else table.charAt(b - 0x80))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Decode with the sniffed (or given) charset; never throws — bad bytes
     * become U+FFFD ("is not afraid of binary files and other trash",
-    * /root/reference/Changes:33). */
+    * /root/reference/Changes:33). Any of the 213 WHATWG labels resolves;
+    * unknown names fall back to a direct JDK lookup, then UTF-8. */
   def decode(bytes: Array[Byte], charsetName: String = null): String = {
     val name = if (charsetName != null) charsetName else sniff(bytes)
-    if (name != null && name.equalsIgnoreCase("x-user-defined"))
-      return decodeXUserDefined(bytes)
-    // canonical WHATWG name (or any alias) → the JDK charset whose table
-    // matches the WHATWG index (cp932 / cp949 / HKSCS variants)
-    val mapped = whatwgLabels.get(if (name == null) "" else name.toLowerCase) match {
+    val resolved = resolveLabel(name)
+    resolved.map(_._2) match {
+      case Some("@x-user-defined") => return decodeXUserDefined(bytes)
+      case Some("@iso-8859-10") => return decodeHighTable(bytes, iso885910High)
+      case Some("@iso-8859-14") => return decodeHighTable(bytes, iso885914High)
+      case _ =>
+    }
+    val mapped = resolved match {
       case Some((_, jdk)) if Charset.isSupported(jdk) => jdk
       case _ => name
     }
+    val canonical = resolved.map(_._1).getOrElse(name)
     val bomLen = detectBom(bytes) match {
       case null => 0
-      case (cs, l) if cs == name => l
+      case (cs, l) if canonical != null && cs.equalsIgnoreCase(canonical) => l
       case _ => 0
     }
     val cs =
