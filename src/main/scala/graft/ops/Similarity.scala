@@ -122,19 +122,33 @@ object Similarity {
     * a true neighbor's signature differs from the query's in a few
     * low-margin bits, so the hamming-1 shell catches most single-bit
     * misses at (planes+1)× candidate cost, still exponentially under
-    * brute force). Only the small broadcast query side fans out; the
-    * corpus is still hashed once. Recall numbers: BASELINE.md §lsh-recall. */
+    * brute force). `probeHamming = 2` adds the planes·(planes−1)/2
+    * two-flip buckets (VERDICT r3 #6): at planes=8 that is 37 probes
+    * per query vs 256 buckets — still a 7× candidate reduction, and
+    * measured recall@10 crosses 0.5 on the graded corpus
+    * (ScaleGuardSpec floor). Callers needing more than the hamming-2
+    * shell delivers should switch to `ivfTopK` — the data-adaptive
+    * cells reach recall@10 0.825 at nprobe=4 without fanning the query
+    * side out 37×. Only the small broadcast query side fans out in
+    * every shell; the corpus is still hashed once. Recall numbers:
+    * BASELINE.md §lsh-recall. */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int = 10, planes: Int = 8, probeHamming: Int = 0): DataFrame = {
-    require(probeHamming >= 0 && probeHamming <= 1,
-      s"probeHamming=$probeHamming: only the hamming-0/1 probe shells are implemented")
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming=$probeHamming: probe shells implemented for hamming 0/1/2; " +
+        "for higher recall use ivfTopK (IVF reaches it without the probe blow-up)")
     val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
       .withColumn("bucket", hyperplaneSignature(col("cvec"), planes))
     val sig = hyperplaneSignature(col("qvec"), planes)
-    val probeBuckets =
-      if (probeHamming == 0) array(sig)
-      else array(sig +: (0 until planes).map(b => sig.bitwiseXOR(lit(1 << b))): _*)
+    val flips1 = (0 until planes).map(b => sig.bitwiseXOR(lit(1 << b)))
+    val flips2 = for (i <- 0 until planes; j <- i + 1 until planes)
+      yield sig.bitwiseXOR(lit((1 << i) | (1 << j)))
+    val probeBuckets = probeHamming match {
+      case 0 => array(sig)
+      case 1 => array(sig +: flips1: _*)
+      case _ => array(sig +: (flips1 ++ flips2): _*)
+    }
     val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .withColumn("bucket", explode(probeBuckets))
     val scored = bc.join(broadcast(bq), "bucket")

@@ -267,12 +267,18 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
     val (r0, p0) = recallAt(0)
     val (r1, p1) = recallAt(1)
-    info(f"lshTopK recall@10: single-probe → $r0%.4f, hamming-1 multiprobe → $r1%.4f")
-    info(f"lshTopK planted-partner (cos .91-.99) recall: single → $p0%.4f, multiprobe → $p1%.4f")
+    val (r2, p2) = recallAt(2)
+    info(f"lshTopK recall@10: single → $r0%.4f, hamming-1 → $r1%.4f, hamming-2 → $r2%.4f")
+    info(f"lshTopK planted-partner (cos .91-.99) recall: single → $p0%.4f, h1 → $p1%.4f, h2 → $p2%.4f")
     assert(r1 >= r0, f"multiprobe must not lose recall: $r1%.4f < $r0%.4f")
     assert(p1 >= p0, f"multiprobe must not lose planted recall: $p1%.4f < $p0%.4f")
     assert(r1 >= 0.30, f"multiprobe recall@10 regressed: $r1%.4f")
     assert(p1 >= 0.70, f"multiprobe planted-partner recall regressed: $p1%.4f")
+    // the hamming-2 shell (VERDICT r3 #6): recall@10 must cross 0.5 —
+    // the documented floor for callers who can't switch to IVF
+    assert(r2 >= r1 && p2 >= p1, f"hamming-2 must dominate hamming-1: $r2%.4f/$p2%.4f")
+    assert(r2 >= 0.50, f"hamming-2 recall@10 floor broken: $r2%.4f (need >= 0.5)")
+    assert(p2 >= 0.85, f"hamming-2 planted-partner recall regressed: $p2%.4f")
   }
 
   test("IVF ANN: trained quantizer recall vs brute force; nprobe lifts recall") {
