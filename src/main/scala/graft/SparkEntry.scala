@@ -452,6 +452,24 @@ object SparkEntry {
           col("frames_sampled"), col("ok"))
     }),
 
+    // streaming stateful dedup under the oracle gate (VERDICT r3 #7):
+    // two mtime-ordered files -> two real micro-batches through
+    // flatMapGroupsWithState; lpad makes string sort == numeric sort so
+    // arrival order == doc_id order and the DuckDB oracle replays the
+    // verdicts with one window. Cross-batch statefulness itself is
+    // pinned by StreamingSpec; THIS query makes the operator's output
+    // hash-gated like every other operator.
+    "q_stream_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+        .select(lpad(col("doc_id").cast("string"), 6, "0").as("doc_id"),
+          col("source").as("text"))
+      val b1 = d.filter(col("doc_id") < "000150")
+      val b2 = d.filter(col("doc_id") >= "000150")
+      graft.streaming.StreamingExtract.dedupVerdictsDrain(Seq(b1, b2))
+        .select(col("doc_id"), col("text_hash"), col("is_first"),
+          col("copies_so_far"))
+    }),
+
     // REAL multimodal decode (VERDICT r3 #1): valid PNG / JPEG / GIF
     // payloads are constructed IN-QUERY from documents columns (the
     // tables carry no binary column), with per-doc dimensions, a
@@ -811,6 +829,18 @@ object SparkEntry {
         |    ELSE 1 END AS INT) AS frames_sampled,
         |  length(text) > 0 AS ok
         |FROM documents""".stripMargin,
+
+    // arrival order == doc_id order by construction (lpad string sort;
+    // batch-1 ids all below batch-2 ids), so one window replays the
+    // stateful verdicts exactly
+    "q_stream_dedup" ->
+      """SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+        |       md5(lower(trim(source))) AS text_hash,
+        |       rn = 1 AS is_first, CAST(rn AS BIGINT) AS copies_so_far
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY md5(lower(trim(source)))
+        |                           ORDER BY doc_id) AS rn
+        |      FROM documents WHERE doc_id < 300)""".stripMargin,
 
     // the oracle rebuilds the same payload hex and RE-PARSES every header
     // field with independent hex-digit arithmetic at the documented byte
