@@ -511,6 +511,37 @@ class ExtractorSpec extends AnyFunSuite {
       ("pre", "raw  text")))
   }
 
+  test("offsets: consumed-prefix convention PINNED (parity README offsets axis)") {
+    // The offsets axis (25k positions, docs11/12/17/18) has exactly 8
+    // reference deltas, all ONE pattern: when a text token's leading
+    // whitespace is consumed by an insertion mode (split off in head /
+    // suppressed first newline in textarea|pre), the reference reuses
+    // the ORIGINAL token's raw for the reprocessed remainder; we advance
+    // past the consumed prefix. Ours is strictly more precise and is the
+    // span-offset contract the SQL oracles verify. These fixtures pin
+    // OUR answer for both construct families, so the delta class cannot
+    // silently grow or drift.
+    def textOffsets(html: String): Seq[(String, Int)] = {
+      val doc = HtmlParser.parse(html)
+      doc.descendants.filter(_.kind == NodeKind.Text)
+        .map(n => (n.text, n.rawBegin)).toSeq
+    }
+    // family 1 (docs11 soup534 etc.): whitespace split off in_head —
+    // remainder's raw advances to the first non-ws char (ref keeps 6)
+    val h1 = "<base>\none "
+    assert(textOffsets(h1).exists { case (t, o) => t == "one " && o == 7 },
+      s"head-split remainder offset drifted: ${textOffsets(h1)}")
+    // family 2 (docs12 soup263): textarea first-newline suppression —
+    // content raw starts AFTER the suppressed newline (ref keeps 10)
+    val h2 = "<textarea>\nxyz</textarea>"
+    assert(textOffsets(h2).exists { case (t, o) => t == "xyz" && o == 11 },
+      s"textarea first-newline offset drifted: ${textOffsets(h2)}")
+    // same convention through pre (first-newline suppression rule)
+    val h3 = "<pre>\nabc</pre>"
+    assert(textOffsets(h3).exists { case (t, o) => t == "abc" && o == 6 },
+      s"pre first-newline offset drifted: ${textOffsets(h3)}")
+  }
+
   test("media passthrough in document order with refs") {
     val html = """<p>a<img src="m://1">b</p><video src="m://2"></video>"""
     val spans = Extractor.extractHtml(html)
