@@ -160,4 +160,72 @@ object CorpusGen {
       .map { id => val g = genDoc(id, seed, giantEvery); DocRow(g.doc_id, g.expected) }
       .toDF()
   }
+
+  // ------------------------------------------------------- media blobs
+  // Every media ref the corpus plants resolves to a REAL image payload
+  // (valid PNG / JPEG / GIF bytes) whose header fields are a pure
+  // function of the ref — so the interleaved text+media E2E can verify
+  // the real decoder (graft.spark.MediaUdfs) against constructively-
+  // known dimensions, the same construction-not-execution discipline as
+  // the span expectations above.
+
+  private def fnv(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** Constructive expected header for a ref: (format, width, height, depth). */
+  def mediaHeaderExpected(ref: String): (String, Int, Int, Int) = {
+    val h = fnv(ref)
+    val fmt = (((h >>> 8) % 3) + 3) % 3
+    val w = 16 + ((((h >>> 16) % 300) + 300) % 300).toInt
+    val ht = 8 + ((((h >>> 32) % 200) + 200) % 200).toInt
+    (Seq("png", "jpeg", "gif")(fmt.toInt), w, ht, 8)
+  }
+
+  /** Real image bytes for a ref (format/dims per mediaHeaderExpected). */
+  def mediaPayload(ref: String): Array[Byte] = {
+    val (fmt, w, h, _) = mediaHeaderExpected(ref)
+    val comN = ((fnv(ref) >>> 48) % 7).toInt.abs
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    fmt match {
+      case "png" =>
+        Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+          be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+      case "jpeg" =>
+        Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++
+          "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+          Array(0xFF, 0xFE).map(_.toByte) ++ be16(comN + 2) ++
+          Array.fill[Byte](comN)(0x41) ++
+          Array(0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte) ++ be16(h) ++ be16(w) ++
+          Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+          Array(0xFF, 0xD9).map(_.toByte)
+      case _ =>
+        "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
+          Array(0xF7, 0x00, 0x00).map(_.toByte)
+    }
+  }
+
+  /** The media table for a generated corpus: one row per DISTINCT media
+    * ref appearing in `docs`, payloads built on executors (never
+    * collected). At production scale this is the blob side of the
+    * interleaved input; here it is the constructive stand-in with the
+    * same schema (media_id, payload). */
+  def mediaTable(docs: Dataset[DocRow]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media" && length(col("s.media_ref")) > 0)
+      .select(col("s.media_ref").as("media_id")).distinct()
+      .as[String]
+      .map(ref => (ref, mediaPayload(ref)))
+      .toDF("media_id", "payload")
+  }
 }

@@ -235,6 +235,38 @@ class ColumnarKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
 class T2CorrectnessSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("interleaved text+media E2E: extracted refs join real blobs, headers decode to planted dims") {
+    // the full axes-A+B story: extraction emits media spans; every ref
+    // resolves in the constructive media table to REAL PNG/JPEG/GIF
+    // bytes; the native header decoder must recover exactly the
+    // dimensions the generator planted — construction vs byte-parse,
+    // two independent paths per ref
+    import spark.implicits._
+    val n = 400
+    val input = CorpusGen.inputDs(spark, n, parallelism = 4)
+    val media = CorpusGen.mediaTable(input)
+    val nRefs = media.count()
+    assert(nRefs > 50, s"corpus must plant a rich media set, got $nRefs")
+    val (out, _) = Pipeline.extract(spark, input.toDF(),
+      Pipeline.Config(partitions = 4, giantBuckets = 2))
+    val refs = out.toDF()
+      .select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media")
+      .select(col("s.media_ref").as("media_id")).distinct()
+    val hdr = GraftFunctions.graft_image_header(col("payload"))
+    val decoded = refs.join(media, "media_id")
+      .select(col("media_id"), hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"), hdr.getField("height").as("height"))
+      .collect()
+    assert(decoded.length == nRefs, "every extracted ref must resolve a blob")
+    decoded.foreach { r =>
+      val (fmt, w, h, _) = CorpusGen.mediaHeaderExpected(r.getString(0))
+      assert(r.getString(1) == fmt && r.getInt(2) == w && r.getInt(3) == h,
+        s"decode mismatch for ${r.getString(0)}: got (${r.getString(1)}, " +
+          s"${r.getInt(2)}, ${r.getInt(3)}), planted ($fmt, $w, $h)")
+    }
+  }
+
   test("t2: 5000 docs, columnar kernel vs constructive expected") {
     import spark.implicits._
     val n = 5000
