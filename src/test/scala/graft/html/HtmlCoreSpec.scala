@@ -511,6 +511,28 @@ class ExtractorSpec extends AnyFunSuite {
       ("pre", "raw  text")))
   }
 
+  test("scripting flag: noscript content model flips (rules.c:419,1799; tokenizer.c:214)") {
+    // reference gates noscript on MyHTML_TREE_FLAGS_SCRIPT: scripting
+    // OFF parses noscript children as markup; scripting ON switches the
+    // tokenizer to RAWTEXT so the content stays one text node
+    val html = "<body><noscript><b>x</b></noscript><p>after</p>"
+    val off = HtmlParser.parse(html)
+    assert(off.descendants.exists(_.isElement("b")),
+      "scripting=false must parse noscript children as markup")
+    val on = HtmlParser.parse(html, scripting = true)
+    assert(!on.descendants.exists(_.isElement("b")),
+      "scripting=true must not materialize elements inside noscript")
+    val ns = on.descendants.find(_.isElement("noscript")).get
+    assert(ns.firstChild != null && ns.firstChild.kind == NodeKind.Text &&
+      ns.firstChild.text == "<b>x</b>", Serializer.pretty(on))
+    // head-noscript path too (in_head_noscript mode vs rawtext)
+    val hOff = HtmlParser.parse("<head><noscript><link href=a></noscript></head>")
+    assert(hOff.descendants.exists(_.isElement("link")))
+    val hOn = HtmlParser.parse("<head><noscript><link href=a></noscript></head>",
+      scripting = true)
+    assert(!hOn.descendants.exists(_.isElement("link")))
+  }
+
   test("offsets: consumed-prefix convention PINNED (parity README offsets axis)") {
     // The offsets axis (25k positions, docs11/12/17/18) has exactly 8
     // reference deltas, all ONE pattern: when a text token's leading
