@@ -507,6 +507,44 @@ object SparkEntry {
         hdr.getField("depth").as("depth"))
     }),
 
+    // PDF/layout parse (north rule): valid multi-page PDFs are built
+    // in-query (PDF is plain text when uncompressed — the FlateDecode
+    // and escape paths are pinned by PdfSpec), then parsed back by the
+    // real structure scanner + content-stream tokenizer. The oracle
+    // recomputes version/pages/objects/text from the construction
+    // arithmetic — any drift in the object scan, the /Count walk, or
+    // the Tj concatenation semantics breaks the hash.
+    "q_pdf_extract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nPages = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      val ver = concat(lit("1."), (pmod(col("doc_id"), lit(4)) + 4).cast("string"))
+      val kids = array_join(transform(sequence(lit(1), nPages),
+        i => concat((i + 2).cast("string"), lit(" 0 R"))), " ")
+      val pageObjs = array_join(transform(sequence(lit(1), nPages),
+        i => concat((i + 2).cast("string"),
+          lit(" 0 obj<</Type/Page/Parent 2 0 R/Contents "),
+          (i + 2 + nPages).cast("string"), lit(" 0 R>>endobj\n"))), "")
+      val contentObjs = array_join(transform(sequence(lit(1), nPages),
+        i => concat((i + 2 + nPages).cast("string"),
+          lit(" 0 obj<</Length 0>>stream\nBT 72 720 Td (pg"), i.cast("string"),
+          lit("-"), col("source"), lit(") Tj ( "), col("lang"),
+          lit(") Tj ET\nendstream endobj\n"))), "")
+      val pdf = concat(lit("%PDF-"), ver, lit("\n"),
+        lit("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"),
+        lit("2 0 obj<</Type/Pages/Kids["), kids, lit("]/Count "),
+        nPages.cast("string"), lit(">>endobj\n"),
+        pageObjs, contentObjs,
+        lit("trailer<</Root 1 0 R>>\n%%EOF"))
+      val bytes = pdf.cast("binary")
+      val info = GraftFunctions.graft_pdf_info(bytes)
+      d.select(col("doc_id"),
+        info.getField("version").as("pdf_version"),
+        info.getField("pages").as("n_pages"),
+        info.getField("objects").as("n_objects"),
+        info.getField("ok").as("ok"),
+        GraftFunctions.graft_pdf_text(bytes).as("pdf_text"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // self-contained flagship: seeded corpus → full pipeline → compare
       // with constructive expected (BASELINE.json correctness invariant)
@@ -897,6 +935,17 @@ object SparkEntry {
         |    ELSE -1 END AS INT) AS depth
         |FROM tr""".stripMargin
     },
+
+    "q_pdf_extract" ->
+      """WITH base AS (SELECT doc_id, source, lang,
+        |  CAST(doc_id % 3 + 1 AS INT) AS np,
+        |  '1.' || CAST(doc_id % 4 + 4 AS VARCHAR) AS ver FROM documents)
+        |SELECT doc_id, ver AS pdf_version, np AS n_pages,
+        |  CAST(2 + 2*np AS INT) AS n_objects, TRUE AS ok,
+        |  array_to_string(list_transform(range(1, np+1),
+        |    i -> 'pg' || CAST(i AS VARCHAR) || '-' || source || ' ' || lang),
+        |    chr(10)) AS pdf_text
+        |FROM base""".stripMargin,
 
     "q_pipeline_e2e" ->
       "SELECT CAST(300 AS BIGINT) AS docs, CAST(300 AS BIGINT) AS ok_docs"

@@ -655,6 +655,8 @@ object GraftFunctions {
     call_function("parse_fragment_text", html, context)
   def extract_main_text(c: Column): Column = call_function("extract_main_text", c)
   def graft_image_header(c: Column): Column = call_function("graft_image_header", c)
+  def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
+  def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
 
   /** Register the native expressions + helper UDFs on a live session. */
   def registerAll(spark: SparkSession): Unit = {

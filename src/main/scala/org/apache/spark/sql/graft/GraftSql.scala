@@ -49,7 +49,12 @@ object GraftSql {
       args => GraftLangId(args.head)),
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
-      args => GraftImageHeader(args.head))
+      args => GraftImageHeader(args.head)),
+    // PDF structure + text extraction (round 4 — north rule "PDF/layout parse")
+    ("graft_pdf_info", "graft.spark.GraftPdfInfo",
+      args => GraftPdfInfo(args.head)),
+    ("graft_pdf_text", "graft.spark.GraftPdfText",
+      args => GraftPdfText(args.head))
   )
 
   /** Column from a raw Catalyst expression — for expressions whose

@@ -125,6 +125,30 @@ class PlanSpec extends AnyFunSuite {
       s"q_html_entities: expected $nAll per-row parses + 1 constant-folded literal, got $textEvals")
   }
 
+  test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
+    val df = graft.SparkEntry.queries("q_multimodal_real")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // payload construction needs only doc_id + n_chars
+    assert(plan.contains("ReadSchema"))
+    for (c <- Seq("text", "lang", "source"))
+      assert(!plan.contains(s""""$c"""") && !plan.contains(s"$c#"),
+        s"$c not pruned from the multimodal scan:\n$plan")
+    assert(plan.contains("graft_image_header"), s"decoder missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into the decode path:\n$plan")
+  }
+
+  test("columnar pipeline kernel runs exactly once per row") {
+    import spark.implicits._
+    val n = 300
+    val input = CorpusGen.inputDs(spark, n, parallelism = 4).toDF()
+    HtmlUdfs.interleavedEvals.set(0)
+    Pipeline.extractColumnar(input,
+      Pipeline.Config(partitions = 4, giantBuckets = 2)).collect()
+    val evals = HtmlUdfs.interleavedEvals.get
+    assert(evals == n,
+      s"extract_interleaved_spans must run once per doc: $evals evals for $n docs")
+  }
+
   test("ANN top-k plan has no window rank — bounded aggregate only") {
     // the old row_number().over(Window) shuffled every (query, corpus)
     // score; the bounded aggregator keeps |Q|·k rows on the wire
@@ -145,7 +169,8 @@ class PlanSpec extends AnyFunSuite {
       "extract_interleaved_spans", "graft_cosine", "graft_hyperplane_sig",
       "parse_fragment_text", "extract_main_text",
       "graft_simhash64", "graft_minhash", "graft_jaccard", "graft_hamming64",
-      "graft_fingerprint64", "graft_lang_id", "graft_image_header")
+      "graft_fingerprint64", "graft_lang_id", "graft_image_header",
+      "graft_pdf_info", "graft_pdf_text")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
