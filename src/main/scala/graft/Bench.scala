@@ -205,7 +205,7 @@ object Bench {
       "q_text_stats" -> 0.369,
       // round-4 queries (clean close-out run, BASELINE.md)
       "q_multimodal_real" -> 0.35, "q_stream_dedup" -> 2.3,
-      "q_pdf_extract" -> 0.6)
+      "q_pdf_extract" -> 0.6, "q_url_normalize" -> 0.3)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {

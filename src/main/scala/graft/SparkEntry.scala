@@ -507,6 +507,34 @@ object SparkEntry {
         hdr.getField("depth").as("depth"))
     }),
 
+    // URL canonicalization (web-corpus dedup front end): scheme/host
+    // case, default ports, fragments, empty paths, and query-param
+    // order must all collapse before URL-keyed dedup works. Pure
+    // built-in compositions (UrlOps); the oracle recomputes the
+    // canonical form from the construction arithmetic.
+    "q_url_normalize" -> ((s, dir) => {
+      import graft.ops.UrlOps
+      val d = docs(s, dir)
+      val sch = when(pmod(col("doc_id"), lit(2)) === 0, "HTTP").otherwise("https")
+      val hostRaw = concat(lit("WWW.Site"), pmod(col("doc_id"), lit(50)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0, ".Co.UK").otherwise(".Example.COM"))
+      val prt = when(pmod(col("doc_id"), lit(4)) === 0, ":80")
+        .when(pmod(col("doc_id"), lit(4)) === 1, ":443")
+        .when(pmod(col("doc_id"), lit(4)) === 2, ":8080").otherwise("")
+      val pth = when(pmod(col("doc_id"), lit(5)) === 0, "")
+        .otherwise(concat(lit("/a/"), col("source")))
+      val qry = when(pmod(col("doc_id"), lit(3)) === 1, lit("?b=2&a=1&c=3"))
+        .otherwise(lit(""))
+      val frag = when(pmod(col("doc_id"), lit(2)) === 1, lit("#Frag")).otherwise(lit(""))
+      val url = concat(sch, lit("://"), hostRaw, prt, pth, qry, frag)
+      d.select(col("doc_id"),
+        UrlOps.scheme(url).as("scheme"),
+        UrlOps.host(url).as("host"),
+        UrlOps.normalize(url).as("normalized"),
+        UrlOps.registrableDomain(UrlOps.host(url)).as("reg_domain"),
+        UrlOps.urlKey(url, oracleHash = true).as("url_key"))
+    }),
+
     // PDF/layout parse (north rule): valid multi-page PDFs are built
     // in-query (PDF is plain text when uncompressed — the FlateDecode
     // and escape paths are pinned by PdfSpec), then parsed back by the
@@ -935,6 +963,22 @@ object SparkEntry {
         |    ELSE -1 END AS INT) AS depth
         |FROM tr""".stripMargin
     },
+
+    "q_url_normalize" ->
+      """WITH base AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS sch,
+        |  'www.site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.example.com' END AS h,
+        |  CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END AS keep_port,
+        |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '/a/' || source END AS pth,
+        |  CASE WHEN doc_id % 3 = 1 THEN '?a=1&b=2&c=3' ELSE '' END AS qs
+        |  FROM documents)
+        |SELECT doc_id, sch AS scheme, h AS host,
+        |  sch || '://' || h || keep_port || pth || qs AS normalized,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'site' || CAST(doc_id % 50 AS VARCHAR) || '.co.uk'
+        |       ELSE 'example.com' END AS reg_domain,
+        |  md5(sch || '://' || h || keep_port || pth || qs) AS url_key
+        |FROM base""".stripMargin,
 
     "q_pdf_extract" ->
       """WITH base AS (SELECT doc_id, source, lang,

@@ -56,6 +56,32 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langIdHeuristic("") == "und")
   }
 
+  test("url canonicalization: ports, fragments, query sort, registrable domain") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Ex.COM:80/a/b?z=1&a=2#frag",   // default port + case + sort + frag
+      "https://ex.com:443/",                      // https default port
+      "http://ex.com:8080/x",                     // non-default port kept
+      "https://sub.shop.co.uk",                   // empty path, registry-prefix TLD
+      "http://localhost/p",                       // single-label host
+      "not a url at all")
+      .toDF("u")
+    import graft.ops.UrlOps
+    val got = urls.select(
+      UrlOps.normalize(col("u")).as("n"),
+      UrlOps.registrableDomain(UrlOps.host(col("u"))).as("d")).collect()
+    assert(got(0).getString(0) == "http://www.ex.com/a/b?a=2&z=1")
+    assert(got(0).getString(1) == "ex.com")
+    assert(got(1).getString(0) == "https://ex.com/")
+    assert(got(2).getString(0) == "http://ex.com:8080/x")
+    assert(got(3).getString(0) == "https://sub.shop.co.uk/")
+    assert(got(3).getString(1) == "shop.co.uk")
+    assert(got(4).getString(1) == "localhost")
+    // non-URL: scheme/host empty, normalize degrades to "://" + "/" —
+    // callers filter on scheme != '' first; must not throw
+    assert(got(5).getString(0) != null)
+  }
+
   test("multimodal real header decode: png/jpeg/gif byte formats") {
     import graft.spark.MediaUdfs.decodeHeader
     def bytes(hex: String): Array[Byte] =
