@@ -203,9 +203,9 @@ object Bench {
       "q_ngram_jaccard" -> 1.937, "q_ngram_jaccard_prod" -> 1.67,
       "q_pipeline_e2e" -> 0.634, "q_quality" -> 0.541, "q_simhash_dedup" -> 0.988,
       "q_text_stats" -> 0.369,
-      // round-4 queries (clean close-out run, BASELINE.md)
-      "q_multimodal_real" -> 0.35, "q_stream_dedup" -> 2.3,
-      "q_pdf_extract" -> 0.6, "q_url_normalize" -> 0.3)
+      // round-4 queries (measured at sf0.1, clean windows)
+      "q_multimodal_real" -> 0.4, "q_stream_dedup" -> 2.3,
+      "q_pdf_extract" -> 0.35, "q_url_normalize" -> 0.4)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {
