@@ -507,6 +507,44 @@ object SparkEntry {
         hdr.getField("depth").as("depth"))
     }),
 
+    // REAL audio-container decode: valid RIFF/WAVE bytes built in-query
+    // (PCM fmt chunk; a JUNK-chunk family with odd sizes forces a
+    // genuine word-aligned chunk walk; a truncation family must yield
+    // the unknown verdict), decoded by the native graft_audio_header
+    // chunk walker; the oracle recomputes the fields from the
+    // construction arithmetic.
+    "q_audio_headers" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val rate = when(pmod(col("doc_id"), lit(4)) === 0, 8000)
+        .when(pmod(col("doc_id"), lit(4)) === 1, 16000)
+        .when(pmod(col("doc_id"), lit(4)) === 2, 44100)
+        .otherwise(48000).cast("int")
+      val bits = (pmod(col("n_chars"), lit(4)) * 8 + 8).cast("int")
+      val byteRate = ((rate * ch * bits) / 8).cast("int")
+      val align = ((ch * bits) / 8).cast("int")
+      def hb(v: Column, k: Int) =
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le16(v: Column) = concat(hb(v, 0), hb(v, 1))
+      def le32(v: Column) = concat(hb(v, 0), hb(v, 1), hb(v, 2), hb(v, 3))
+      val junkN = pmod(col("doc_id"), lit(7)).cast("int")
+      val junk = when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("4A554E4B"), le32(junkN),
+          substr(lit("0000000000000000"), lit(1),
+            (junkN + pmod(junkN, lit(2))) * 2))).otherwise(lit(""))
+      val wavHex = concat(lit("5249464624000000" + "57415645"), junk,
+        lit("666D742010000000" + "0100"), le16(ch), le32(rate),
+        le32(byteRate), le16(align), le16(bits), lit("6461746100000000"))
+      val hexStr = when(pmod(col("doc_id"), lit(9)) === 4,
+        substring(wavHex, 1, 8)).otherwise(wavHex)
+      val hdr = GraftFunctions.graft_audio_header(unhex(hexStr))
+      d.select(col("doc_id"),
+        hdr.getField("format").as("a_format"),
+        hdr.getField("channels").as("a_channels"),
+        hdr.getField("sample_rate").as("a_rate"),
+        hdr.getField("bits").as("a_bits"))
+    }),
+
     // URL canonicalization (web-corpus dedup front end): scheme/host
     // case, default ports, fragments, empty paths, and query-param
     // order must all collapse before URL-keyed dedup works. Pure
@@ -963,6 +1001,17 @@ object SparkEntry {
         |    ELSE -1 END AS INT) AS depth
         |FROM tr""".stripMargin
     },
+
+    "q_audio_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN 'unknown' ELSE 'wav' END AS a_format,
+        |  CAST(CASE WHEN doc_id % 9 = 4 THEN -1 ELSE doc_id % 2 + 1 END AS INT) AS a_channels,
+        |  CAST(CASE WHEN doc_id % 9 = 4 THEN -1
+        |    WHEN doc_id % 4 = 0 THEN 8000 WHEN doc_id % 4 = 1 THEN 16000
+        |    WHEN doc_id % 4 = 2 THEN 44100 ELSE 48000 END AS INT) AS a_rate,
+        |  CAST(CASE WHEN doc_id % 9 = 4 THEN -1
+        |    ELSE (n_chars % 4) * 8 + 8 END AS INT) AS a_bits
+        |FROM documents""".stripMargin,
 
     "q_url_normalize" ->
       """WITH base AS (SELECT doc_id, source,

@@ -315,6 +315,51 @@ object MediaUdfs {
     val (fmt, w, h, d) = decodeHeader(b)
     InternalRow(UTF8String.fromString(fmt), w, h, d)
   }
+
+  val audioStructType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false)
+  ))
+
+  /** REAL WAV (RIFF/WAVE) header decode: a genuine chunk walk to the
+    * "fmt " chunk — [4cc][u32 LE size] records, sizes honored (so an
+    * id3/JUNK/LIST chunk before fmt is skipped correctly, odd sizes
+    * padded per RIFF). Returns (format, channels, sample_rate,
+    * bits_per_sample); anything else → ("unknown", -1, -1, -1). */
+  def decodeAudioHeader(b: Array[Byte]): (String, Int, Int, Int) = {
+    if (b == null || b.length < 12) return UNKNOWN
+    @inline def u(i: Int): Int = b(i) & 0xFF
+    @inline def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+    if (!(u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+          u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E')) return UNKNOWN
+    var i = 12
+    while (i + 8 <= b.length) {
+      val isFmt = u(i) == 'f' && u(i + 1) == 'm' && u(i + 2) == 't' && u(i + 3) == ' '
+      val size = le32(i + 4)
+      if (isFmt) {
+        if (i + 8 + 16 > b.length || size < 16) return UNKNOWN
+        val channels = le16(i + 10)
+        val rate = le32(i + 12)
+        val bits = le16(i + 22)
+        if (rate <= 0 || rate > Int.MaxValue) return UNKNOWN
+        return ("wav", channels, rate.toInt, bits)
+      }
+      // RIFF chunks are word-aligned: odd sizes carry one pad byte
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || i.toLong + step > Int.MaxValue) return UNKNOWN
+      i += step.toInt
+    }
+    UNKNOWN
+  }
+
+  def audioHeader(b: Array[Byte]): InternalRow = {
+    val (fmt, ch, rate, bits) = decodeAudioHeader(b)
+    InternalRow(UTF8String.fromString(fmt), ch, rate, bits)
+  }
 }
 
 /** Native expression: `graft_image_header(binary)` →
@@ -329,6 +374,20 @@ case class GraftImageHeader(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftImageHeader =
     copy(child = newChild)
   override def prettyName: String = "graft_image_header"
+}
+
+/** Native expression: `graft_audio_header(binary)` →
+  * struct<format,channels,sample_rate,bits>. */
+case class GraftAudioHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaUdfs.audioStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MediaUdfs.audioHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.MediaUdfs.audioHeader($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftAudioHeader =
+    copy(child = newChild)
+  override def prettyName: String = "graft_audio_header"
 }
 
 /** Native Catalyst expression: parse_html_spans(html). Codegen emits a
@@ -655,6 +714,7 @@ object GraftFunctions {
     call_function("parse_fragment_text", html, context)
   def extract_main_text(c: Column): Column = call_function("extract_main_text", c)
   def graft_image_header(c: Column): Column = call_function("graft_image_header", c)
+  def graft_audio_header(c: Column): Column = call_function("graft_audio_header", c)
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
 

@@ -50,6 +50,8 @@ object GraftSql {
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
       args => GraftImageHeader(args.head)),
+    ("graft_audio_header", "graft.spark.GraftAudioHeader",
+      args => GraftAudioHeader(args.head)),
     // PDF structure + text extraction (round 4 — north rule "PDF/layout parse")
     ("graft_pdf_info", "graft.spark.GraftPdfInfo",
       args => GraftPdfInfo(args.head)),

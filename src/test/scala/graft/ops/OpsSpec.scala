@@ -130,6 +130,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!hdrs("x").ok && hdrs("x").width == -1)
   }
 
+  test("wav header decode: fmt chunk walk, junk skipping, alignment, totality") {
+    import graft.spark.MediaUdfs.decodeAudioHeader
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical PCM: stereo 44100 Hz 16-bit
+    val wav = bytes("52494646" + "24000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000" + "64617461" + "00000000")
+    assert(decodeAudioHeader(wav) == ("wav", 2, 44100, 16))
+    // a JUNK chunk with an ODD size before fmt: the walk must honor the
+    // RIFF word-alignment pad or land misaligned and miss fmt
+    val junked = bytes("52494646" + "24000000" + "57415645" +
+      "4A554E4B" + "03000000" + "41414100" + // JUNK size 3 + 1 pad byte
+      "666D7420" + "10000000" + "0100" + "0100" + "80BB0000" +
+      "00EE0200" + "0200" + "1800" + "64617461" + "00000000")
+    assert(decodeAudioHeader(junked) == ("wav", 1, 48000, 24))
+    // truncation at every prefix never throws; non-RIFF unknown
+    for (n <- 0 until wav.length) decodeAudioHeader(wav.take(n))
+    assert(decodeAudioHeader("RIFFxxxxWAVE".getBytes)._1 == "unknown") // no chunks
+    assert(decodeAudioHeader("OggS anything".getBytes)._1 == "unknown")
+    assert(decodeAudioHeader(null)._1 == "unknown")
+  }
+
   test("multimodal stub: deterministic features, batch plumbing") {
     import spark.implicits._
     val rows = Seq(
