@@ -545,6 +545,42 @@ object SparkEntry {
         hdr.getField("bits").as("a_bits"))
     }),
 
+    // REAL video-container decode: valid ISO-BMFF (MP4) boxes built
+    // in-query — ftyp brand families, a free box the walk must skip,
+    // mvhd version 0 AND version 1 (64-bit duration) families, a
+    // truncation family; the native box walker recovers brand /
+    // timescale / duration, the oracle recomputes them from the
+    // construction arithmetic (incl. the integer-division ms).
+    "q_video_headers" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val brandHex = when(pmod(col("doc_id"), lit(3)) === 0, "69736F6D") // isom
+        .when(pmod(col("doc_id"), lit(3)) === 1, "6D703432")             // mp42
+        .otherwise("61766331")                                           // avc1
+      val ts = when(pmod(col("doc_id"), lit(3)) === 0, 600)
+        .when(pmod(col("doc_id"), lit(3)) === 1, 1000)
+        .otherwise(90000).cast("int")
+      val units = ((pmod(col("n_chars"), lit(500)) + 1) * 3).cast("int")
+      def be32h(v: Column) = lpad(hex(v), 8, "0")
+      val v1 = pmod(col("doc_id"), lit(7)) === 3
+      val mvhd = when(v1,
+        concat(lit("000000286D76686401000000" +
+            "0000000000000000" + "0000000000000000"),
+          be32h(ts), lit("00000000"), be32h(units)))
+        .otherwise(concat(lit("0000001C6D7668640000000000000000" + "00000000"),
+          be32h(ts), be32h(units)))
+      val moovSize = when(v1, "00000030").otherwise("00000024")
+      val mp4Hex = concat(lit("0000001066747970"), brandHex, lit("00000000"),
+        lit("0000000866726565"), moovSize, lit("6D6F6F76"), mvhd)
+      val hexStr = when(pmod(col("doc_id"), lit(11)) === 7,
+        substring(mp4Hex, 1, 8)).otherwise(mp4Hex)
+      val hdr = GraftFunctions.graft_video_header(unhex(hexStr))
+      d.select(col("doc_id"),
+        hdr.getField("brand").as("brand"),
+        hdr.getField("timescale").as("v_timescale"),
+        hdr.getField("duration_ms").as("v_duration_ms"),
+        hdr.getField("ok").as("v_ok"))
+    }),
+
     // URL canonicalization (web-corpus dedup front end): scheme/host
     // case, default ports, fragments, empty paths, and query-param
     // order must all collapse before URL-keyed dedup works. Pure
@@ -1001,6 +1037,22 @@ object SparkEntry {
         |    ELSE -1 END AS INT) AS depth
         |FROM tr""".stripMargin
     },
+
+    "q_video_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 7 THEN ''
+        |    WHEN doc_id % 3 = 0 THEN 'isom' WHEN doc_id % 3 = 1 THEN 'mp42'
+        |    ELSE 'avc1' END AS brand,
+        |  CAST(CASE WHEN doc_id % 11 = 7 THEN -1
+        |    WHEN doc_id % 3 = 0 THEN 600 WHEN doc_id % 3 = 1 THEN 1000
+        |    ELSE 90000 END AS INT) AS v_timescale,
+        |  CAST(CASE WHEN doc_id % 11 = 7 THEN -1
+        |    ELSE ((n_chars % 500 + 1) * 3 * 1000)
+        |      // (CASE WHEN doc_id % 3 = 0 THEN 600
+        |          WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END)
+        |    END AS BIGINT) AS v_duration_ms,
+        |  doc_id % 11 != 7 AS v_ok
+        |FROM documents""".stripMargin,
 
     "q_audio_headers" ->
       """SELECT doc_id,

@@ -360,6 +360,77 @@ object MediaUdfs {
     val (fmt, ch, rate, bits) = decodeAudioHeader(b)
     InternalRow(UTF8String.fromString(fmt), ch, rate, bits)
   }
+
+  val videoStructType: StructType = StructType(Seq(
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)
+  ))
+
+  /** REAL MP4 / ISO-BMFF box walk: top-level [u32 BE size][4cc] boxes;
+    * `ftyp` yields the major brand, `moov` is recursed one level for
+    * `mvhd` (version 0: timescale u32 + duration u32 at offsets 12/16
+    * past the box header; version 1: u32 timescale at 20, u64 duration
+    * at 24). duration_ms = duration * 1000 / timescale. size==1
+    * (64-bit largesize) and size==0 (to-end) handled; malformed input
+    * → ("", -1, -1, false), never a throw. */
+  def decodeVideoHeader(b: Array[Byte]): (String, Int, Long, Boolean) = {
+    val BAD = ("", -1, -1L, false)
+    if (b == null || b.length < 8) return BAD
+    @inline def u(i: Int): Int = b(i) & 0xFF
+    @inline def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    @inline def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    @inline def cc(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var brand = ""
+    var timescale = -1
+    var durationMs = -1L
+    // walk(from, to): returns false on structural damage
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        var size = be32(i)
+        var hdr = 8
+        if (size == 1) {
+          if (i + 16 > to) return false
+          size = be64(i + 8); hdr = 16
+        } else if (size == 0) size = (to - i).toLong
+        if (size < hdr || i + size > to) return false
+        val kind = cc(i + 4)
+        if (kind == "ftyp" && size >= hdr + 4) brand = cc(i + hdr)
+        else if (kind == "moov" && depth == 0) {
+          if (!walk(i + hdr, (i + size).toInt, 1)) return false
+        } else if (kind == "mvhd" && depth == 1) {
+          val p = i + hdr
+          if (p + 4 > to) return false
+          val version = u(p)
+          if (version == 0) {
+            if (p + 20 > to) return false
+            timescale = be32(p + 12).toInt
+            val dur = be32(p + 16)
+            if (timescale > 0) durationMs = dur * 1000L / timescale
+          } else {
+            if (p + 32 > to) return false
+            timescale = be32(p + 20).toInt
+            val dur = be64(p + 24)
+            if (timescale > 0) durationMs = dur * 1000L / timescale
+          }
+        }
+        i += size.toInt
+      }
+      true
+    }
+    val structOk = try walk(0, b.length, 0) catch { case _: Throwable => false }
+    if (brand.isEmpty) BAD
+    else (brand, timescale, durationMs, structOk && timescale > 0)
+  }
+
+  def videoHeader(b: Array[Byte]): InternalRow = {
+    val (brand, ts, dur, ok) = decodeVideoHeader(b)
+    InternalRow(UTF8String.fromString(brand), ts, dur, ok)
+  }
 }
 
 /** Native expression: `graft_image_header(binary)` →
@@ -388,6 +459,20 @@ case class GraftAudioHeader(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftAudioHeader =
     copy(child = newChild)
   override def prettyName: String = "graft_audio_header"
+}
+
+/** Native expression: `graft_video_header(binary)` →
+  * struct<brand,timescale,duration_ms,ok>. */
+case class GraftVideoHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaUdfs.videoStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MediaUdfs.videoHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.MediaUdfs.videoHeader($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftVideoHeader =
+    copy(child = newChild)
+  override def prettyName: String = "graft_video_header"
 }
 
 /** Native Catalyst expression: parse_html_spans(html). Codegen emits a
@@ -715,6 +800,7 @@ object GraftFunctions {
   def extract_main_text(c: Column): Column = call_function("extract_main_text", c)
   def graft_image_header(c: Column): Column = call_function("graft_image_header", c)
   def graft_audio_header(c: Column): Column = call_function("graft_audio_header", c)
+  def graft_video_header(c: Column): Column = call_function("graft_video_header", c)
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
 

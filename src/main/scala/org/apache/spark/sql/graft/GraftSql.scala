@@ -52,6 +52,8 @@ object GraftSql {
       args => GraftImageHeader(args.head)),
     ("graft_audio_header", "graft.spark.GraftAudioHeader",
       args => GraftAudioHeader(args.head)),
+    ("graft_video_header", "graft.spark.GraftVideoHeader",
+      args => GraftVideoHeader(args.head)),
     // PDF structure + text extraction (round 4 — north rule "PDF/layout parse")
     ("graft_pdf_info", "graft.spark.GraftPdfInfo",
       args => GraftPdfInfo(args.head)),

@@ -153,6 +153,35 @@ class OpsSpec extends AnyFunSuite {
     assert(decodeAudioHeader(null)._1 == "unknown")
   }
 
+  test("mp4 box walk: ftyp brand, mvhd v0/v1, largesize, totality") {
+    import graft.spark.MediaUdfs.decodeVideoHeader
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // ftyp(isom) + free + moov[mvhd v0: timescale 1000, duration 5000]
+    val v0 = bytes("0000001066747970" + "69736F6D" + "00000000" +
+      "0000000866726565" +
+      "000000246D6F6F76" +
+      "0000001C6D766864" + "00000000" + "00000000" + "00000000" +
+      "000003E8" + "00001388")
+    assert(decodeVideoHeader(v0) == ("isom", 1000, 5000L, true))
+    // mvhd v1: 64-bit times, timescale 90000, duration 450000 -> 5000ms
+    val v1 = bytes("0000001066747970" + "6D703432" + "00000000" +
+      "000000306D6F6F76" +
+      "000000286D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" +
+      "00015F90" + "000000000006DDD0")
+    assert(decodeVideoHeader(v1) == ("mp42", 90000, 5000L, true))
+    // largesize (size==1 + u64) wrapping a free box before ftyp
+    val large = bytes("0000000166726565" + "0000000000000010" +
+      "0000001066747970" + "61766331" + "00000000")
+    val (brand, _, _, _) = decodeVideoHeader(large)
+    assert(brand == "avc1")
+    // truncation at every prefix never throws; garbage unknown
+    for (n <- 0 until v1.length) decodeVideoHeader(v1.take(n))
+    assert(!decodeVideoHeader("RIFFxxxxWAVE".getBytes)._4)
+    assert(decodeVideoHeader(null)._1 == "")
+  }
+
   test("multimodal stub: deterministic features, batch plumbing") {
     import spark.implicits._
     val rows = Seq(

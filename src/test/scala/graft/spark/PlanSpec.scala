@@ -170,7 +170,7 @@ class PlanSpec extends AnyFunSuite {
       "parse_fragment_text", "extract_main_text",
       "graft_simhash64", "graft_minhash", "graft_jaccard", "graft_hamming64",
       "graft_fingerprint64", "graft_lang_id", "graft_image_header",
-      "graft_audio_header", "graft_pdf_info", "graft_pdf_text")
+      "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
