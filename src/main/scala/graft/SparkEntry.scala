@@ -335,6 +335,34 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3,
         oracleBlocking = true)),
 
+    // CHARACTER-shingle near-dup on a whitespace-free CJK corpus
+    // (round 4): token MinHash degenerates on unsegmented scripts, so
+    // the shingle kernels (graft_minhash_shingle / graft_jaccard_shingle)
+    // band over char trigrams. Corpus = md5 hex transliterated to 16 CJK
+    // chars (SQL-replayable via translate); planted identical twins
+    // (J=1, signature-equal) and tail twins (J≈0.9, banded at r=2 —
+    // deterministic signatures, miss probability ~1e-12); the oracle
+    // recomputes trigram Jaccard over ALL pairs independently.
+    "q_cjk_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cjk = "的一是不了人我在有他这为之大来以"
+      def toCjk(c: Column) = translate(c, "0123456789abcdef", cjk)
+      val base = d.filter(col("doc_id") < 100).select(col("doc_id"),
+        toCjk(array_join(transform(sequence(lit(0), lit(9)),
+          j => md5(concat(col("doc_id").cast("string"), lit("~"),
+            j.cast("string")))), "")).as("t"))
+      val corpus = base.select((col("doc_id") * 10).as("id"), col("t"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id"), col("t")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 10 + 2).as("id"),
+            concat(col("t"), toCjk(md5(concat(col("doc_id").cast("string"),
+              lit("~x"))))).as("t")))
+      Dedup.minhashCandidates(corpus, "id", "t", k = 32, bands = 16,
+          jaccardThreshold = 0.7, maxBucketSize = 256, shingleN = 3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       // planted chain components: ids 0..49 linked in runs of 5
@@ -874,6 +902,29 @@ object SparkEntry {
         |      / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
         |  FROM sel a JOIN sel b ON a.block = b.block AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3""".stripMargin,
+
+    "q_cjk_dedup" ->
+      """WITH base AS (SELECT doc_id,
+        |  translate(array_to_string(list_transform(range(0,10),
+        |    j -> md5(CAST(doc_id AS VARCHAR) || '~' || CAST(j AS VARCHAR))), ''),
+        |    '0123456789abcdef', '的一是不了人我在有他这为之大来以') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |corpus AS (
+        |  SELECT doc_id*10 AS id, t FROM base
+        |  UNION ALL SELECT doc_id*10+1, t FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id*10+2,
+        |    t || translate(md5(CAST(doc_id AS VARCHAR) || '~x'),
+        |      '0123456789abcdef', '的一是不了人我在有他这为之大来以')
+        |  FROM base WHERE doc_id % 7 = 0),
+        |toks AS (SELECT id, list_distinct(list_transform(
+        |    range(1, greatest(length(t)-2, 1)+1), i -> substr(t, i, 3))) AS st
+        |  FROM corpus)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+        |      / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
+        |  FROM toks a JOIN toks b ON a.id < b.id)
+        |WHERE jaccard >= 0.7""".stripMargin,
 
     "q_dedup_clusters" ->
       """SELECT doc_id AS id, CASE WHEN doc_id < 50 THEN (doc_id//5)*5 ELSE doc_id END AS cluster

@@ -193,17 +193,35 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16,
                         jaccardThreshold: Double = 0.7,
-                        maxBucketSize: Int = 256): DataFrame = {
+                        maxBucketSize: Int = 256): DataFrame =
+    minhashCandidates(df, idCol, textCol, k, bands, jaccardThreshold,
+      maxBucketSize, shingleN = 0)
+
+  /** `shingleN > 0` switches BOTH the signature and the verify kernel to
+    * CHARACTER n-grams (graft_minhash_shingle / graft_jaccard_shingle) —
+    * the whitespace-free-script path: on CJK/Thai text whitespace
+    * tokenization degenerates to whole-sentence tokens and token MinHash
+    * sees J∈{0,1} only. Same banding, same skew guard, same shuffle
+    * shape. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, bands: Int, jaccardThreshold: Double,
+                        maxBucketSize: Int, shingleN: Int): DataFrame = {
     val spark = df.sparkSession
     TextOps.registerAll(spark)
     val rows = k / bands
+    val sigExpr =
+      if (shingleN > 0) s"graft_minhash_shingle(text, $k, $shingleN)"
+      else s"graft_minhash(text, $k)"
+    val verifyExpr =
+      if (shingleN > 0) s"graft_jaccard_shingle(text_a, text_b, $shingleN)"
+      else "graft_jaccard(text_a, text_b)"
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(length(trim(col(textCol))) > 0)
     // candidate generation shuffles ONLY (id, band, bucket) — at corpus
     // scale the banding explode must not replicate document text ×bands
     // through the wire; text rejoins per VERIFIED candidate id below
     val banded = texts
-      .withColumn("sig", expr(s"graft_minhash(text, $k)"))
+      .withColumn("sig", expr(sigExpr))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
@@ -211,7 +229,7 @@ object Dedup {
     pairs
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("jaccard", expr("graft_jaccard(text_a, text_b)"))
+      .withColumn("jaccard", expr(verifyExpr))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }

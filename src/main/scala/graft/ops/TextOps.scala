@@ -192,6 +192,56 @@ object TextOps {
     sig
   }
 
+  /** Normalize for character shingling: lowercase, trim, collapse
+    * whitespace runs — SQL-replayable as
+    * regexp_replace(lower(trim(s)), '\s+', ' '). */
+  private def shingleNorm(text: String): String =
+    text.toLowerCase.trim.replaceAll("\\s+", " ")
+
+  /** MinHash over CHARACTER n-grams — the whitespace-free-script path
+    * (CJK, Thai, …) where token shingling degenerates to whole-sentence
+    * tokens. Same permutation family and banding contract as `minhash`;
+    * texts shorter than n contribute one whole-text shingle. */
+  def minhashShingle(text: String, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text == null) return sig
+    val s = shingleNorm(text)
+    if (s.isEmpty) return sig
+    val prime = 2305843009213693951L // 2^61 - 1
+    val (as, bs) = perms(k)
+    val last = math.max(s.length - n, 0)
+    var i = 0
+    while (i <= last) {
+      val shingle = s.substring(i, math.min(i + n, s.length))
+      val h = scala.util.hashing.MurmurHash3.stringHash(shingle).toLong & 0x7FFFFFFFFFFFFFFFL
+      val hm = h % prime
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * hm + bs(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Exact Jaccard over character n-gram SETS (the shingle verify
+    * kernel; same normalization as minhashShingle). */
+  def jaccardShingles(a: String, b: String, n: Int): Double = {
+    if (a == null || b == null) return 0.0
+    def sh(t: String): Set[String] = {
+      val s = shingleNorm(t)
+      if (s.isEmpty) Set.empty
+      else (0 to math.max(s.length - n, 0))
+        .map(i => s.substring(i, math.min(i + n, s.length))).toSet
+    }
+    val sa = sh(a); val sb = sh(b)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
   /** Exact token-set Jaccard similarity. */
   def jaccardTokens(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0

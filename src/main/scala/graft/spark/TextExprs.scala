@@ -47,6 +47,16 @@ object TextKernels {
   }
   def jaccard(a: UTF8String, b: UTF8String): Double =
     TextOps.jaccardTokens(a.toString, b.toString)
+  def minhashShingle(t: UTF8String, k: Int, n: Int): ArrayData = {
+    minhashEvals.incrementAndGet()
+    val sig = TextOps.minhashShingle(t.toString, k, n)
+    val boxed = new Array[Any](sig.length)
+    var i = 0
+    while (i < sig.length) { boxed(i) = sig(i); i += 1 }
+    new GenericArrayData(boxed)
+  }
+  def jaccardShingle(a: UTF8String, b: UTF8String, n: Int): Double =
+    TextOps.jaccardShingles(a.toString, b.toString, n)
   def fingerprint64(t: UTF8String): Long = TextOps.fingerprint64(t.toString)
   def langId(t: UTF8String): UTF8String =
     UTF8String.fromString(TextOps.langIdHeuristic(t.toString))
@@ -92,6 +102,38 @@ case class GraftJaccard(left: Expression, right: Expression) extends BinaryExpre
       newLeft: Expression, newRight: Expression): GraftJaccard =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_jaccard"
+}
+
+/** MinHash over CHARACTER n-grams: `graft_minhash_shingle(text, k, n)`
+  * — the whitespace-free-script (CJK) dedup path; token shingling
+  * degenerates there (round-4). Same counter as minhash. */
+case class GraftMinhashShingle(child: Expression, k: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashShingle(input.asInstanceOf[UTF8String], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.minhashShingle($c, $k, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GraftMinhashShingle =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_shingle"
+}
+
+/** Exact char-n-gram-set Jaccard: `graft_jaccard_shingle(a, b, n)` —
+  * the verify kernel for the shingle dedup path. */
+case class GraftJaccardShingle(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardShingle(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spark.TextKernels.jaccardShingle($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftJaccardShingle =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaccard_shingle"
 }
 
 /** Hamming distance of two 64-bit signatures: `graft_hamming64(a, b)` —

@@ -41,6 +41,12 @@ object GraftSql {
       args => GraftMinhash(args.head, args(1).eval().asInstanceOf[Int])),
     ("graft_jaccard", "graft.spark.GraftJaccard",
       args => GraftJaccard(args(0), args(1))),
+    ("graft_minhash_shingle", "graft.spark.GraftMinhashShingle",
+      args => GraftMinhashShingle(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+    ("graft_jaccard_shingle", "graft.spark.GraftJaccardShingle",
+      args => GraftJaccardShingle(args(0), args(1),
+        args(2).eval().asInstanceOf[Int])),
     ("graft_hamming64", "graft.spark.GraftHamming64",
       args => GraftHamming64(args(0), args(1))),
     ("graft_fingerprint64", "graft.spark.GraftFingerprint64",

@@ -56,6 +56,27 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langIdHeuristic("") == "und")
   }
 
+  test("char-shingle kernels fix the CJK token-degeneration gap") {
+    // unsegmented text: token kernels see ONE token, so near-dups read
+    // J=0 (or 1 for exact) — the shingle kernels measure real overlap
+    val a = "这是一个很长的中文句子没有任何空格分词在这里完全失效"
+    val b = "这是一个很长的中文句子没有任何空格分词在这里基本失效"  // 2-char diff
+    assert(TextOps.jaccardTokens(a, b) == 0.0, "token jaccard must degenerate")
+    val js = TextOps.jaccardShingles(a, b, 3)
+    assert(js > 0.6 && js < 1.0, s"shingle jaccard should see the overlap: $js")
+    assert(TextOps.jaccardShingles(a, a, 3) == 1.0)
+    // signature agreement follows the same pattern
+    val sa = TextOps.minhashShingle(a, 32, 3)
+    val sb = TextOps.minhashShingle(b, 32, 3)
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 32.0
+    assert(agree > 0.4, s"shingle signature agreement too low: $agree")
+    // short-text edge: below n, one whole-text shingle
+    assert(TextOps.jaccardShingles("ab", "ab", 3) == 1.0)
+    assert(TextOps.jaccardShingles("ab", "cd", 3) == 0.0)
+    // whitespace normalization shared with the token path
+    assert(TextOps.jaccardShingles("x  y", "x y", 3) == 1.0)
+  }
+
   test("url canonicalization: ports, fragments, query sort, registrable domain") {
     import spark.implicits._
     val urls = Seq(

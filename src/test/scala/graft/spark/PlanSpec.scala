@@ -168,7 +168,8 @@ class PlanSpec extends AnyFunSuite {
       "prescan_charset", "html_quirks_mode", "tokenize_html", "parse_html_nodes",
       "extract_interleaved_spans", "graft_cosine", "graft_hyperplane_sig",
       "parse_fragment_text", "extract_main_text",
-      "graft_simhash64", "graft_minhash", "graft_jaccard", "graft_hamming64",
+      "graft_simhash64", "graft_minhash", "graft_jaccard",
+      "graft_minhash_shingle", "graft_jaccard_shingle", "graft_hamming64",
       "graft_fingerprint64", "graft_lang_id", "graft_image_header",
       "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
