@@ -54,6 +54,24 @@ object TextOps {
     lenScore + alphaScore + wordScore
   }
 
+  /** Compression-ratio quality signal: deflated size / raw UTF-8 size,
+    * in permille (int output per the oracle discipline, though this one
+    * is unit-test-pinned — DuckDB cannot replay deflate). The standard
+    * cheap repetition detector for training corpora: boilerplate /
+    * keyword-stuffed / template pages compress far below natural prose.
+    * Level 6 (zlib default) for cross-run determinism; empty → 1000. */
+  def compressRatioPermille(text: String): Int = {
+    if (text == null || text.isEmpty) return 1000
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    var total = 0L
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    math.min((total * 1000L / raw.length).toInt, 1000)
+  }
+
   // ------------------------------------------------------------- langid
 
   /** Ordered (tie-break = first wins) so the decision is exactly

@@ -57,6 +57,8 @@ object TextKernels {
   }
   def jaccardShingle(a: UTF8String, b: UTF8String, n: Int): Double =
     TextOps.jaccardShingles(a.toString, b.toString, n)
+  def compressRatio(t: UTF8String): Int =
+    TextOps.compressRatioPermille(t.toString)
   def fingerprint64(t: UTF8String): Long = TextOps.fingerprint64(t.toString)
   def langId(t: UTF8String): UTF8String =
     UTF8String.fromString(TextOps.langIdHeuristic(t.toString))
@@ -134,6 +136,22 @@ case class GraftJaccardShingle(left: Expression, right: Expression, n: Int)
       newLeft: Expression, newRight: Expression): GraftJaccardShingle =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_jaccard_shingle"
+}
+
+/** Compression-ratio quality signal: `graft_compress_ratio(text)` →
+  * deflate(text)/|text| in permille (the cheap repetition detector —
+  * template/stuffed pages compress far below natural prose). Pinned by
+  * unit tests rather than the DuckDB gate (SQL cannot deflate). */
+case class GraftCompressRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.compressRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.compressRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftCompressRatio =
+    copy(child = newChild)
+  override def prettyName: String = "graft_compress_ratio"
 }
 
 /** Hamming distance of two 64-bit signatures: `graft_hamming64(a, b)` —

@@ -51,6 +51,8 @@ object GraftSql {
       args => GraftHamming64(args(0), args(1))),
     ("graft_fingerprint64", "graft.spark.GraftFingerprint64",
       args => GraftFingerprint64(args.head)),
+    ("graft_compress_ratio", "graft.spark.GraftCompressRatio",
+      args => GraftCompressRatio(args.head)),
     ("graft_lang_id", "graft.spark.GraftLangId",
       args => GraftLangId(args.head)),
     // multimodal: real image-container header decode (round 4)

@@ -56,6 +56,25 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langIdHeuristic("") == "und")
   }
 
+  test("compression-ratio quality signal separates repetition from prose") {
+    val template = "click here buy now " * 200
+    val prose = (0 until 120).map(i =>
+      s"sentence $i mentions topic${i % 37} and idea${(i * 7) % 53} differently").mkString(". ")
+    val rTemplate = TextOps.compressRatioPermille(template)
+    val rProse = TextOps.compressRatioPermille(prose)
+    assert(rTemplate < 100, s"heavy repetition must compress hard: $rTemplate")
+    assert(rProse > rTemplate * 2, s"prose must compress less: $rProse vs $rTemplate")
+    assert(TextOps.compressRatioPermille("") == 1000)
+    // deterministic across calls (fixed deflate level)
+    assert(TextOps.compressRatioPermille(prose) == rProse)
+    // SQL surface
+    import spark.implicits._
+    graft.spark.GraftFunctions.registerAll(spark)
+    val got = Seq(template, prose).toDF("t")
+      .selectExpr("graft_compress_ratio(t) AS r").collect().map(_.getInt(0))
+    assert(got(0) == rTemplate && got(1) == rProse)
+  }
+
   test("char-shingle kernels fix the CJK token-degeneration gap") {
     // unsegmented text: token kernels see ONE token, so near-dups read
     // J=0 (or 1 for exact) — the shingle kernels measure real overlap

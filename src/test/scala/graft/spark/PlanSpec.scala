@@ -170,6 +170,7 @@ class PlanSpec extends AnyFunSuite {
       "parse_fragment_text", "extract_main_text",
       "graft_simhash64", "graft_minhash", "graft_jaccard",
       "graft_minhash_shingle", "graft_jaccard_shingle", "graft_hamming64",
+      "graft_compress_ratio",
       "graft_fingerprint64", "graft_lang_id", "graft_image_header",
       "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
