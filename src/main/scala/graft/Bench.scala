@@ -206,7 +206,8 @@ object Bench {
       // round-4 queries (measured at sf0.1, clean windows)
       "q_multimodal_real" -> 0.4, "q_stream_dedup" -> 2.3,
       "q_pdf_extract" -> 0.35, "q_url_normalize" -> 0.4,
-      "q_audio_headers" -> 0.4, "q_video_headers" -> 0.4)
+      "q_audio_headers" -> 0.4, "q_video_headers" -> 0.4,
+      "q_cjk_dedup" -> 1.5)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {
