@@ -110,9 +110,12 @@ object PdfUdfs {
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
         val endKw = s.indexOf("endstream", dataStart)
         if (endKw < 0) return out.toString
-        // the stream's dict precedes the keyword: scan back to "<<"
-        val dictStart = s.lastIndexOf("<<", streamKw)
-        val dict = if (dictStart >= 0) s.substring(dictStart, streamKw) else ""
+        // the stream's dict = everything from its object header to the
+        // keyword (NOT lastIndexOf("<<") — a nested sub-dict like
+        // /DecodeParms<<…>> would shadow the outer /Filter entry)
+        val objStart = s.lastIndexOf("obj", streamKw)
+        val dict = if (objStart >= 0) s.substring(objStart, streamKw)
+          else s.substring(math.max(0, streamKw - 512), streamKw)
         var data = java.util.Arrays.copyOfRange(b, dataStart, endKw)
         // trailing EOL before endstream belongs to the delimiter
         while (data.length > 0 && (data(data.length - 1) == '\n' || data(data.length - 1) == '\r'))

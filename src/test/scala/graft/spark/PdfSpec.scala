@@ -84,6 +84,22 @@ class PdfSpec extends AnyFunSuite {
     assert(v == "1.4" && pages == 1 && ok)
   }
 
+  test("nested sub-dict does not shadow /FlateDecode in the stream dict") {
+    val content = "BT (deep dict) Tj ET"
+    val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val pdf = b(s"""%PDF-1.4
+      |1 0 obj<</Type/Pages/Kids[2 0 R]/Count 1>>endobj
+      |2 0 obj<</Length $n/Filter/FlateDecode/DecodeParms<</Columns 1>>>>stream
+      |""".stripMargin) ++ java.util.Arrays.copyOf(buf, n) ++
+      b("\nendstream endobj\n%%EOF")
+    assert(PdfUdfs.text(pdf) == "deep dict")
+  }
+
   test("two content streams join with newline in document order") {
     val pdf = s"""%PDF-1.4
       |1 0 obj<</Type/Pages/Kids[2 0 R 3 0 R]/Count 2>>endobj
