@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, TextOps, Multimodal}
+import graft.ops.{Dedup, Similarity, TextOps, Multimodal, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -462,6 +462,24 @@ object SparkEntry {
           centroids, k = 3, nprobe = 1)
         .select(col("query_id"), col("vec_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // int8-quantized ANN (round 4): the graded dominance corpus is all
+    // non-negative, so quantization (round(127·v/max|v|), half-up ==
+    // DuckDB round for positives) and the integer-dot cosine are both
+    // exactly SQL-replayable — the oracle re-quantizes and re-ranks
+    // every pair itself.
+    "q_ann_i8" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val c = gradedVecs(s).select(col("vec_id"),
+        Similarity.quantizeI8(col("embedding")).as("embedding"))
+      val q = c.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = c.join(broadcast(q))
+        .select(col("qid").as("query_id"), col("vec_id"),
+          Similarity.cosineI8(col("qvec"), col("embedding")).as("cosine"))
+      TopK.perQueryTopK(scored, 2)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
     }),
 
     "q_multimodal_stub" -> ((s, dir) => {
@@ -1009,6 +1027,40 @@ object SparkEntry {
         |       CAST(j * 100 + r - 1 AS BIGINT) AS vec_id,
         |       CAST(1.0 AS DOUBLE) AS cosine, CAST(r AS INT) AS rank
         |FROM range(0, 8) t(j) CROSS JOIN range(1, 4) s(r)""".stripMargin,
+
+    // the oracle re-quantizes the VALUES corpus and re-ranks every pair
+    // with integer-dot cosine — quantization, rounding, and rank order
+    // are all independently recomputed
+    "q_ann_i8" ->
+      """WITH c(id, v) AS (VALUES
+        |  (100, [3.0,4,0,0,0,0,0,0,0,0,0,0]),
+        |  (200, [0.0,5,0,0,0,0,0,0,0,0,0,0]),
+        |  (101, [0.0,0,8,15,0,0,0,0,0,0,0,0]),
+        |  (201, [0.0,0,0,17,0,0,0,0,0,0,0,0]),
+        |  (102, [0.0,0,0,0,5,12,0,0,0,0,0,0]),
+        |  (202, [0.0,0,0,0,0,13,0,0,0,0,0,0]),
+        |  (103, [0.0,0,0,0,0,0,7,24,0,0,0,0]),
+        |  (203, [0.0,0,0,0,0,0,0,25,0,0,0,0]),
+        |  (104, [0.0,0,0,0,0,0,0,0,20,99,0,0]),
+        |  (204, [0.0,0,0,0,0,0,0,0,0,101,0,0]),
+        |  (105, [0.0,0,0,0,0,0,0,0,0,0,3,4]),
+        |  (205, [0.0,0,0,0,0,0,0,0,0,0,6,8])),
+        |q8 AS (SELECT id,
+        |  list_transform(v, x -> CAST(round(127 * CAST(x AS DOUBLE) / m) AS BIGINT)) AS qv
+        |  FROM (SELECT id, v,
+        |          list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |        FROM c)),
+        |s AS (SELECT a.id AS query_id, b.id AS vec_id,
+        |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        |  / greatest(sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE))
+        |           * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)), 1e-12) AS cosine
+        |  FROM q8 a CROSS JOIN q8 b WHERE a.id < 200)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+        |       cosine, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rank FROM s)
+        |WHERE rank <= 2""".stripMargin,
 
     "q_multimodal_stub" ->
       """SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -19,6 +19,32 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Symmetric per-vector int8 quantization (graft_quantize_i8) — the
+    * 4×-smaller storage/scan path for corpus-scale embedding tables.
+    * The per-vector scale cancels in cosine, so the quantized corpus
+    * needs NO scale column; `cosineI8` ranks directly. Distortion vs
+    * f32 cosine is measured and floor-pinned in ScaleGuardSpec. */
+  def quantizeI8(v: Column): Column = call_function("graft_quantize_i8", v)
+
+  /** Cosine over int8-quantized vectors (graft_cosine_i8): exact long
+    * integer dot/norms, one double division. */
+  def cosineI8(a: Column, b: Column): Column = call_function("graft_cosine_i8", a, b)
+
+  /** Brute-force top-k over an int8-quantized corpus: same broadcast +
+    * bounded-top-k shape as `bruteForceTopK`, 4× less data through the
+    * scan and broadcast. */
+  def bruteForceTopKI8(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int = 10): DataFrame = {
+    val c8 = corpus.select(col(corpusId).as("vec_id"),
+      quantizeI8(col(corpusVec)).as("c8"))
+    val q8 = queries.select(col(queryId).as("query_id"),
+      quantizeI8(col(queryVec)).as("q8"))
+    val scored = c8.join(broadcast(q8))
+      .select(col("query_id"), col("vec_id"), cosineI8(col("q8"), col("c8")).as("cosine"))
+    TopK.perQueryTopK(scored, k)
+  }
+
   /** Brute-force top-k: broadcast the (small) query set against the
     * (huge) corpus — the exact baseline. One broadcast join, then a
     * bounded per-partition top-k aggregate (TopK.perQueryTopK): only

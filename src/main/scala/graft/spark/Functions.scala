@@ -593,6 +593,51 @@ object VecUdfs {
     java.lang.Double.valueOf(dot / denom)
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = round(127·v_i/max|v|)
+    * — the 4×-smaller storage path for corpus-scale embeddings. The
+    * per-vector scale CANCELS in cosine, so `cosineI8` needs no scale
+    * column at all. Zero vectors quantize to zeros. Double arithmetic +
+    * half-up rounding (= DuckDB round() for the non-negative planted
+    * oracle corpus). */
+  def quantizeI8(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val q = if (maxAbs == 0.0) 0L
+        else Math.round(127.0 * vec.getFloat(i).toDouble / maxAbs)
+      out(i) = math.max(-127L, math.min(127L, q)).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine over int8-quantized vectors: exact integer dot/norms in
+    * long arithmetic, one double division at the end (same
+    * greatest(·,1e-12) guard as the f32 kernel). */
+  def cosineI8(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.max(math.sqrt(na.toDouble) * math.sqrt(nb.toDouble), 1e-12)
+    java.lang.Double.valueOf(dot.toDouble / denom)
+  }
+
   def hyperplaneSig(vec: ArrayData, planes: Int, seed: Int): Int = {
     hyperplaneEvals.incrementAndGet()
     val n = vec.numElements()
@@ -643,6 +688,42 @@ case class GraftCosine(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftCosine =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_cosine"
+}
+
+/** Native expression: `graft_quantize_i8(vec)` → array<tinyint> —
+  * symmetric per-vector int8 quantization (scale cancels in cosine). */
+case class GraftQuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VecUdfs.quantizeI8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.VecUdfs.quantizeI8($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftQuantizeI8 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quantize_i8"
+}
+
+/** Native expression: `graft_cosine_i8(a, b)` over int8 vectors. */
+case class GraftCosineI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // length mismatch / null element
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecUdfs.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      java.lang.Double ${ev.value}_r8 = graft.spark.VecUdfs.cosineI8($a, $b);
+      if (${ev.value}_r8 == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r8.doubleValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftCosineI8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine_i8"
 }
 
 /** Native hyperplane-signature expression: `graft_hyperplane_sig(vec,

@@ -26,6 +26,10 @@ object GraftSql {
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",
       args => GraftCosine(args(0), args(1))),
+    ("graft_quantize_i8", "graft.spark.GraftQuantizeI8",
+      args => GraftQuantizeI8(args.head)),
+    ("graft_cosine_i8", "graft.spark.GraftCosineI8",
+      args => GraftCosineI8(args(0), args(1))),
     ("graft_hyperplane_sig", "graft.spark.HyperplaneSig",
       args => HyperplaneSig(args.head,
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),

@@ -281,6 +281,34 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(p2 >= 0.85, f"hamming-2 planted-partner recall regressed: $p2%.4f")
   }
 
+  test("int8 quantized cosine tracks f32: distortion bound + top-10 recall floor") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    val byId = all.toMap
+    def truthTop(q: Array[Float], k: Int): Set[Long] =
+      all.map { case (id, v) => (id, cosF(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    val got = Similarity.bruteForceTopKI8(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = queryRows.map { case (qid, _) =>
+      val t = truthTop(byId(qid), 10)
+      (byQ.getOrElse(qid, Set.empty) & t).size.toDouble / t.size
+    }.sum / queryRows.size
+    info(f"int8 brute-force recall@10 vs f32 truth: $recall%.4f")
+    assert(recall >= 0.95, f"int8 quantization recall floor broken: $recall%.4f")
+    // pointwise distortion: every reported int8 cosine within 0.03 of f32
+    val maxErr = got.map { case (q, v, c8) =>
+      math.abs(c8 - cosF(byId(q), byId(v)))
+    }.max
+    info(f"max |cos_i8 - cos_f32| over reported pairs: $maxErr%.5f")
+    assert(maxErr < 0.03, f"int8 cosine distortion too high: $maxErr%.5f")
+  }
+
   test("IVF ANN: trained quantizer recall vs brute force; nprobe lifts recall") {
     import spark.implicits._
     val all = gradedEmbeddings

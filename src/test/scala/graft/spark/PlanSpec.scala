@@ -166,7 +166,8 @@ class PlanSpec extends AnyFunSuite {
     val names = org.apache.spark.sql.graft.GraftSql.entries.map(_._1).toSet
     val expected = Set("parse_html_spans", "parse_html_text", "serialize_html",
       "prescan_charset", "html_quirks_mode", "tokenize_html", "parse_html_nodes",
-      "extract_interleaved_spans", "graft_cosine", "graft_hyperplane_sig",
+      "extract_interleaved_spans", "graft_cosine",
+      "graft_quantize_i8", "graft_cosine_i8", "graft_hyperplane_sig",
       "parse_fragment_text", "extract_main_text",
       "graft_simhash64", "graft_minhash", "graft_jaccard",
       "graft_minhash_shingle", "graft_jaccard_shingle", "graft_hamming64",
