@@ -335,6 +335,24 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.3,
         oracleBlocking = true)),
 
+    // line-level boilerplate removal (CCNet-style): a multi-line corpus
+    // is constructed with two corpus-wide boilerplate lines (every doc),
+    // one per-source nav line (~n/20 docs — above maxDocFreq at every
+    // SF), and two doc-unique lines; only the unique lines survive, in
+    // original order. Expected is fully determined by construction.
+    "q_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val text = concat_ws("\n",
+        lit("COOKIE NOTICE accept all"),
+        concat(lit("h-"), col("lang"), lit("-"), col("doc_id").cast("string")),
+        concat(lit("nav menu "), col("source")),
+        concat(lit("body "), md5(concat(col("text"), col("doc_id").cast("string")))),
+        lit("copyright 2026 site"))
+      Dedup.lineDedup(d.select(col("doc_id"), text.as("t")), "doc_id", "t",
+          maxDocFreq = 5, oracleHash = true)
+        .select(col("id").as("doc_id"), col("clean_text"))
+    }),
+
     // CHARACTER-shingle near-dup on a whitespace-free CJK corpus
     // (round 4): token MinHash degenerates on unsegmented scripts, so
     // the shingle kernels (graft_minhash_shingle / graft_jaccard_shingle)
@@ -920,6 +938,12 @@ object SparkEntry {
         |      / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
         |  FROM sel a JOIN sel b ON a.block = b.block AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3""".stripMargin,
+
+    "q_line_dedup" ->
+      """SELECT doc_id,
+        |  'h-' || lang || '-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'body ' || md5(text || CAST(doc_id AS VARCHAR)) AS clean_text
+        |FROM documents""".stripMargin,
 
     "q_cjk_dedup" ->
       """WITH base AS (SELECT doc_id,

@@ -338,6 +338,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb-style pass):
+    * lines whose normalized hash appears in MORE than `maxDocFreq`
+    * distinct documents are dropped from every document; surviving
+    * lines reassemble in their original order. Returns (id, clean_text)
+    * for every input row (fully-boilerplate docs come back as "").
+    *
+    * Scale shape: posexplode → distinct (id, line-hash) → map-side-
+    * combined count per hash → left_anti join (the common-line set is
+    * ≤ total_lines/maxDocFreq by pigeonhole) → per-doc ordered
+    * reassembly via sort_array(collect_list(struct(idx, line))) — a
+    * bounded per-doc aggregate, never a Window over the corpus.
+    * `oracleHash` mirrors the ngram-blocking convention: md5 for the
+    * DuckDB replay, xxhash64 in production. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int = 5, oracleHash: Boolean = false): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("k",
+        if (oracleHash) md5(trim(lower(col("line"))))       // DuckDB-replayable
+        else xxhash64(trim(lower(col("line")))))            // production: 64-bit
+    val common = lines.select("id", "k").distinct()
+      .groupBy("k").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") > maxDocFreq)
+    val kept = lines.join(common.select("k"), Seq("k"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    ids.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Connected components over near-dup pairs → cluster ids, via
     * iterative min-label propagation WITH path halving (each round,
     * after adopting the neighborhood min, every node also jumps to its

@@ -56,6 +56,30 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langIdHeuristic("") == "und")
   }
 
+  test("line dedup: common lines dropped, order kept, all-boilerplate docs empty") {
+    import spark.implicits._
+    val docs = (0 until 20).map { i =>
+      if (i == 19) (i.toLong, "SHARED HEADER\nshared footer") // fully boilerplate
+      else (i.toLong, s"SHARED HEADER\nunique first $i\nmiddle $i common-ish\nshared footer\nunique last $i")
+    }.toDF("doc_id", "t")
+    val out = Dedup.lineDedup(docs, "doc_id", "t", maxDocFreq = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 20, "every input row must come back")
+    assert(out(3L) == "unique first 3\nmiddle 3 common-ish\nunique last 3",
+      s"order/selection wrong: ${out(3L)}")
+    assert(out(19L) == "", "fully-boilerplate doc must come back empty")
+    // normalization: case/whitespace variants of a common line still drop
+    val varied = ((0 until 10).map(i => (i.toLong, s"  Shared Header \nkeep $i")) :+
+      (10L, "SHARED HEADER\nkeep 10")).toDF("doc_id", "t")
+    val out2 = Dedup.lineDedup(varied, "doc_id", "t", maxDocFreq = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(10L) == "keep 10" && out2(0L) == "keep 0")
+    // production hash path agrees with the oracle path
+    val p = Dedup.lineDedup(docs, "doc_id", "t", maxDocFreq = 5, oracleHash = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p == out)
+  }
+
   test("compression-ratio quality signal separates repetition from prose") {
     val template = "click here buy now " * 200
     val prose = (0 until 120).map(i =>
