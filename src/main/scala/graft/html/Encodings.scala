@@ -15,7 +15,7 @@ import java.nio.charset.{Charset, StandardCharsets, CodingErrorAction}
 object Encodings {
 
   /** COMPLETE WHATWG label registry → (canonical WHATWG name, decoder id)
-    * — all 213 labels across the 40 encodings the reference recognizes
+    * — all 213 labels across the 39 encodings the reference recognizes
     * (its table: source/myencoding/detect_resource.h:130-520, enum
     * myosi.h:47-89; same registry as encoding.spec.whatwg.org). The
     * decoder id is a JDK charset chosen to match the WHATWG *index* —
@@ -113,7 +113,8 @@ object Encodings {
     * (canonical name, decoder id); None for labels outside the registry.
     * '@'-prefixed ids are the hand-written decoders below. */
   def resolveLabel(label: String): Option[(String, String)] =
-    if (label == null) None else whatwgLabels.get(label.trim.toLowerCase)
+    if (label == null) None
+    else whatwgLabels.get(label.trim.toLowerCase(java.util.Locale.ROOT))
 
   /** BOM detection (reference detect.c:164-231). Returns (charsetName,
     * bomLength) or null. */
@@ -133,7 +134,8 @@ object Encodings {
     * content="...charset=...">; skips comments and other tags. */
   def prescanMeta(bytes: Array[Byte], limit: Int = 1024): Option[String] = {
     val n = math.min(bytes.length, limit)
-    val s = new String(bytes, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val s = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < s.length) {
       if (s.startsWith("<!--", i)) {

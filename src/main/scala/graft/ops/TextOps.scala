@@ -214,7 +214,7 @@ object TextOps {
     * whitespace runs — SQL-replayable as
     * regexp_replace(lower(trim(s)), '\s+', ' '). */
   private def shingleNorm(text: String): String =
-    text.toLowerCase.trim.replaceAll("\\s+", " ")
+    text.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
 
   /** MinHash over CHARACTER n-grams — the whitespace-free-script path
     * (CJK, Thai, …) where token shingling degenerates to whole-sentence

@@ -604,6 +604,9 @@ object VecUdfs {
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result (same semantics as the f32/i8 cosine
+      // kernels; never fabricate an embedding from a partial vector)
+      if (vec.isNullAt(i)) return null
       val a = math.abs(vec.getFloat(i).toDouble)
       if (a > maxAbs) maxAbs = a
       i += 1
@@ -695,10 +698,20 @@ case class GraftCosine(left: Expression, right: Expression)
 case class GraftQuantizeI8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null ELEMENT in the input → null result (matches the cosine
+  // kernels); without this, codegen has no isNull slot (repo rule)
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     VecUdfs.quantizeI8(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.spark.VecUdfs.quantizeI8($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_q =
+        graft.spark.VecUdfs.quantizeI8($c);
+      if (${ev.value}_q == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_q; }
+      """
+    })
   override protected def withNewChildInternal(newChild: Expression): GraftQuantizeI8 =
     copy(child = newChild)
   override def prettyName: String = "graft_quantize_i8"

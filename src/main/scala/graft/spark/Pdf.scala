@@ -137,6 +137,11 @@ object PdfUdfs {
     out.toString
   }
 
+  /** Inflated output is capped: a crafted deflate bomb (~1000:1
+    * expansion) in an untrusted corpus must become a null row verdict,
+    * not an executor OOM — same contract as the stuck-inflater path. */
+  private val MaxInflatedBytes = 64 << 20
+
   private def inflate(data: Array[Byte]): Array[Byte] =
     try {
       val inf = new java.util.zip.Inflater()
@@ -147,6 +152,7 @@ object PdfUdfs {
         val n = inf.inflate(buf)
         if (n == 0 && !inf.finished()) return null // stuck (corrupt/dict-needed)
         out.write(buf, 0, n)
+        if (out.size > MaxInflatedBytes) return null // deflate bomb
       }
       inf.end()
       out.toByteArray

@@ -703,11 +703,12 @@ class EncodingsSpec extends AnyFunSuite {
 
   test("WHATWG label completeness: every reference-recognized label resolves (myosi.h:47-89)") {
     // the reference's registry (source/myencoding/detect_resource.h) is
-    // the WHATWG label table: 40 encodings, 213 labels. Audit: (a) all
-    // 40 canonical encodings are present, (b) every label resolves to a
-    // usable decoder — a JDK charset this JVM supports or one of our
-    // hand-written tables — so no label can silently fall back to UTF-8
-    val canon40 = Set(
+    // the WHATWG label table: 39 encodings (UTF-8 plus myosi.h
+    // 0x04..0x29), 213 labels. Audit: (a) all 39 canonical encodings are
+    // present, (b) every label resolves to a usable decoder — a JDK
+    // charset this JVM supports or one of our hand-written tables — so
+    // no label can silently fall back to UTF-8
+    val canonEncodings = Set(
       "UTF-8", "UTF-16LE", "UTF-16BE", "x-user-defined", "Big5", "EUC-JP",
       "EUC-KR", "gb18030", "GBK", "IBM866", "ISO-2022-JP", "ISO-8859-10",
       "ISO-8859-13", "ISO-8859-14", "ISO-8859-15", "ISO-8859-16",
@@ -718,7 +719,8 @@ class EncodingsSpec extends AnyFunSuite {
       "windows-1256", "windows-1257", "windows-1258", "windows-874",
       "x-mac-cyrillic")
     val got = Encodings.whatwgLabels.values.map(_._1).toSet
-    assert(got == canon40, s"missing=${canon40 -- got} extra=${got -- canon40}")
+    assert(got == canonEncodings,
+      s"missing=${canonEncodings -- got} extra=${got -- canonEncodings}")
     assert(Encodings.whatwgLabels.size == 213,
       s"label count drifted: ${Encodings.whatwgLabels.size}")
     for ((label, (canon, id)) <- Encodings.whatwgLabels) {
