@@ -169,10 +169,17 @@ object SparkEntry {
       val html = concat(lit("<div id=\""), col("source"),
         lit("\" CLASS=c1 class=c2 data-n="), col("doc_id").cast("string"),
         lit(">t</div>"))
+      // ONE parse per row for all three selector counts (native
+      // graft_attr_match_counts; the r4 ScalaUDF parsed 3× per row) —
+      // the three element_at consumers share the array via codegen
+      // subexpression elimination, pinned by PlanSpec's attrEvals counter
+      val counts = GraftFunctions.graft_attr_match_counts(html,
+        Seq("class", "class", "id"), Seq("c1", "c2", "src"),
+        Seq("eq", "eq", "begin"))
       d.select(col("doc_id"),
-        call_udf("html_attr_match_count", html, lit("class"), lit("c1"), lit("eq")).as("c1"),
-        call_udf("html_attr_match_count", html, lit("class"), lit("c2"), lit("eq")).as("c2"),
-        call_udf("html_attr_match_count", html, lit("id"), lit("src"), lit("begin")).as("idm"))
+        element_at(counts, 1).as("c1"),
+        element_at(counts, 2).as("c2"),
+        element_at(counts, 3).as("idm"))
     }),
 
     "q_html_serialize" -> ((s, dir) => {

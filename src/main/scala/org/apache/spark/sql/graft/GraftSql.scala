@@ -70,8 +70,19 @@ object GraftSql {
     ("graft_pdf_info", "graft.spark.GraftPdfInfo",
       args => GraftPdfInfo(args.head)),
     ("graft_pdf_text", "graft.spark.GraftPdfText",
-      args => GraftPdfText(args.head))
+      args => GraftPdfText(args.head)),
+    ("graft_attr_match_counts", "graft.spark.GraftAttrMatchCounts",
+      args => GraftAttrMatchCounts(args(0),
+        strArray(args(1)), strArray(args(2)), strArray(args(3))))
   )
+
+  /** Evaluate a foldable array<string> argument (the plan-time spec
+    * lists of graft_attr_match_counts) to plain strings. */
+  private def strArray(e: Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      .toSeq
 
   /** Column from a raw Catalyst expression — for expressions whose
     * constructor carries plan-time constants a SQL literal can't express

