@@ -388,6 +388,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    // Benchmark/eval decontamination (round 5, VERDICT r4 next-#1):
+    // PLANTED overlap corpus. Every doc = 40 doc-unique md5 tokens +
+    // the same 13-token boilerplate run → 41 distinct 13-grams/doc,
+    // exactly ONE of which (the pure-boilerplate window) is shared
+    // corpus-wide. Contamination set = the boilerplate run itself plus,
+    // for doc_id%4==0, a 20-token slice (tokens 10..29) of that doc →
+    // those docs overlap on 8 additional 13-grams. So by construction:
+    // %4 docs have hits=9, frac=9/41≈0.22 → contaminated at
+    // threshold=0.1; all others hits=1, frac=1/41≈0.024 → clean. The
+    // corpus-wide hot n-gram doubles as the skew probe: the contam side
+    // holds it ONCE (distinct keys), so the join stays linear.
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def tok(j: Column) = md5(concat(col("doc_id").cast("string"), lit("."),
+        j.cast("string")))
+      def boiler = array_join(transform(sequence(lit(0), lit(12)),
+        j => md5(concat(lit("boiler."), j.cast("string")))), " ")
+      val corpus = d.select(col("doc_id"),
+        concat(array_join(transform(sequence(lit(0), lit(39)), j => tok(j)), " "),
+          lit(" "), boiler).as("t"))
+      val contam = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(array_join(transform(sequence(lit(10), lit(29)), j => tok(j)), " ").as("t"))
+        .unionByName(d.limit(1).select(boiler.as("t")))
+      Dedup.decontaminate(corpus, "doc_id", "t", contam, "t",
+          n = 13, threshold = 0.1, oracleHash = true)
+        .select(col("id").as("doc_id"), col("ngrams"), col("hits"),
+          col("frac"), col("contaminated"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       // planted chain components: ids 0..49 linked in runs of 5
@@ -974,6 +1003,40 @@ object SparkEntry {
         |      / (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS jaccard
         |  FROM toks a JOIN toks b ON a.id < b.id)
         |WHERE jaccard >= 0.7""".stripMargin,
+
+    // full independent replay: n-gram generation, distinct keying, the
+    // contamination join, and the fraction/verdict arithmetic all
+    // recomputed by DuckDB on the same planted construction
+    "q_decontam" ->
+      """WITH boiler AS (SELECT array_to_string(list_transform(range(0,13),
+        |    j -> md5('boiler.' || CAST(j AS VARCHAR))), ' ') AS t),
+        |corpus AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(0,40),
+        |      j -> md5(CAST(doc_id AS VARCHAR) || '.' || CAST(j AS VARCHAR))), ' ')
+        |    || ' ' || (SELECT t FROM boiler) AS t
+        |  FROM documents),
+        |contam AS (
+        |  SELECT array_to_string(list_transform(range(10,30),
+        |      j -> md5(CAST(doc_id AS VARCHAR) || '.' || CAST(j AS VARCHAR))), ' ') AS t
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT t FROM boiler),
+        |cng0 AS (SELECT unnest(list_transform(range(1, len(tk)-11),
+        |    i -> array_to_string(list_slice(tk, i, i+12), ' '))) AS ng
+        |  FROM (SELECT list_filter(string_split_regex(lower(trim(t)), '\s+'),
+        |    x -> x <> '') AS tk FROM contam)),
+        |cng AS (SELECT DISTINCT md5(ng) AS k FROM cng0),
+        |dng0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-11),
+        |    i -> array_to_string(list_slice(tk, i, i+12), ' '))) AS ng
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(t)), '\s+'),
+        |    x -> x <> '') AS tk FROM corpus)),
+        |dng AS (SELECT DISTINCT doc_id, md5(ng) AS k FROM dng0),
+        |tot AS (SELECT doc_id, count(*) AS ngrams FROM dng GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS hits FROM dng JOIN cng USING (k) GROUP BY doc_id)
+        |SELECT t.doc_id, t.ngrams, coalesce(h.hits, 0) AS hits,
+        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / t.ngrams AS frac,
+        |  coalesce(h.hits, 0) > 0
+        |    AND CAST(coalesce(h.hits, 0) AS DOUBLE) / t.ngrams >= 0.1 AS contaminated
+        |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin,
 
     "q_dedup_clusters" ->
       """SELECT doc_id AS id, CASE WHEN doc_id < 50 THEN (doc_id//5)*5 ELSE doc_id END AS cluster

@@ -371,6 +371,71 @@ object Dedup {
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Benchmark/eval decontamination — the pass every serious
+    * training-data pipeline runs before training: flag corpus documents
+    * whose token n-grams overlap a contamination set (eval benchmarks,
+    * held-out splits). Per document: distinct n-gram keys over the
+    * lowercased whitespace tokenization (the `ngramJaccardPairs`
+    * convention), `hits` = how many of them appear anywhere in the
+    * contamination set, `frac` = hits / ngrams, and the drop verdict
+    * `contaminated` = hits > 0 && frac >= threshold (threshold 0 = the
+    * strict any-overlap rule; n = 13 is the standard eval-overlap
+    * window). Documents shorter than n tokens have 0 n-grams and are
+    * never contaminated. Returns (id, ngrams, hits, frac, contaminated)
+    * for EVERY input row.
+    *
+    * Scale shape for 100 TB: the contamination side collapses to
+    * DISTINCT n-gram keys — bounded by the benchmark suite, tiny next
+    * to the corpus — and is broadcast by default (`broadcastContam`),
+    * so the corpus-side pass is shuffle-free until the final per-doc
+    * count. A hot boilerplate n-gram shared by the whole corpus AND the
+    * contamination set cannot blow up the join: the contam side holds
+    * each key ONCE, so join output is bounded by the corpus key count
+    * (ScaleGuardSpec pins a corpus-wide hot n-gram). Key families match
+    * the repo convention: xxhash64 in production, md5 when `oracleHash`
+    * so the DuckDB gate replays keygen + join + fraction arithmetic. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    contam: DataFrame, contamTextCol: String,
+                    n: Int = 13, threshold: Double = 0.0,
+                    oracleHash: Boolean = false,
+                    broadcastContam: Boolean = true): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    def key(c: Column): Column = if (oracleHash) md5(c) else xxhash64(c)
+    def ngramKeys(df: DataFrame, ngCols: Column*): DataFrame = {
+      val src = df.select((ngCols :+ col("__text")): _*)
+        .withColumn("tk",
+          filter(split(lower(trim(col("__text"))), "\\s+"), t => t =!= ""))
+        // empty-array branch must carry the element type; plain array()
+        // is array<null> and would fail the CASE coercion
+        .withColumn("ngs", when(size(col("tk")) >= n,
+            transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+              i => array_join(slice(col("tk"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+      src.select((ngCols :+ explode(col("ngs")).as("ng")): _*)
+        .select((ngCols :+ key(col("ng")).as("k")): _*)
+    }
+    val ids = corpus.select(col(idCol).as("id"))
+    // per-doc DISTINCT n-gram keys: one wide shuffle on (id, k) with
+    // map-side partial dedup; text never rides past this point
+    val dkeys = ngramKeys(
+      corpus.select(col(idCol).as("id"), col(textCol).as("__text")),
+      col("id")).distinct()
+    val ckeys0 = ngramKeys(
+      contam.select(col(contamTextCol).as("__text"))).distinct()
+    val ckeys = if (broadcastContam) broadcast(ckeys0) else ckeys0
+    val totals = dkeys.groupBy("id").agg(count(lit(1)).as("ngrams"))
+    val hitCounts = dkeys.join(ckeys, Seq("k"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    ids.join(totals, Seq("id"), "left").join(hitCounts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ngrams"), lit(0L)).as("ngrams"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("frac", when(col("ngrams") > 0,
+          col("hits").cast("double") / col("ngrams")).otherwise(lit(0.0)))
+      .withColumn("contaminated",
+        col("hits") > 0 && col("frac") >= threshold)
+  }
+
   /** Connected components over near-dup pairs → cluster ids, via
     * iterative min-label propagation WITH path halving (each round,
     * after adopting the neighborhood min, every node also jumps to its

@@ -384,4 +384,49 @@ class ScaleGuardSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("decontaminate: hot corpus-wide n-gram stays linear; verdicts exact") {
+    import spark.implicits._
+    // 20k docs ALL containing the same 13-token boilerplate run (the
+    // worst skew case: one n-gram key shared by corpus AND contam set).
+    // The contam side dedups to ONE row for that key, so the join emits
+    // exactly one hit per doc — linear, never |corpus|×|contam-dups|.
+    val boiler = (0 until 13).map(i => s"boiler$i").mkString(" ")
+    val nDocs = 20000
+    val corpus = spark.range(nDocs).selectExpr("id",
+      s"concat_ws(' ', transform(sequence(0, 19), " +
+        s"j -> concat('u', cast(id as string), 'x', cast(j as string)))) " +
+        s"|| ' ' || '$boiler' as text")
+    // contam: the boiler run REPEATED (dup contam rows must not multiply
+    // hits) + a slice of doc 7's unique tokens
+    val contam = Seq(boiler, boiler,
+      (0 until 20).map(j => s"u7x$j").mkString(" ")).toDF("text")
+    val out = Dedup.decontaminate(corpus, "id", "text", contam, "text",
+        n = 13, threshold = 0.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).toMap
+    assert(out.size == nDocs)
+    // every doc: 20 unique + 13 boiler tokens = 33 → 21 distinct 13-grams,
+    // ONE fully inside the boiler run
+    val doc0 = out(0L)
+    assert(doc0 == ((21L, 1L, false)), s"plain doc wrong: $doc0")
+    // doc 7 additionally matches the 8 13-grams of its 20-token slice
+    assert(out(7L) == ((21L, 9L, true)), s"planted doc wrong: ${out(7L)}")
+    assert(out.count(_._2._3) == 1, "exactly one contaminated doc")
+    // sum of hits == nDocs + 8: linearity of the hot-key join (a
+    // quadratic blowup or dup-contam multiplication would inflate this)
+    assert(out.values.map(_._2).sum == nDocs + 8L)
+  }
+
+  test("decontaminate: short docs and empty contam set are total") {
+    import spark.implicits._
+    val corpus = Seq((1L, "only five tokens right here"),
+      (2L, (0 until 15).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val empty = Seq.empty[String].toDF("text")
+    val out = Dedup.decontaminate(corpus, "id", "text", empty, "text", n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((0L, 0L, 0.0, false)), "sub-n doc must have 0 ngrams")
+    assert(out(2L) == ((3L, 0L, 0.0, false)))
+  }
 }
