@@ -709,6 +709,40 @@ object SparkEntry {
         UrlOps.urlKey(url, oracleHash = true).as("url_key"))
     }),
 
+    // PII detection/redaction (round 5, VERDICT r4 next-#3): text is
+    // constructed with a planted email + IPv4 per doc, an IPv6 on even
+    // ids, an E.164 phone on %3==0 ids, and a 12-digit account run —
+    // then BOTH sides run the same lookaround-free regexes (Java and
+    // RE2 agree on them by construction; the oracle replays detection
+    // counts AND the ordered redaction pipeline with
+    // regexp_replace(...,'g')). Note the phone's digit tail also counts
+    // as an id-number run — documented detector independence.
+    "q_pii" -> ((s, dir) => {
+      import graft.ops.Pii
+      val d = docs(s, dir)
+      val id = col("doc_id").cast("string")
+      val text = concat(
+        lit("Contact user"), id, lit("@mail"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.org info. "),
+        lit("Server 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id") * 3, lit(256)).cast("string"), lit(".7 up. "),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("v6 fe80:12:34:56:78:"),
+            pmod(col("doc_id"), lit(100)).cast("string"), lit(" on. ")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("call +33"), lpad(id, 9, "5"), lit(" now. ")))
+          .otherwise(lit("")),
+        lit("ref "), lpad(id, 12, "0"))
+      d.select(col("doc_id"),
+        Pii.emailCount(text).as("n_email"),
+        Pii.ipv4Count(text).as("n_ipv4"),
+        Pii.ipv6Count(text).as("n_ipv6"),
+        Pii.phoneCount(text).as("n_phone"),
+        Pii.idNumCount(text).as("n_idnum"),
+        Pii.redact(text).as("redacted"))
+    }),
+
     // PDF/layout parse (north rule): valid multi-page PDFs are built
     // in-query (PDF is plain text when uncompressed — the FlateDecode
     // and escape paths are pinned by PdfSpec), then parsed back by the
@@ -1276,6 +1310,36 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'site' || CAST(doc_id % 50 AS VARCHAR) || '.co.uk'
         |       ELSE 'example.com' END AS reg_domain,
         |  md5(sch || '://' || h || keep_port || pth || qs) AS url_key
+        |FROM base""".stripMargin,
+
+    // the oracle REPLAYS the detectors: same regexes (valid in both
+    // Java regex and RE2 — no lookarounds, ASCII classes), counts via
+    // regexp_extract_all, redaction via the same ordered
+    // regexp_replace(...,'g') chain
+    "q_pii" ->
+      """WITH base AS (SELECT doc_id,
+        |  'Contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '.example.org info. ' ||
+        |  'Server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 3) % 256 AS VARCHAR) || '.7 up. ' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'v6 fe80:12:34:56:78:' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || ' on. ' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'call +33' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 9, '5') || ' now. ' ELSE '' END ||
+        |  'ref ' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(t, '(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}')) AS n_ipv6,
+        |  len(regexp_extract_all(t, '\+\d{7,15}')) AS n_phone,
+        |  len(regexp_extract_all(t, '\d{9,}')) AS n_idnum,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}', '<IP>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS redacted
         |FROM base""".stripMargin,
 
     "q_pdf_extract" ->

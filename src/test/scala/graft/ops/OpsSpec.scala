@@ -263,4 +263,39 @@ class OpsSpec extends AnyFunSuite {
       .map(f => f.media_id -> f.feature.toSeq).toMap
     assert(again("a") == feats("a").feature.toSeq)
   }
+
+  test("pii detectors: counts, adjacency, unicode digits, redaction order") {
+    import spark.implicits._
+    def run(s: String): (Int, Int, Int, Int, Int, String) = {
+      val r = Seq(s).toDF("t").select(
+        Pii.emailCount(col("t")), Pii.ipv4Count(col("t")),
+        Pii.ipv6Count(col("t")), Pii.phoneCount(col("t")),
+        Pii.idNumCount(col("t")), Pii.redact(col("t"))).collect()(0)
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getString(5))
+    }
+    // dotted-run adjacency: the scan restarts after each non-overlapping
+    // match, so 8 octets = exactly 2 dotted quads (same in RE2)
+    assert(run("1.2.3.4.5.6.7.8")._2 == 2)
+    // NON-ASCII digits must not match \d (Java default == RE2): a
+    // unicode-aware engine would disagree with the oracle here
+    assert(run("١٢٣٤٥٦٧٨٩٠١٢")
+      ._5 == 0)
+    // 20-digit run = ONE greedy match, not overlapping windows
+    val longRun = run("x 12345678901234567890 y")
+    assert(longRun._5 == 1 && longRun._6 == "x <NUM> y")
+    // email flush against a phone: both fire, no character stolen
+    val adj = run("a@b.co+1234567890")
+    assert(adj._1 == 1 && adj._4 == 1 && adj._6 == "<EMAIL><PHONE>")
+    // ipv6 floor: 5+ hex groups match, clock times don't
+    assert(run("at fe80:12:34:56:78:9a up")._3 == 1)
+    assert(run("meet at 12:30 or 1:2:3")._3 == 0)
+    // phone digits also count as an id run (documented independence),
+    // but redaction order keeps the output unambiguous
+    val ph = run("call +33123456789 from 10.1.2.3")
+    assert(ph._4 == 1 && ph._5 == 1 &&
+      ph._6 == "call <PHONE> from <IP>")
+    // redaction leaves clean text untouched
+    assert(run("no pii here 1234")._6 == "no pii here 1234")
+  }
 }
