@@ -304,6 +304,38 @@ object SparkEntry {
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.subwordCount(col("text")).as("n_subwords"))),
 
+    // Gopher-family repetition signals (round 5, VERDICT r4 next-#4):
+    // the text plants controlled duplication — a doubled nav line, a
+    // doubled promo paragraph carrying a repeated bigram, one unique
+    // body line — and the oracle replays EVERY number from the
+    // definitions: line/paragraph dup arithmetic via list ops, top
+    // 2/3/4-gram char mass via grouped counts with the lexicographic
+    // tie-break, fractions from the integers.
+    "q_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val promo = lit("promo alpha beta alpha beta gamma")
+      val t = concat_ws("\n",
+        concat(lit("nav "), col("source")),
+        concat(lit("nav "), col("source")),
+        concat(lit("body "), md5(concat(col("text"), col("doc_id").cast("string")))),
+        lit(""), promo, lit(""), promo)
+      d.withColumn("t", t)
+        .select(col("doc_id"), expr("graft_repetition(t)").as("r"))
+        .select(col("doc_id"),
+          col("r.lines").as("lines"), col("r.dup_lines").as("dup_lines"),
+          col("r.line_chars").as("line_chars"),
+          col("r.dup_line_chars").as("dup_line_chars"),
+          col("r.paras").as("paras"), col("r.dup_paras").as("dup_paras"),
+          col("r.token_chars").as("token_chars"),
+          col("r.top2_chars").as("top2_chars"),
+          col("r.top3_chars").as("top3_chars"),
+          col("r.top4_chars").as("top4_chars"))
+        .withColumn("dup_line_frac",
+          col("dup_lines").cast("double") / col("lines"))
+        .withColumn("top2_frac",
+          col("top2_chars").cast("double") / col("token_chars"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       // fp_ws = fingerprint of a whitespace-perturbed twin (leading space
       // + doubled internal spaces); equals fp by the normalization
@@ -962,6 +994,52 @@ object SparkEntry {
         |        CASE WHEN length(trim(text)) = 0 THEN 0
         |             ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
         |      FROM documents)""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (SELECT doc_id,
+        |  'nav ' || source || chr(10) || 'nav ' || source || chr(10) ||
+        |  'body ' || md5(text || CAST(doc_id AS VARCHAR)) || chr(10) || chr(10) ||
+        |  'promo alpha beta alpha beta gamma' || chr(10) || chr(10) ||
+        |  'promo alpha beta alpha beta gamma' AS t
+        |  FROM documents),
+        |lns AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)),
+        |    x -> lower(trim(x))), x -> x <> '') AS ls FROM base),
+        |prs AS (SELECT doc_id, list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+        |    x -> lower(trim(x))), x -> x <> '') AS ps FROM base),
+        |tks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(t)), '\s+'),
+        |    x -> x <> '') AS tk FROM base),
+        |ls AS (SELECT doc_id, len(ls) AS lines,
+        |    len(ls) - len(list_distinct(ls)) AS dup_lines,
+        |    coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS line_chars,
+        |    coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+        |      - coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0)
+        |      AS dup_line_chars
+        |  FROM lns),
+        |ps AS (SELECT doc_id, len(ps) AS paras,
+        |    len(ps) - len(list_distinct(ps)) AS dup_paras FROM prs),
+        |ts AS (SELECT doc_id, length(array_to_string(tk, ' ')) AS token_chars FROM tks),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS g FROM tks),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, first(c * length(g) ORDER BY c DESC, g ASC) AS top2_chars
+        |  FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+        |    i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS g FROM tks),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, first(c * length(g) ORDER BY c DESC, g ASC) AS top3_chars
+        |  FROM c3 GROUP BY doc_id),
+        |g4 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-2),
+        |    i -> array_to_string(list_slice(tk, i, i+3), ' '))) AS g FROM tks),
+        |c4 AS (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY doc_id, g),
+        |t4 AS (SELECT doc_id, first(c * length(g) ORDER BY c DESC, g ASC) AS top4_chars
+        |  FROM c4 GROUP BY doc_id)
+        |SELECT ls.doc_id, ls.lines, ls.dup_lines, ls.line_chars, ls.dup_line_chars,
+        |  ps.paras, ps.dup_paras, ts.token_chars,
+        |  t2.top2_chars, t3.top3_chars, t4.top4_chars,
+        |  CAST(ls.dup_lines AS DOUBLE) / ls.lines AS dup_line_frac,
+        |  CAST(t2.top2_chars AS DOUBLE) / ts.token_chars AS top2_frac
+        |FROM ls JOIN ps USING (doc_id) JOIN ts USING (doc_id)
+        |  JOIN t2 USING (doc_id) JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)""".stripMargin,
 
     "q_fingerprint" ->
       """WITH n AS (SELECT doc_id, ltrim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),

@@ -270,6 +270,70 @@ object TextOps {
     inter.toDouble / (sa.size + sb.size - inter)
   }
 
+  /** Gopher-style repetition signals — the strongest crawl-junk
+    * predictors `qualityScore` alone does not cover (a page can be
+    * long, alphabetic, and word-shaped while repeating one nav block
+    * fifty times; these signals catch exactly that). One pass over the
+    * text, pure INTEGER outputs (the oracle discipline — fractions are
+    * computed by the caller from the ints):
+    *
+    *   0 lines           non-empty lines (trim+lower normalized)
+    *   1 dup_lines       line occurrences beyond each first one
+    *   2 line_chars      total codepoints over normalized lines
+    *   3 dup_line_chars  codepoints in the duplicate occurrences
+    *   4 paras           non-empty paragraphs (split on blank lines)
+    *   5 dup_paras       paragraph occurrences beyond the first
+    *   6 token_chars     codepoints of the space-joined token stream
+    *   7 top2_chars      count x codepoints of the MOST FREQUENT word
+    *   8 top3_chars        2/3/4-gram (tie-break: lexicographically
+    *   9 top4_chars        smallest gram)
+    *
+    * All lengths are Unicode CODE POINTS (DuckDB length() semantics,
+    * not UTF-16 units), so the DuckDB oracle replays every number.
+    * Typical thresholds (Gopher): drop when dup_line_frac > 0.30,
+    * dup_para_frac > 0.30, top2_chars/token_chars > 0.20. */
+  def repetition(text: String): Array[Int] = {
+    import java.util.Locale
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    def dupStats(units: Array[String]): (Int, Int, Int, Int) = {
+      val seen = new java.util.HashSet[String]()
+      var total = 0; var chars = 0; var dup = 0; var dupChars = 0
+      var i = 0
+      while (i < units.length) {
+        val u = units(i); val c = cp(u)
+        total += 1; chars += c
+        if (!seen.add(u)) { dup += 1; dupChars += c }
+        i += 1
+      }
+      (total, dup, chars, dupChars)
+    }
+    val lines = text.split("\n")
+      .map(_.trim.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+    val (ln, dln, lch, dlch) = dupStats(lines)
+    val paras = text.split("\n{2,}")
+      .map(_.trim.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+    val (pn, dpn, _, _) = dupStats(paras)
+    val toks = text.trim.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val tokenChars =
+      if (toks.isEmpty) 0 else toks.map(cp).sum + toks.length - 1
+    def topN(n: Int): Int = {
+      if (toks.length < n) return 0
+      val counts = new java.util.HashMap[String, Integer]()
+      var best: String = null; var bestC = 0
+      var i = 0
+      while (i + n <= toks.length) {
+        val g = toks.slice(i, i + n).mkString(" ")
+        val c: Int = counts.merge(g, 1, (a, b) => a + b)
+        if (c > bestC || (c == bestC && g.compareTo(best) < 0)) {
+          bestC = c; best = g
+        }
+        i += 1
+      }
+      bestC * cp(best)
+    }
+    Array(ln, dln, lch, dlch, pn, dpn, tokenChars, topN(2), topN(3), topN(4))
+  }
+
   /** The graft_* SQL names above are native Catalyst expressions since
     * round 3 (graft.spark.TextExprs — one static call per row inside
     * whole-stage codegen, replacing the Scala-UDF registrations that

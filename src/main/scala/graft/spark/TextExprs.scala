@@ -62,6 +62,17 @@ object TextKernels {
   def fingerprint64(t: UTF8String): Long = TextOps.fingerprint64(t.toString)
   def langId(t: UTF8String): UTF8String =
     UTF8String.fromString(TextOps.langIdHeuristic(t.toString))
+
+  /** Integer repetition-signal struct (TextOps.repetition field order). */
+  val repetitionStructType: StructType = StructType(
+    Seq("lines", "dup_lines", "line_chars", "dup_line_chars",
+      "paras", "dup_paras", "token_chars",
+      "top2_chars", "top3_chars", "top4_chars")
+      .map(n => StructField(n, IntegerType, nullable = false)))
+
+  def repetition(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      TextOps.repetition(t.toString).map(_.asInstanceOf[Any]))
 }
 
 /** 64-bit SimHash over 3-word shingles: `graft_simhash64(text)`. */
@@ -180,6 +191,22 @@ case class GraftFingerprint64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftFingerprint64 =
     copy(child = newChild)
   override def prettyName: String = "graft_fingerprint64"
+}
+
+/** Gopher-family repetition signals: `graft_repetition(text)` →
+  * struct of 10 ints (duplicate line/paragraph counts + chars, top
+  * 2/3/4-gram char mass) — ONE text pass per row; the caller derives
+  * the drop fractions. Definitions + oracle notes: TextOps.repetition. */
+case class GraftRepetition(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.repetitionStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetition(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.repetition($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftRepetition =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition"
 }
 
 /** Marker-heuristic language id: `graft_lang_id(text)`. */

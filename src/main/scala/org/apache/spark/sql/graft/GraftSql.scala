@@ -59,6 +59,8 @@ object GraftSql {
       args => GraftCompressRatio(args.head)),
     ("graft_lang_id", "graft.spark.GraftLangId",
       args => GraftLangId(args.head)),
+    ("graft_repetition", "graft.spark.GraftRepetition",
+      args => GraftRepetition(args.head)),
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
       args => GraftImageHeader(args.head)),

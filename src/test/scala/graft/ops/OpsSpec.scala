@@ -264,6 +264,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again("a") == feats("a").feature.toSeq)
   }
 
+  test("repetition signals: hand-computed pins, codepoint lengths, totality") {
+    // text: dup line pair, two paragraphs, repeated "a b" / "c d" bigrams
+    val r = TextOps.repetition("a b\na b\n\nc d c d")
+    assert(r.toSeq == Seq(
+      3, 1, 13, 3,  // lines: {a b, a b, c d c d}; one dup of 3 chars
+      2, 0,         // paras: {a b\na b, c d c d}
+      15,           // tokens a b a b c d c d joined = 15 chars
+      6,            // top2: "a b"x2 (ties with "c d"x2 -> lexicographic min), 2*3
+      5,            // top3: all count 1 -> min "a b a", 1*5
+      7),           // top4: min "a b a b", 1*7
+      s"got ${r.toSeq}")
+    // lengths are CODE POINTS (DuckDB length() semantics): the 4-byte
+    // emoji counts as one char, not two UTF-16 units
+    val e = TextOps.repetition("😀 x\n😀 x")
+    assert(e.toSeq.take(4) == Seq(2, 1, 6, 3), s"got ${e.toSeq}")
+    // totality: empty and whitespace-only inputs
+    assert(TextOps.repetition("").toSeq == Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(TextOps.repetition(" \n \n ").toSeq ==
+      Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    // single token: no bigrams
+    assert(TextOps.repetition("word").toSeq ==
+      Seq(1, 0, 4, 0, 1, 0, 4, 0, 0, 0))
+  }
+
   test("pii detectors: counts, adjacency, unicode digits, redaction order") {
     import spark.implicits._
     def run(s: String): (Int, Int, Int, Int, Int, String) = {
