@@ -89,11 +89,35 @@ object Similarity {
         (acc, v) => acc + v.cast("double") * v.cast("double")) > 0.0)
     // init: k distinct vector VALUES ordered by a 64-bit value hash —
     // deterministic, duplicate-free (a clone-heavy corpus still seeds k
-    // distinct directions), no id column required
-    var centroids = vecs.distinct()
+    // distinct directions), no id column required.
+    //
+    // SAMPLED at scale (VERDICT r4 #2): the r4 init ran distinct() over
+    // the WHOLE corpus — at 100 TB that one wide shuffle costs more
+    // than every Lloyd's iteration combined (which only shuffle k×dim
+    // aggregate rows). Pre-filter on a value hash, keeping ~32k
+    // survivors in expectation before distinct(): deterministic (the
+    // predicate depends only on the vector VALUE and the corpus count,
+    // never on partitioning or order), and the count() it needs is a
+    // narrow map-side pass. Corpora at or below `target` rows sample at
+    // mod=1 — i.e. not at all — so every existing planted oracle
+    // (q_ann_ivf) and recall floor sees the exact r4 seeds. Degenerate
+    // fallback: if sampling leaves fewer than k distinct values (a
+    // clone-heavy corpus where few distinct values survive the hash
+    // filter), rerun unsampled — cheap precisely in that case, because
+    // map-side partial dedup collapses the clones before the exchange.
+    val target = math.max(32L * k, 4096L)
+    val total = vecs.count()
+    val mod = math.max(1L, total / target)
+    def seedInit(from: DataFrame): Array[Array[Float]] = from.distinct()
       .withColumn("__o", xxhash64(col("vec").cast("string")))
       .orderBy("__o").limit(k)
       .collect().map(_.getSeq[Float](0).toArray)
+    val sampled =
+      if (mod > 1L)
+        vecs.filter(pmod(xxhash64(col("vec").cast("string")), lit(mod)) === 0)
+      else vecs
+    var centroids = seedInit(sampled)
+    if (mod > 1L && centroids.length < k) centroids = seedInit(vecs)
     require(centroids.nonEmpty, "trainCentroids: empty corpus")
     var it = 0
     while (it < iters) {

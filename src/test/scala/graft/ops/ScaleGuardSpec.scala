@@ -418,6 +418,27 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == nDocs + 8L)
   }
 
+  test("trainCentroids sampled init: deterministic past the sampling floor, clone fallback") {
+    // 20k rows / 10k distinct values > the 4096-row sampling floor at
+    // k=4 → the init pre-filters on the value hash (mod 4) BEFORE
+    // distinct(). Determinism contract: the seeds depend only on vector
+    // values and the corpus count — two runs must agree exactly.
+    val corpus = spark.range(20000).selectExpr(
+      "array(cast(id % 10000 as float), cast((id % 10000) + 1 as float)) as vec")
+    val c1 = Similarity.trainCentroids(corpus, "vec", k = 4, iters = 0)
+    val c2 = Similarity.trainCentroids(corpus, "vec", k = 4, iters = 0)
+    assert(c1.length == 4)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "sampled init must be run-to-run deterministic")
+    // clone-heavy degenerate: 3 distinct values in 20k rows — the hash
+    // filter can strand the init below k; the unsampled fallback must
+    // still seed every distinct direction
+    val clones = spark.range(20000).selectExpr(
+      "array(cast(id % 3 + 1 as float), cast(id % 3 + 2 as float)) as vec")
+    val c3 = Similarity.trainCentroids(clones, "vec", k = 4, iters = 0)
+    assert(c3.length == 3, s"expected all 3 distinct seeds, got ${c3.length}")
+  }
+
   test("decontaminate: short docs and empty contam set are total") {
     import spark.implicits._
     val corpus = Seq((1L, "only five tokens right here"),
