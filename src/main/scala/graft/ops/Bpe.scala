@@ -1,0 +1,155 @@
+package graft.ops
+
+import java.util.Locale
+import scala.collection.mutable
+
+/** Real byte-pair-encoding token counting — the number a training
+  * pipeline actually reports (VERDICT r4 missing-#4: `subwordCount` is
+  * a regex heuristic, not a BPE). Everything is constructible in-repo:
+  * the merge table is TRAINED at class load from the checked-in seed
+  * corpus below with the classic BPE procedure (count symbol pairs
+  * across the word frequency table, merge the most frequent pair,
+  * repeat), so the table is deterministic, versioned with the code, and
+  * needs no external vocab file.
+  *
+  * Scope decisions (documented):
+  *  - CHARACTER-level symbols (not raw UTF-8 bytes): the encoder and
+  *    the DuckDB oracle walk the same unicode-codepoint alphabet, which
+  *    is what makes the merge walk SQL-replayable.
+  *  - Pre-tokenization = lowercased whitespace split (the repo's token
+  *    convention), no end-of-word marker.
+  *  - The ENCODER is true iterative BPE: repeatedly find the
+  *    lowest-rank pair present in the word and merge ALL its
+  *    occurrences left-to-right, until no ranked pair remains. (A
+  *    single pass in rank order is NOT equivalent in general — a later
+  *    merge can expose an earlier-ranked pair; OpsSpec pins a case.)
+  */
+object Bpe {
+
+  /** Deterministic in-repo training corpus — web/pipeline-flavored
+    * English so the learned merges (th/he/in/er/ti/on …) look like a
+    * real tokenizer's head. Changing ANY line changes the merge table
+    * and therefore q_token_count; the oracle regenerates itself from
+    * `merges`, but the OpsSpec pins will move. */
+  val SeedCorpus: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "training data pipelines process the web at scale",
+    "the model learns the distribution of the training data",
+    "information extraction and deduplication of web documents",
+    "the tokenizer splits the text into subword tokens",
+    "the attention layers attend to the context tokens",
+    "documents in the corpus share the same tokenization",
+    "the encoder encodes the input and the decoder decodes the output")
+
+  /** Classic BPE training: word-frequency table → repeat n times:
+    * count adjacent symbol pairs (weighted by word frequency), merge
+    * the most frequent pair everywhere. Tie-break: lexicographic on
+    * the pair — counts and ties are corpus-deterministic. */
+  def trainMerges(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Int] = corpus
+      .flatMap(_.toLowerCase(Locale.ROOT).split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.size
+      }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Int]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0) + f
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) return merges.toSeq
+      val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      vocab = vocab.map { case (syms, f) => mergePair(syms, best) -> f }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  private def mergePair(syms: Vector[String], p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == p._1 && syms(j + 1) == p._2) {
+        out += (p._1 + p._2); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** The merge table: 32 ranked merges trained from `SeedCorpus`. */
+  val merges: Seq[(String, String)] = trainMerges(SeedCorpus, 32)
+
+  private val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** True iterative BPE encode of ONE word (already lowercased). */
+  def encodeWord(word: String): Vector[String] = {
+    // split to codepoint symbols (matches DuckDB's per-character split)
+    var syms = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var j = 0
+      while (j + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (syms(j), syms(j + 1)) }
+        j += 1
+      }
+      if (best == null) continue = false
+      else syms = mergePair(syms, best)
+      if (syms.length < 2) continue = false
+    }
+    syms
+  }
+
+  /** BPE token count over a text: lowercase whitespace pre-tokenize,
+    * encode each word, sum the token counts. */
+  def count(text: String): Int = {
+    val words = text.toLowerCase(Locale.ROOT).split("\\s+")
+    var total = 0
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) total += encodeWord(words(i)).length
+      i += 1
+    }
+    total
+  }
+
+  /** DuckDB SQL expression replaying the merge walk on a word-valued
+    * SQL expression: symbolize (' h e l l o '), then apply each merge
+    * in rank order as a literal replace — `passes` times per merge,
+    * because occurrences sharing a delimiter space are consumed
+    * alternately (2 passes cover runs of 4, 3 of 8). Valid ONLY for
+    * words where rank-order passes equal true BPE (a later merge can
+    * expose an earlier-ranked pair in general); q_token_count's planted
+    * word list is pinned against the real encoder by OpsSpec, and the
+    * SQL-vs-kernel equality is exactly what the oracle hash gates. */
+  def duckdbCountExpr(wordExpr: String, passes: Int = 3): String = {
+    var s = s"' ' || array_to_string(regexp_split_to_array($wordExpr, ''), ' ') || ' '"
+    merges.foreach { case (a, b) =>
+      var p = 0
+      while (p < passes) {
+        s = s"replace($s, ' $a $b ', ' $a$b ')"
+        p += 1
+      }
+    }
+    s"len(string_split(trim($s), ' '))"
+  }
+}

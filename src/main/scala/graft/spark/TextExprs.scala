@@ -73,6 +73,8 @@ object TextKernels {
   def repetition(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       TextOps.repetition(t.toString).map(_.asInstanceOf[Any]))
+
+  def bpeCount(t: UTF8String): Int = graft.ops.Bpe.count(t.toString)
 }
 
 /** 64-bit SimHash over 3-word shingles: `graft_simhash64(text)`. */
@@ -207,6 +209,21 @@ case class GraftRepetition(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftRepetition =
     copy(child = newChild)
   override def prettyName: String = "graft_repetition"
+}
+
+/** Real BPE token count: `graft_bpe_count(text)` — true iterative
+  * byte-pair encoding over the in-repo trained merge table
+  * (graft.ops.Bpe), one count per row inside codegen. */
+case class GraftBpeCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.bpeCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftBpeCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_count"
 }
 
 /** Marker-heuristic language id: `graft_lang_id(text)`. */

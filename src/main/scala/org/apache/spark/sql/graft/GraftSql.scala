@@ -61,6 +61,8 @@ object GraftSql {
       args => GraftLangId(args.head)),
     ("graft_repetition", "graft.spark.GraftRepetition",
       args => GraftRepetition(args.head)),
+    ("graft_bpe_count", "graft.spark.GraftBpeCount",
+      args => GraftBpeCount(args.head)),
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
       args => GraftImageHeader(args.head)),

@@ -288,6 +288,40 @@ class OpsSpec extends AnyFunSuite {
       Seq(1, 0, 4, 0, 1, 0, 4, 0, 0, 0))
   }
 
+  test("bpe: trained merges pinned, true-BPE encodes, oracle-chain equivalence, ratios") {
+    // merge-table head pin: the seed corpus is checked in, so training
+    // is deterministic — a drift here silently moves q_token_count
+    assert(Bpe.merges.size == 32)
+    assert(Bpe.merges.take(8) == Seq(("h", "e"), ("t", "he"), ("e", "n"),
+      ("i", "n"), ("a", "t"), ("d", "e"), ("o", "n"), ("i", "on")),
+      s"merge head drifted: ${Bpe.merges.take(8)}")
+    // encoder pins (true iterative BPE)
+    assert(Bpe.encodeWord("the") == Vector("the"))
+    assert(Bpe.encodeWord("training") == Vector("tra", "in", "in", "g"))
+    assert(Bpe.encodeWord("tokens") == Vector("token", "s"))
+    assert(Bpe.encodeWord("attention") == Vector("att", "ent", "ion"))
+    assert(Bpe.encodeWord("xyzzy").length == 5) // untrained chars stay chars
+    // EVERY planted q_token_count word must encode identically under
+    // the SQL rank-order replace chain the oracle replays (3 passes)
+    def sqlChainCount(w: String): Int = {
+      var s = " " + w.map(_.toString).mkString(" ") + " "
+      for ((a, b) <- Bpe.merges; _ <- 0 until 3)
+        s = s.replace(s" $a $b ", s" $a$b ")
+      s.trim.split(" ").length
+    }
+    for (w <- Seq("the", "training", "data", "tokens", "documents",
+        "extraction", "attention", "information"))
+      assert(Bpe.encodeWord(w).length == sqlChainCount(w),
+        s"oracle chain diverges from true BPE on '$w'")
+    // token/char ratio floors: trained text compresses, noise does not
+    assert(Bpe.count("the training data") == 7) // 1 + 4 + 2
+    assert(Bpe.count("the training data").toDouble / "the training data".length < 0.5)
+    assert(Bpe.count("xyzzy") == 5) // ratio 1.0 on untrained noise
+    assert(Bpe.count("") == 0 && Bpe.count("   ") == 0)
+    // pre-tokenization lowercases (merge table is lowercase)
+    assert(Bpe.count("THE") == 1)
+  }
+
   test("pii detectors: counts, adjacency, unicode digits, redaction order") {
     import spark.implicits._
     def run(s: String): (Int, Int, Int, Int, Int, String) = {
