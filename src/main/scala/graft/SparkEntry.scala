@@ -592,6 +592,42 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
     }),
 
+    // IVF-PQ ANN (round 5, VERDICT r4 next-#8): corpus vectors are
+    // built EXACTLY from per-subspace codewords selected by doc_id bit
+    // arithmetic (m=4 subspaces × 4 codewords, none a positive multiple
+    // of another, all small integers), so PQ encoding is lossless and
+    // the ADC score equals exact cosine BIT-FOR-BIT (integer float
+    // arithmetic reassociates exactly — the repo's power-of-two/planted
+    // convention). nprobe covers all 4 coarse cells, so no pruning:
+    // the oracle is plain exact-cosine top-5, and any drift in encode,
+    // LUT, code-join, or ADC arithmetic breaks the hash. Pruned-probe
+    // recall is floor-pinned in ScaleGuardSpec instead.
+    "q_ann_pq" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val xs = Seq(1f, 0f, 3f, 4f)
+      val ys = Seq(0f, 2f, 4f, 3f)
+      def cw(sub: Int) = (pmod(shiftright(col("doc_id"), 2 * sub), lit(4)) + 1).cast("int")
+      val cvec = array((0 until 4).flatMap { sub =>
+        Seq(element_at(typedlit(xs), cw(sub)), element_at(typedlit(ys), cw(sub)))
+      }: _*)
+      val corpus = d.select(col("doc_id").as("vec_id"), cvec.as("embedding"))
+      val qvec = array(
+        (pmod(col("doc_id"), lit(2)) + 1).cast("float"), lit(2f),
+        lit(0f), lit(1f), lit(3f),
+        pmod(col("doc_id"), lit(3)).cast("float"), lit(1f), lit(2f))
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qvec.as("qvec"))
+      val coarse = Array.tabulate(4) { c =>
+        val v = new Array[Float](8); v(2 * c) = 1f; v
+      }
+      val codebooks = Array.fill(4)(Array(
+        Array(1f, 0f), Array(0f, 2f), Array(3f, 4f), Array(4f, 3f)))
+      Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", coarse, codebooks, k = 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    }),
+
     "q_multimodal_stub" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(
@@ -1313,6 +1349,32 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine DESC, vec_id) AS rank FROM s)
         |WHERE rank <= 2""".stripMargin,
+
+    // lossless-plant PQ: the oracle is exact-cosine top-5 over the same
+    // bit-arithmetic construction — valid because corpus subvectors ARE
+    // codewords (ADC == exact cosine, integer-exact); see the query doc
+    "q_ann_pq" -> {
+      val xs = Seq(1, 0, 3, 4)
+      val ys = Seq(0, 2, 4, 3)
+      def cw(sub: Int, t: Seq[Int]) =
+        s"CAST(CASE (doc_id >> ${2 * sub}) & 3 WHEN 0 THEN ${t(0)} " +
+          s"WHEN 1 THEN ${t(1)} WHEN 2 THEN ${t(2)} ELSE ${t(3)} END AS DOUBLE)"
+      val cv = (0 until 4).flatMap(sub => Seq(cw(sub, xs), cw(sub, ys))).mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id AS vec_id, [$cv] AS cv FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |  [CAST(doc_id % 2 + 1 AS DOUBLE), 2, 0, 1, 3,
+        |   CAST(doc_id % 3 AS DOUBLE), 1, 2] AS qv
+        |  FROM documents WHERE doc_id < 5),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |  list_sum(list_transform(generate_series(1, 8), i -> qv[i] * cv[i]))
+        |  / greatest(sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |           * sqrt(list_sum(list_transform(cv, x -> x*x))), 1e-12) AS cosine
+        |  FROM q CROSS JOIN corpus c)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin
+    },
 
     "q_multimodal_stub" ->
       """SELECT CAST(doc_id AS VARCHAR) AS media_id,

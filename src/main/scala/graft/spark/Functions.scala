@@ -829,6 +829,53 @@ case class GraftNearestCentroids(child: Expression,
   override def prettyName: String = "graft_nearest_centroids"
 }
 
+/** Per-query product-quantization lookup table: for query vector q and
+  * plan-time codebooks (m subspaces × ksub codewords × dsub floats),
+  * lut[s*ksub + j] = dot(q_s, e_{s,j}) — computed ONCE per query row;
+  * every (query, code) ADC score is then m array lookups + adds
+  * (Similarity.ivfPqTopK). Subspace dots sum in index order, so the
+  * planted all-integer oracles reassociate exactly. Short vectors dot
+  * over the available prefix (the GraftNearestCentroids convention). */
+case class GraftPqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
+    "pq codebooks must be non-empty and rectangular")
+  private val m = codebooks.length
+  private val ksub = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    lut(input.asInstanceOf[ArrayData])
+  def lut(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var j = 0
+      while (j < ksub) {
+        val cw = codebooks(s)(j)
+        var dot = 0.0
+        var i = 0
+        val lim = math.min(dsub, math.max(0, n - base))
+        while (i < lim) { dot += vec.getFloat(base + i).toDouble * cw(i); i += 1 }
+        out(s * ksub + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[GraftPqLut].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.lut($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftPqLut =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_lut"
+}
+
 case class ExtractInterleavedSpans(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.spanArrayType

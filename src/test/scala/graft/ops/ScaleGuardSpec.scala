@@ -344,6 +344,72 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(r4 >= 0.75, f"ivf recall@10 regressed: $r4%.4f (measured 0.825)")
   }
 
+  test("IVF-PQ: lossless on codeword-built corpora; trained recall floors; probes lift") {
+    import spark.implicits._
+    // (a) LOSSLESS path — corpus subvectors ARE codewords: ADC must
+    // reproduce exact cosine ranking bit-for-bit (the q_ann_pq contract)
+    val cb = Array.fill(4)(Array(
+      Array(1f, 0f), Array(0f, 2f), Array(3f, 4f), Array(4f, 3f)))
+    val lc = (0 until 64).map { i =>
+      val v = (0 until 4).flatMap { s => cb(s)(((i >> (2 * s)) & 3)) }
+      (i.toLong, v.toArray)
+    }
+    val lcorpus = lc.toDF("vec_id", "embedding")
+    val lq = lc.take(6).map { case (id, v) => (id + 1000L, v) }.toDF("qid", "qvec")
+    val one = Array(Array.fill(8)(0f).updated(0, 1f))
+    val gotL = Similarity.ivfPqTopK(lcorpus, "vec_id", "embedding",
+        lq, "qid", "qvec", one, cb, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byId = lc.toMap
+    lq.collect().foreach { r =>
+      val qid = r.getLong(0); val qv = byId(qid - 1000L)
+      val truth = lc.map { case (id, v) => (id, cosF(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      truth.zipWithIndex.foreach { case ((tid, tcos), ix) =>
+        val (gid, gcos) = gotL((qid, ix + 1))
+        assert(gid == tid && gcos == tcos,
+          s"lossless ADC must equal exact cosine: q=$qid rank=${ix + 1} " +
+            s"got ($gid,$gcos) want ($tid,$tcos)")
+      }
+    }
+    // (b) TRAINED path on the graded corpus: recall floors + probe lift
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    val byId2 = all.toMap
+    val coarse = Similarity.trainCentroids(corpus, "embedding", k = 8, iters = 3)
+    val codebooks = Similarity.trainPqCodebooks(corpus, "embedding",
+      m = 4, ksub = 16, iters = 3)
+    assert(codebooks.length == 4 && codebooks.forall(_.length == 16))
+    def truthTop(q: Array[Float], k: Int): Set[Long] =
+      all.map { case (id, v) => (id, cosF(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    def recallAt(nprobe: Int): (Double, Double) = {
+      val got = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", coarse, codebooks, k = 10, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rAt10 = queryRows.map { case (qid, _) =>
+        val t = truthTop(byId2(qid), 10)
+        (got.getOrElse(qid, Set.empty) & t).size.toDouble / t.size
+      }.sum / queryRows.size
+      val planted = queryRows.map(_._1).filter(q => byId2.contains(q + 10000L))
+      val rPlanted = planted.count(q =>
+        got.getOrElse(q, Set.empty).contains(q + 10000L)).toDouble / planted.size
+      (rAt10, rPlanted)
+    }
+    val (r2, p2) = recallAt(2)
+    val (r8, p8) = recallAt(8)
+    info(f"ivfPqTopK recall@10: nprobe=2 → $r2%.4f, nprobe=8 → $r8%.4f")
+    info(f"ivfPqTopK planted-partner recall: nprobe=2 → $p2%.4f, nprobe=8 → $p8%.4f")
+    assert(r8 >= r2 && p8 >= p2, "more probes must not lose recall")
+    assert(p8 >= 0.90, f"pq planted-partner recall floor: $p8%.4f (measured 1.0)")
+    assert(r8 >= 0.50, f"pq recall@10 floor: $r8%.4f (measured 0.56 — " +
+      "4x16 codebooks on random 16-dim unit vectors are quantization-limited; " +
+      "the planted 0.91+ partners all survive, which is the dedup contract)")
+  }
+
   test("minhash recall at graded jaccard overlaps vs brute force") {
     import spark.implicits._
     // pair p at grade (m, n): docs share m of n tokens each → J = m/(2n-m)
