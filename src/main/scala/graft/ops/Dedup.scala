@@ -401,16 +401,15 @@ object Dedup {
                     broadcastContam: Boolean = true): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
     def key(c: Column): Column = if (oracleHash) md5(c) else xxhash64(c)
+    // one-pass native n-gram kernel — the built-in
+    // transform/sequence/slice formulation is semantically identical
+    // (the oracle replays it) but re-evaluates the inlined token-array
+    // subtree per lambda element under interpreted HOF eval, n× per row
     def ngramKeys(df: DataFrame, ngCols: Column*): DataFrame = {
+      import org.apache.spark.sql.graft.GraftSql
       val src = df.select((ngCols :+ col("__text")): _*)
-        .withColumn("tk",
-          filter(split(lower(trim(col("__text"))), "\\s+"), t => t =!= ""))
-        // empty-array branch must carry the element type; plain array()
-        // is array<null> and would fail the CASE coercion
-        .withColumn("ngs", when(size(col("tk")) >= n,
-            transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-              i => array_join(slice(col("tk"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")))
+        .withColumn("ngs", GraftSql.column(
+          graft.spark.GraftNgrams(GraftSql.expressionOf(col("__text")), n)))
       src.select((ngCols :+ explode(col("ngs")).as("ng")): _*)
         .select((ngCols :+ key(col("ng")).as("k")): _*)
     }
@@ -423,10 +422,17 @@ object Dedup {
     val ckeys0 = ngramKeys(
       contam.select(col(contamTextCol).as("__text"))).distinct()
     val ckeys = if (broadcastContam) broadcast(ckeys0) else ckeys0
-    val totals = dkeys.groupBy("id").agg(count(lit(1)).as("ngrams"))
-    val hitCounts = dkeys.join(ckeys, Seq("k"))
-      .groupBy("id").agg(count(lit(1)).as("hits"))
-    ids.join(totals, Seq("id"), "left").join(hitCounts, Seq("id"), "left")
+    // ONE pass over the (expensive) n-gram generation: flag hits with a
+    // broadcast LEFT join, then count totals and hits in the same
+    // aggregation. Separate totals/hits branches would duplicate the
+    // whole keygen+distinct subtree — join-pushed isnotnull constraints
+    // land in only the hit branch, so AQE cannot reuse the exchange
+    // (the CLAUDE.md canonical-subtree trap; measured 2× at sf0.1).
+    val counts = dkeys
+      .join(ckeys.withColumn("__hit", lit(1)), Seq("k"), "left")
+      .groupBy("id").agg(count(lit(1)).as("ngrams"),
+        count(col("__hit")).as("hits"))
+    ids.join(counts, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("ngrams"), lit(0L)).as("ngrams"),
         coalesce(col("hits"), lit(0L)).as("hits"))

@@ -75,6 +75,56 @@ object TextKernels {
       TextOps.repetition(t.toString).map(_.asInstanceOf[Any]))
 
   def bpeCount(t: UTF8String): Int = graft.ops.Bpe.count(t.toString)
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Whitespace-token n-gram strings in ONE pass per row — bit-equal to
+    * `transform(sequence(1, size(tk)-(n-1)), i -> array_join(slice(tk,
+    * i, n), ' '))` over `tk = filter(split(lower(trim(text)), '\s+'),
+    * t -> t != '')`, which the DuckDB oracles replay. The built-in
+    * formulation is a correctness twin but a performance trap: the
+    * higher-order lambda body re-evaluates its inlined token-array
+    * subtree PER ELEMENT under interpreted HOF eval (measured 41× on
+    * 13-grams — the q_decontam 16 s cliff), while this kernel tokenizes
+    * once and reuses one StringBuilder. trim/toLowerCase are the
+    * UTF8String ops behind Spark's trim()/lower(), so semantics match
+    * the built-ins exactly. */
+  def ngrams(t: UTF8String, n: Int): ArrayData = {
+    val toks = Ws.split(t.trim().toLowerCase.toString).filter(_.nonEmpty)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** One-pass whitespace-token n-grams: `graft_ngrams(text, n)` →
+  * array<string> (see TextKernels.ngrams for the exact built-in
+  * equivalence the oracles rely on). */
+case class GraftNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.ngrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.ngrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GraftNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ngrams"
 }
 
 /** 64-bit SimHash over 3-word shingles: `graft_simhash64(text)`. */

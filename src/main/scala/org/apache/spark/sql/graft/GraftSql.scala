@@ -63,6 +63,8 @@ object GraftSql {
       args => GraftRepetition(args.head)),
     ("graft_bpe_count", "graft.spark.GraftBpeCount",
       args => GraftBpeCount(args.head)),
+    ("graft_ngrams", "graft.spark.GraftNgrams",
+      args => GraftNgrams(args.head, args(1).eval().asInstanceOf[Int])),
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
       args => GraftImageHeader(args.head)),
