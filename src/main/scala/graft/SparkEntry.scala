@@ -873,6 +873,66 @@ object SparkEntry {
         GraftFunctions.graft_pdf_text(bytes).as("pdf_text"))
     }),
 
+    // WARC crawl-archive ingestion (round 5, beyond-verdict): the format
+    // a 100 TB extraction corpus actually arrives in, upstream of
+    // parse_html_spans. Two records per doc (an HTTP response + a
+    // metadata record) constructed ASCII-deterministically from
+    // `documents` columns, plus three malformed families: fam 4 drops
+    // Content-Length (framing lost → one ok=false sentinel, walk
+    // halts), fam 7 corrupts record 1's magic (leading garbage skipped,
+    // only record 2 parses), fam 2 truncates 10 bytes off the archive
+    // (declared payload overruns → ok=false with the decoded prefix).
+    // The DuckDB oracle reconstructs every expected record directly
+    // from the same construction arithmetic — any drift in framing,
+    // header parse, HTTP split, or charset extraction breaks the hash.
+    "q_warc" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val h = md5(col("text").cast("binary"))
+      val h2 = md5(concat(col("text"), lit("x")).cast("binary"))
+      val body1 = concat(lit("<html><body>"), h, lit("</body></html>"))
+      val status = when(pmod(col("doc_id"), lit(5)) === 0, 404).otherwise(200)
+      val reason = when(status === 404, " Not Found").otherwise(" OK")
+      val mime1 = when(pmod(col("doc_id"), lit(3)) === 0, "text/html; charset=utf-8")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "text/plain")
+        .otherwise("text/html; charset=ISO-8859-1")
+      val http1 = concat(lit("HTTP/1.1 "), status.cast("string"), reason,
+        lit(crlf + "Content-Type: "), mime1,
+        lit(crlf + "Server: graft" + crlf + crlf), body1)
+      val uri1 = concat(lit("http://example.com/doc/"), col("doc_id").cast("string"))
+      val rid1 = concat(lit("<urn:uuid:"),
+        lpad(col("doc_id").cast("string"), 8, "0"), lit(">"))
+      val rid2 = concat(lit("<urn:uuid:m"),
+        lpad(col("doc_id").cast("string"), 8, "0"), lit(">"))
+      def rec1(magic: String, withLen: Boolean) = concat(
+        lit(magic + crlf + "WARC-Type: response" + crlf + "WARC-Record-ID: "),
+        rid1, lit(crlf + "WARC-Target-URI: "), uri1,
+        if (withLen) concat(lit(crlf + "Content-Length: "),
+          length(http1).cast("string")) else lit(""),
+        lit(crlf + crlf), http1, lit(crlf + crlf))
+      val payload2 = concat(lit("meta "), h2)
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf + "WARC-Record-ID: "),
+        rid2, lit(crlf + "Content-Length: "), length(payload2).cast("string"),
+        lit(crlf + crlf), payload2, lit(crlf + crlf))
+      val full = rec1("WARC/1.0", withLen = true)
+      val fam = pmod(col("doc_id"), lit(9))
+      val blob = when(fam === 4, concat(rec1("WARC/1.0", withLen = false), rec2))
+        .when(fam === 7, concat(rec1("XARC/1.0", withLen = true), rec2))
+        .when(fam === 2, full.substr(lit(1), length(full) - 10))
+        .otherwise(concat(full, rec2))
+      d.select(col("doc_id"),
+          posexplode(GraftFunctions.graft_warc_records(blob.cast("binary")))
+            .as(Seq("idx", "r")))
+        .select(col("doc_id"), col("idx"),
+          col("r.warc_type").as("w_type"), col("r.uri").as("uri"),
+          col("r.record_id").as("record_id"), col("r.length").as("w_len"),
+          col("r.status").as("status"), col("r.mime").as("mime"),
+          col("r.charset").as("charset"), col("r.body").as("body"),
+          col("r.ok").as("ok"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // self-contained flagship: seeded corpus → full pipeline → compare
       // with constructive expected (BASELINE.json correctness invariant)
@@ -1538,6 +1598,54 @@ object SparkEntry {
         |    i -> 'pg' || CAST(i AS VARCHAR) || '-' || source || ' ' || lang),
         |    chr(10)) AS pdf_text
         |FROM base""".stripMargin,
+
+    // expected WARC records reconstructed DIRECTLY from the same
+    // construction arithmetic (family routing, header/HTTP framing,
+    // mime/charset split, truncation prefix) — the kernel must recover
+    // them from the bytes; see the query doc for the family map
+    "q_warc" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h, md5(text || 'x') AS h2,
+        |  CAST(doc_id % 9 AS INT) AS fam,
+        |  CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS st,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=utf-8'
+        |       WHEN doc_id % 3 = 1 THEN 'text/plain'
+        |       ELSE 'text/html; charset=ISO-8859-1' END AS m1
+        |  FROM documents),
+        |c AS (SELECT doc_id, fam, CAST(st AS INT) AS st,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri1,
+        |  '<urn:uuid:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '>' AS rid1,
+        |  '<urn:uuid:m' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '>' AS rid2,
+        |  '<html><body>' || h || '</body></html>' AS body1,
+        |  'meta ' || h2 AS payload2,
+        |  CASE WHEN strpos(m1, ';') > 0
+        |       THEN trim(substr(m1, 1, strpos(m1, ';') - 1)) ELSE m1 END AS mime_x,
+        |  CASE WHEN strpos(m1, 'charset=') > 0
+        |       THEN lower(substr(m1, strpos(m1, 'charset=') + 8)) ELSE '' END AS cs_x,
+        |  CAST(length('HTTP/1.1 ' || CAST(st AS VARCHAR)
+        |    || CASE WHEN st = 404 THEN ' Not Found' ELSE ' OK' END)
+        |    + 2 + length('Content-Type: ' || m1) + 2 + length('Server: graft')
+        |    + 4 + 12 + 32 + 14 AS INT) AS len1
+        |  FROM b)
+        |SELECT doc_id, CAST(0 AS INT) AS idx, 'response' AS w_type, uri1 AS uri,
+        |  rid1 AS record_id, len1 AS w_len, st AS status, mime_x AS mime,
+        |  cs_x AS charset, body1 AS body, TRUE AS ok
+        |FROM c WHERE fam NOT IN (4, 7, 2)
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'metadata', '', rid2,
+        |  CAST(length(payload2) AS INT), -1, '', '', payload2, TRUE
+        |FROM c WHERE fam NOT IN (4, 7, 2)
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INT), 'response', uri1, rid1, -1, -1, '', '',
+        |  '', FALSE
+        |FROM c WHERE fam = 4
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INT), 'metadata', '', rid2,
+        |  CAST(length(payload2) AS INT), -1, '', '', payload2, TRUE
+        |FROM c WHERE fam = 7
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INT), 'response', uri1, rid1, len1, st, mime_x,
+        |  cs_x, substr(body1, 1, length(body1) - 6), FALSE
+        |FROM c WHERE fam = 2""".stripMargin,
 
     "q_pipeline_e2e" ->
       "SELECT CAST(300 AS BIGINT) AS docs, CAST(300 AS BIGINT) AS ok_docs"

@@ -989,6 +989,7 @@ object GraftFunctions {
   def graft_video_header(c: Column): Column = call_function("graft_video_header", c)
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
+  def graft_warc_records(c: Column): Column = call_function("graft_warc_records", c)
 
   def graft_attr_match_counts(html: Column, keys: Seq[String],
       values: Seq[String], modes: Seq[String]): Column = {

@@ -65,6 +65,8 @@ object GraftSql {
       args => GraftBpeCount(args.head)),
     ("graft_ngrams", "graft.spark.GraftNgrams",
       args => GraftNgrams(args.head, args(1).eval().asInstanceOf[Int])),
+    ("graft_warc_records", "graft.spark.GraftWarcRecords",
+      args => GraftWarcRecords(args.head)),
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
       args => GraftImageHeader(args.head)),

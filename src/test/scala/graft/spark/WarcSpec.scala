@@ -1,0 +1,118 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC record splitter pins: Content-Length framing, HTTP payload
+  * split, gzip (incl. multi-member) inflate, bomb cap, totality. */
+class WarcSpec extends AnyFunSuite {
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private case class Rec(warcType: String, uri: String, recordId: String,
+                         length: Int, status: Int, mime: String,
+                         charset: String, body: String, ok: Boolean)
+
+  private def split(b: Array[Byte]): Seq[Rec] = {
+    val arr = WarcUdfs.splitRecords(b)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 9)
+      Rec(r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString, r.getInt(3), r.getInt(4),
+        r.getUTF8String(5).toString, r.getUTF8String(6).toString,
+        r.getUTF8String(7).toString, r.getBoolean(8))
+    }
+  }
+
+  private def response(id: Int, body: String,
+                       mime: String = "text/html; charset=utf-8"): String = {
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n\r\n$body"
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$id>\r\n" +
+      s"WARC-Target-URI: http://e.com/$id\r\nContent-Length: ${http.length}\r\n" +
+      s"\r\n$http\r\n\r\n"
+  }
+
+  private def metadata(id: Int, payload: String): String =
+    s"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:uuid:m$id>\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("plain two-record archive: framing, HTTP split, charset") {
+    val archive = (response(1, "<p>hello</p>") + metadata(1, "meta x")).getBytes(Utf8)
+    val rs = split(archive)
+    assert(rs.size == 2)
+    assert(rs(0) == Rec("response", "http://e.com/1", "<urn:uuid:1>",
+      rs(0).length, 200, "text/html", "utf-8", "<p>hello</p>", ok = true))
+    assert(rs(1) == Rec("metadata", "", "<urn:uuid:m1>", 6, -1, "", "",
+      "meta x", ok = true))
+  }
+
+  test("payload containing 'WARC/' cannot desynchronize the Content-Length framing") {
+    val tricky = "fake WARC/1.0\r\nWARC-Type: response\r\n\r\n inner"
+    val rs = split((response(7, tricky, mime = "text/plain") + metadata(7, "m")).getBytes(Utf8))
+    assert(rs.map(_.warcType) == Seq("response", "metadata"))
+    assert(rs(0).body == tricky && rs(0).ok)
+  }
+
+  test("single-member and multi-member gzip both inflate to the same records") {
+    val r1 = response(3, "abc").getBytes(Utf8)
+    val r2 = metadata(3, "payload").getBytes(Utf8)
+    val plain = split(r1 ++ r2)
+    assert(plain.size == 2)
+    assert(split(gz(r1 ++ r2)) == plain)        // one member, whole archive
+    assert(split(gz(r1) ++ gz(r2)) == plain)    // per-record members (real writers)
+  }
+
+  test("gzip bomb is capped to zero records; corrupt gzip is total") {
+    val bomb = gz(new Array[Byte](80 << 20)) // 80 MB of zeros, tiny compressed
+    assert(split(bomb).isEmpty)
+    val corrupt = gz(response(1, "x").getBytes(Utf8)).take(10)
+    assert(split(corrupt).isEmpty)
+  }
+
+  test("missing Content-Length halts with a sentinel; overrun decodes the prefix") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://e.com/9\r\n\r\nHTTP/1.1 200 OK\r\n\r\nbody" +
+      metadata(9, "after")).getBytes(Utf8)
+    val rs = split(noLen)
+    assert(rs == Seq(Rec("response", "http://e.com/9", "", -1, -1, "", "", "",
+      ok = false))) // halted: the trailing metadata record is unreachable
+    val cut = response(4, "0123456789").getBytes(Utf8).dropRight(8) // 4 crlf + 4 body
+    val over = split(cut)
+    assert(over.size == 1 && !over.head.ok && over.head.body == "012345" &&
+      over.head.status == 200)
+  }
+
+  test("leading garbage and a corrupt magic are skipped to the next record") {
+    val rs = split(("garbage bytes here" + metadata(5, "pay")).getBytes(Utf8))
+    assert(rs.size == 1 && rs.head.warcType == "metadata" && rs.head.ok)
+    val badFirst = (response(6, "x").replace("WARC/1.0", "XARC/1.0") +
+      metadata(6, "pay")).getBytes(Utf8)
+    val rs2 = split(badFirst)
+    assert(rs2.map(_.warcType) == Seq("metadata"))
+  }
+
+  test("every-prefix truncation totality (never throws; ok only with full framing)") {
+    val archive = (response(8, "<div>t</div>") + metadata(8, "zz")).getBytes(Utf8)
+    (0 to archive.length).foreach { n =>
+      val rs = split(archive.take(n)) // must not throw
+      rs.filter(_.ok).foreach(r => assert(r.length >= 0))
+    }
+    assert(split(Array.emptyByteArray).isEmpty)
+  }
+
+  test("header names are case-insensitive; charset value unquotes and lowercases") {
+    val http = "HTTP/1.1 404 Not Found\r\ncontent-TYPE: Text/HTML; charset=\"UTF-8\"\r\n\r\nnope"
+    val raw = s"WARC/1.0\r\nwarc-type: response\r\ncontent-length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    val rs = split(raw.getBytes(Utf8))
+    assert(rs.size == 1)
+    val r = rs.head
+    assert(r.warcType == "response" && r.status == 404 &&
+      r.mime == "Text/HTML" && r.charset == "utf-8" && r.body == "nope" && r.ok)
+  }
+}
