@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, TextOps, Multimodal, TopK}
+import graft.ops.{Dedup, Similarity, TextOps, Multimodal, TopK, Pack, Sample}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -933,6 +933,29 @@ object SparkEntry {
           col("r.ok").as("ok"))
     }),
 
+    // Concat-and-chunk sequence packing (round 5): whitespace token
+    // counts (SQL-replayable) through the distributed prefix sum; the
+    // oracle replays the naive global-window cumsum, so the two-pass
+    // partition-offset arithmetic must agree with it exactly.
+    "q_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+      Pack.concatChunk(d.select(col("doc_id"), toks.as("n")),
+        "doc_id", "n", budget = 128)
+    }),
+
+    // Stratified hash sampling / domain mixing (round 5): per-stratum
+    // keep rates decided by the md5 24-bit fraction of the doc key —
+    // deterministic, shuffle-free, and fully replayable in DuckDB.
+    "q_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        col("doc_id").cast("string").as("k"), col("lang"), col("source"))
+      Sample.stratified(d, "lang", "k",
+          rates = Map("en" -> 0.9, "de" -> 0.5, "ja" -> 0.25),
+          defaultRate = 0.125, oracleHash = true)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // self-contained flagship: seeded corpus → full pipeline → compare
       // with constructive expected (BASELINE.json correctness invariant)
@@ -1646,6 +1669,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(0 AS INT), 'response', uri1, rid1, len1, st, mime_x,
         |  cs_x, substr(body1, 1, length(body1) - 6), FALSE
         |FROM c WHERE fam = 2""".stripMargin,
+
+    // the naive global-window cumsum the distributed prefix sum must equal
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x != '')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  COALESCE(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM t)
+        |SELECT doc_id, n AS n_tokens, st AS start_offset,
+        |  st // 128 AS chunk_start,
+        |  CASE WHEN n > 0 THEN (st + n - 1) // 128 ELSE st // 128 END AS chunk_end
+        |FROM c""".stripMargin,
+
+    // md5 24-bit fraction selection replayed via DuckDB's 0x hex cast
+    "q_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |  < CASE lang WHEN 'en' THEN 15099494 WHEN 'de' THEN 8388608
+        |              WHEN 'ja' THEN 4194304 ELSE 2097152 END""".stripMargin,
 
     "q_pipeline_e2e" ->
       "SELECT CAST(300 AS BIGINT) AS docs, CAST(300 AS BIGINT) AS ok_docs"

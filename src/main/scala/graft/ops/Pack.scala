@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the GPT-style training-example
+  * assembly step: documents (in a deterministic id order) form one
+  * global token stream, and the stream is cut every `budget` tokens;
+  * each document maps to the chunk range [chunk_start, chunk_end] it
+  * lands in. This is the number a training pipeline actually schedules
+  * by (which shard/row a document's tokens end up in), and the
+  * packing-aware shuffle key for writing fixed-length examples.
+  *
+  * Scale shape for 100 TB: a naive formulation is a global Window
+  * cumsum — a single-partition sort that dies at scale. This is the
+  * classic two-pass distributed prefix sum instead: ONE range shuffle
+  * on the id (the unavoidable cost of a deterministic global order),
+  * then (a) per-partition token sums — `numPartitions` rows to the
+  * driver, (b) prefix offsets broadcast back, (c) a narrow
+  * per-partition running sum. The sorted snapshot is checkpointed so
+  * both passes read one materialization of the shuffle (reliable
+  * checkpoint when a dir is configured, localCheckpoint otherwise —
+  * the Dedup convention). The DuckDB oracle replays the naive window
+  * formulation; ScaleGuardSpec pins partition-count invariance.
+  *
+  * Contract: ids must be unique (the global order is `ORDER BY id`);
+  * token counts must be >= 0. A document with 0 tokens occupies no
+  * stream space and reports chunk_start = chunk_end = the chunk its
+  * offset falls in. Documents larger than `budget` span multiple
+  * chunks — exactly floor((start+n-1)/budget) - floor(start/budget) + 1.
+  */
+object Pack {
+  def concatChunk(df: DataFrame, idCol: String, tokensCol: String,
+                  budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget >= 1, s"chunk budget must be >= 1: $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted0 = df
+      .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("n"))
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id")
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Long, Int)]
+    val sorted: Dataset[(Long, Long, Int)] =
+      if (spark.sparkContext.getCheckpointDir.isDefined) sorted0.checkpoint(true)
+      else sorted0.localCheckpoint(true)
+    // pass 1: per-partition sums — at most `p` rows reach the driver
+    val partSums: Map[Int, Long] = sorted
+      .mapPartitions { it =>
+        var pid = -1
+        var sum = 0L
+        it.foreach { case (_, n, q) =>
+          pid = q
+          sum += math.max(n, 0L)
+        }
+        if (pid < 0) Iterator.empty else Iterator.single((pid, sum))
+      }
+      .collect().toMap
+    val prefix: Map[Int, Long] = {
+      var acc = 0L
+      (0 until p).map { q =>
+        val off = acc
+        acc += partSums.getOrElse(q, 0L)
+        q -> off
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(prefix)
+    // pass 2: narrow running sum from the broadcast partition offset
+    sorted
+      .mapPartitions { it =>
+        var running = -1L
+        it.map { case (id, n0, q) =>
+          if (running < 0) running = bc.value(q)
+          val n = math.max(n0, 0L)
+          val start = running
+          running += n
+          val last = if (n > 0) start + n - 1 else start
+          (id, n, start, start / budget, last / budget)
+        }
+      }
+      .toDF(idCol, "n_tokens", "start_offset", "chunk_start", "chunk_end")
+  }
+}

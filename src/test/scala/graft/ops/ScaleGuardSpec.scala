@@ -410,6 +410,62 @@ class ScaleGuardSpec extends AnyFunSuite {
       "the planted 0.91+ partners all survive, which is the dedup contract)")
   }
 
+  test("pack: distributed prefix sum equals the naive cumsum at every partition count") {
+    import spark.implicits._
+    // adversarial sizes: zeros, giants spanning many chunks, exact-budget
+    // hits, and ids arriving unsorted (the range shuffle must sort them)
+    val rnd = new scala.util.Random(7)
+    val docs = rnd.shuffle((0 until 500).toList).map { i =>
+      val n = i % 11 match {
+        case 0 => 0L                         // empty doc
+        case 1 => 1000L + i                  // spans ~8 chunks at budget 128
+        case 2 => 128L                       // exact budget
+        case _ => (i % 97).toLong
+      }
+      (i.toLong, n)
+    }
+    val expected = {
+      var acc = 0L
+      docs.sortBy(_._1).map { case (id, n) =>
+        val start = acc; acc += n
+        val last = if (n > 0) start + n - 1 else start
+        (id, n, start, start / 128, last / 128)
+      }.toSet
+    }
+    Seq(2, 7, 32).foreach { p =>
+      val got = Pack.concatChunk(docs.toDF("id", "n"), "id", "n",
+          budget = 128, partitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected, s"pack drifted at partitions=$p: " +
+        s"missing=${expected -- got take 3} extra=${got -- expected take 3}")
+    }
+  }
+
+  test("sample: deterministic across partitioning; rates land within tolerance") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, i.toString, if (i % 2 == 0) "en" else "zz"))
+    val df = rows.toDF("id", "k", "lang")
+    def run(p: Int, oracle: Boolean): Set[Long] =
+      Sample.stratified(df.repartition(p), "lang", "k",
+          rates = Map("en" -> 0.5), defaultRate = 0.1, oracleHash = oracle)
+        .collect().map(_.getLong(0)).toSet
+    Seq(true, false).foreach { oracle =>
+      val a = run(4, oracle)
+      assert(run(32, oracle) == a, "selection must not depend on partitioning")
+      val en = a.count(_ % 2 == 0) / 2000.0
+      val zz = a.count(_ % 2 == 1) / 2000.0
+      assert(math.abs(en - 0.5) < 0.05, f"en rate $en%.3f (want ~0.5, oracle=$oracle)")
+      assert(math.abs(zz - 0.1) < 0.03, f"zz rate $zz%.3f (want ~0.1, oracle=$oracle)")
+    }
+    // rate 0 keeps nothing; rate 1 keeps everything (threshold inclusive ends)
+    assert(Sample.stratified(df, "lang", "k", Map("en" -> 0.0, "zz" -> 0.0))
+      .count() == 0)
+    assert(Sample.stratified(df, "lang", "k", Map.empty, defaultRate = 1.0)
+      .count() == 4000)
+  }
+
   test("minhash recall at graded jaccard overlaps vs brute force") {
     import spark.implicits._
     // pair p at grade (m, n): docs share m of n tokens each → J = m/(2n-m)
