@@ -207,7 +207,11 @@ object Bench {
       "q_multimodal_real" -> 0.4, "q_stream_dedup" -> 2.3,
       "q_pdf_extract" -> 0.35, "q_url_normalize" -> 0.4,
       "q_audio_headers" -> 0.4, "q_video_headers" -> 0.4,
-      "q_cjk_dedup" -> 1.5, "q_ann_i8" -> 0.6, "q_line_dedup" -> 1.2)
+      "q_cjk_dedup" -> 1.5, "q_ann_i8" -> 0.6, "q_line_dedup" -> 1.2,
+      // round-5 queries (measured at sf0.1, clean windows, min-of-3)
+      "q_decontam" -> 1.7, "q_pii" -> 0.45, "q_repetition" -> 0.45,
+      "q_token_count" -> 0.35, "q_ann_pq" -> 0.9, "q_warc" -> 0.5,
+      "q_pack" -> 0.6, "q_sample" -> 0.25)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {

@@ -199,8 +199,12 @@ object Similarity {
         GraftSql.expressionOf(c), cents, n))
     val normsq: Seq[Double] = for { s <- 0 until m; j <- 0 until ksub }
       yield codebooks(s)(j).foldLeft(0.0)((a, x) => a + x.toDouble * x)
+    // same coalesce sentinel as ivfTopK: keep the join-pushed
+    // isnotnull(cell) constraint from re-evaluating the coarse kernel
+    // in the corpus scan filter (counter-pinned in ScaleGuardSpec)
     val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
-      .withColumn("cell", element_at(nearest(col("cvec"), coarse, 1), 1))
+      .withColumn("cell",
+        coalesce(element_at(nearest(col("cvec"), coarse, 1), 1), lit(-1)))
       .withColumn("codes", pqCodes(col("cvec"), codebooks))
       .select("vec_id", "cell", "codes") // vectors do NOT ride the join
     val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
@@ -237,8 +241,13 @@ object Similarity {
     def nearest(c: Column, n: Int): Column =
       GraftSql.column(graft.spark.GraftNearestCentroids(
         GraftSql.expressionOf(c), centroids, n))
+    // coalesce sentinel: a nullable cell would push an isnotnull(cell)
+    // constraint into the corpus scan, RE-EVALUATING the centroid
+    // kernel inside the filter predicate (the CLAUDE.md rule; pinned by
+    // the VecUdfs.centroidEvals counter in ScaleGuardSpec). -1 never
+    // matches a real 0-based query cell, so null vectors still drop.
     val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
-      .withColumn("cell", element_at(nearest(col("cvec"), 1), 1))
+      .withColumn("cell", coalesce(element_at(nearest(col("cvec"), 1), 1), lit(-1)))
     val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .withColumn("cell", explode(nearest(col("qvec"), nprobe)))
     val scored = bc.join(broadcast(bq), "cell")

@@ -587,6 +587,7 @@ object VecUdfs {
     * PlanSpec pins signatures-per-row through actual invocation counts
     * because plan strings are unreliable under AQE. */
   val hyperplaneEvals = new java.util.concurrent.atomic.AtomicLong
+  val centroidEvals = new java.util.concurrent.atomic.AtomicLong
 
   /** Exact arithmetic twin of the SQL cosine composition; null on
     * length mismatch or null element (zip_with-pad semantics). */
@@ -790,6 +791,7 @@ case class GraftNearestCentroids(child: Expression,
   override protected def nullSafeEval(input: Any): Any =
     nearest(input.asInstanceOf[ArrayData])
   def nearest(vec: ArrayData): ArrayData = {
+    VecUdfs.centroidEvals.incrementAndGet()
     val n = vec.numElements()
     val scores = new Array[Double](centroids.length)
     var c = 0

@@ -91,6 +91,35 @@ class PlanSpec extends AnyFunSuite {
       s"hyperplane sig must run once per (vec, band): $hEvals evals for $nv vecs x 4 bands")
   }
 
+  test("IVF coarse kernel runs once per corpus row (no isnotnull re-eval)") {
+    // The equi-join on the kernel-derived cell column pushes an
+    // isnotnull(cell) constraint into the corpus scan, re-evaluating
+    // graft_nearest_centroids inside the filter predicate unless the
+    // cell is made non-nullable (the coalesce-sentinel rule). Pinned by
+    // invocation count: C + Q for ivfTopK, C*(1+m) + Q for ivfPqTopK.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = (0 until 20).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("qid", "qvec")
+    val coarse = Array.tabulate(4) { c =>
+      val v = new Array[Float](8); v(2 * c) = 1f; v
+    }
+    graft.spark.VecUdfs.centroidEvals.set(0)
+    graft.ops.Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", coarse, k = 5, nprobe = 2).collect()
+    val ivf = graft.spark.VecUdfs.centroidEvals.get
+    assert(ivf == 300 + 20, s"ivfTopK coarse kernel: $ivf evals, want 320")
+    val cb = Array.fill(4)(Array(
+      Array(1f, 0f), Array(0f, 2f), Array(3f, 4f), Array(4f, 3f)))
+    graft.spark.VecUdfs.centroidEvals.set(0)
+    graft.ops.Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", coarse, cb, k = 5, nprobe = 2).collect()
+    val pq = graft.spark.VecUdfs.centroidEvals.get
+    assert(pq == 300 * 5 + 20, s"ivfPqTopK kernels: $pq evals, want ${300 * 5 + 20}")
+  }
+
   test("html parse kernels run once per row even with multiple consumers") {
     // VERDICT r3 #3: the signature kernels are pinned at 1.0 evals/doc;
     // this extends the same invocation-counter discipline to the HTML
