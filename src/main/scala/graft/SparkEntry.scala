@@ -933,6 +933,36 @@ object SparkEntry {
           col("r.ok").as("ok"))
     }),
 
+    // The full ingestion→extraction chain under ONE oracle (round 5):
+    // WARC archive → record split → HTTP body → HTML parse → positioned
+    // spans. Same span/offset arithmetic as q_html_extract, but the
+    // HTML travels through Content-Length framing and the HTTP header
+    // split first — any byte slip in the WARC walk shifts every
+    // extracted offset and breaks the hash.
+    "q_warc_extract" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val h = md5(col("text").cast("binary"))
+      val html = concat(lit("<html><head><title>"), col("source"),
+        lit("</title></head><body><h1>"), col("lang"),
+        lit("</h1><p>"), h, lit("</p></body></html>"))
+      val http = concat(lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf + crlf), html)
+      val blob = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://e/"), col("doc_id").cast("string"),
+        lit(crlf + "Content-Length: "), length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      d.select(col("doc_id"),
+          explode(GraftFunctions.graft_warc_records(blob.cast("binary"))).as("r"))
+        .filter(col("r.ok") && col("r.warc_type") === "response")
+        .select(col("doc_id"), col("r.uri").as("uri"),
+          explode(GraftFunctions.parse_html_spans(col("r.body"))).as("s"))
+        .select(col("doc_id"), col("uri"), col("s.kind").as("kind"),
+          col("s.text").as("span_text"), col("s.offset").as("offset"))
+    }),
+
     // Concat-and-chunk sequence packing (round 5): whitespace token
     // counts (SQL-replayable) through the distributed prefix sum; the
     // oracle replays the naive global-window cumsum, so the two-pass
@@ -1669,6 +1699,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(0 AS INT), 'response', uri1, rid1, len1, st, mime_x,
         |  cs_x, substr(body1, 1, length(body1) - 6), FALSE
         |FROM c WHERE fam = 2""".stripMargin,
+
+    // same span arithmetic as q_html_extract — the WARC walk must hand
+    // the parser a byte-exact body for these offsets to line up
+    "q_warc_extract" ->
+      """WITH e AS (SELECT doc_id,
+        |  'http://e/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  source, lang, md5(text) AS h FROM documents)
+        |SELECT doc_id, uri, 'text' AS kind, source AS span_text, 19 AS offset FROM e
+        |UNION ALL
+        |SELECT doc_id, uri, 'heading', lang, CAST(44 + length(source) AS INT) FROM e
+        |UNION ALL
+        |SELECT doc_id, uri, 'text', h,
+        |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
 
     // the naive global-window cumsum the distributed prefix sum must equal
     "q_pack" ->
