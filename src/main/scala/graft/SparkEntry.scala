@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, TextOps, Multimodal, TopK, Pack, Sample}
+import graft.ops.{Dedup, Similarity, TextOps, Multimodal, TopK, Pack, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -963,6 +963,51 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // Domain blocklist filtering (round 5): registrable-domain
+    // broadcast anti-join — subdomains of a blocked domain drop too.
+    "q_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val hostCase = when(pmod(col("doc_id"), lit(5)) === 0, "a.example.com")
+        .when(pmod(col("doc_id"), lit(5)) === 1, "example.com")
+        .when(pmod(col("doc_id"), lit(5)) === 2, "good.org")
+        .when(pmod(col("doc_id"), lit(5)) === 3, "sub.bad.co.uk")
+        .otherwise("ok.net")
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://"), hostCase, lit("/p/"),
+          col("doc_id").cast("string")).as("url"))
+      val blocked = Seq("example.com", "BAD.co.uk", "").toDF("domain")
+      UrlOps.blocklistFilter(urls, "url", blocked, "domain")
+        .select(col("doc_id"), col("url"))
+    }),
+
+    // robots.txt evaluation (round 5): RFC 9309 longest-match with
+    // wildcards/$-anchors and specific-agent-over-* group selection;
+    // six path families × two agents hit every decision branch, and the
+    // oracle states each expected verdict from the rule table directly.
+    "q_robots" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val robots = "# crawl policy\n" +
+        "User-agent: graftbot\nDisallow: /gb-private\nAllow: /gb-private/ok\n\n" +
+        "User-agent: *\nDisallow: /private\nAllow: /private/pub\n" +
+        "Disallow: /data/*.bak$\n"
+      // doc_id%12 < 6 (not %2): every (agent, path-family) pair occurs —
+      // %2 would make family 3 (ids ≡ 3 mod 6, always odd) unreachable
+      // for the specific-agent group
+      val agent = when(pmod(col("doc_id"), lit(12)) < 6, "graftbot/1.0")
+        .otherwise("otherbot/2.0")
+      val path = when(pmod(col("doc_id"), lit(6)) === 0, "/index.html")
+        .when(pmod(col("doc_id"), lit(6)) === 1, "/private/x")
+        .when(pmod(col("doc_id"), lit(6)) === 2, "/private/pub/x")
+        .when(pmod(col("doc_id"), lit(6)) === 3, "/gb-private/x")
+        .when(pmod(col("doc_id"), lit(6)) === 4, "/data/x.bak")
+        .otherwise("/data/x.bak.txt")
+      d.select(col("doc_id"), agent.as("agent"), path.as("path"),
+        GraftFunctions.graft_robots_allows(lit(robots), agent, path)
+          .as("allowed"))
+    }),
+
     // Concat-and-chunk sequence packing (round 5): whitespace token
     // counts (SQL-replayable) through the distributed prefix sum; the
     // oracle replays the naive global-window cumsum, so the two-pass
@@ -1712,6 +1757,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
         |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
+
+    // kept = hosts whose registrable domain is NOT on the blocklist
+    // (a.example.com/example.com → example.com; sub.bad.co.uk → bad.co.uk)
+    "q_url_filter" ->
+      """SELECT doc_id,
+        |  'https://' || CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'a.example.com' WHEN 1 THEN 'example.com'
+        |    WHEN 2 THEN 'good.org' WHEN 3 THEN 'sub.bad.co.uk'
+        |    ELSE 'ok.net' END || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |FROM documents WHERE doc_id % 5 IN (2, 4)""".stripMargin,
+
+    // the RFC 9309 decision table stated directly: graftbot (ids with
+    // doc_id%12<6) is blocked only on its specific-group /gb-private
+    // family; otherbot falls to the * group — blocked on /private
+    // (longest match, no allow) and the $-anchored /data/*.bak$
+    "q_robots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 12 < 6 THEN 'graftbot/1.0'
+        |       ELSE 'otherbot/2.0' END AS agent,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN '/index.html' WHEN 1 THEN '/private/x'
+        |    WHEN 2 THEN '/private/pub/x' WHEN 3 THEN '/gb-private/x'
+        |    WHEN 4 THEN '/data/x.bak' ELSE '/data/x.bak.txt' END AS path,
+        |  NOT ((doc_id % 12 < 6 AND doc_id % 6 = 3) OR
+        |       (doc_id % 12 >= 6 AND doc_id % 6 IN (1, 4))) AS allowed
+        |FROM documents""".stripMargin,
 
     // the naive global-window cumsum the distributed prefix sum must equal
     "q_pack" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-corpus pipelines — the operator family
@@ -83,4 +83,21 @@ object UrlOps {
     * switch to xxhash64 in production, same pattern as ngram blocking). */
   def urlKey(u: Column, oracleHash: Boolean = false): Column =
     if (oracleHash) md5(normalize(u)) else xxhash64(normalize(u))
+
+  /** Domain blocklist filter — drop every row whose URL's registrable
+    * domain appears in the blocklist (subdomains included by
+    * construction: `a.b.example.com` and `example.com` share the
+    * registrable domain). Scale shape: the blocklist is
+    * distinct-collapsed and BROADCAST, the filter is a broadcast
+    * LEFT-ANTI hash join — no shuffle of the corpus, no blocklist skew
+    * (each domain held once), same discipline as
+    * `Dedup.decontaminate`'s contamination side. */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+                      blocked: DataFrame, blockedDomainCol: String): DataFrame =
+    df.join(
+      broadcast(blocked
+        .select(lower(trim(col(blockedDomainCol))).as("__blocked_domain"))
+        .filter(col("__blocked_domain") =!= "").distinct()),
+      registrableDomain(host(col(urlCol))) === col("__blocked_domain"),
+      "left_anti")
 }

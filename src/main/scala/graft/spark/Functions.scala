@@ -992,6 +992,8 @@ object GraftFunctions {
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
   def graft_warc_records(c: Column): Column = call_function("graft_warc_records", c)
+  def graft_robots_allows(robots: Column, agent: Column, path: Column): Column =
+    call_function("graft_robots_allows", robots, agent, path)
 
   def graft_attr_match_counts(html: Column, keys: Seq[String],
       values: Seq[String], modes: Seq[String]): Column = {

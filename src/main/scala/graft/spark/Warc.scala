@@ -218,6 +218,28 @@ object WarcUdfs {
     }
 }
 
+/** `graft_robots_allows(robots_txt, agent, path)` → may the agent
+  * fetch the path? RFC 9309 longest-match evaluation — see
+  * [[graft.ops.Robots.allows]] for group selection, wildcard/anchor
+  * semantics, and tie-breaks. */
+case class GraftRobotsAllows(first: Expression, second: Expression,
+                             third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(r: Any, a: Any, p: Any): Any =
+    graft.ops.Robots.allows(r.asInstanceOf[UTF8String].toString,
+      a.asInstanceOf[UTF8String].toString, p.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, p) =>
+      s"graft.ops.Robots.allows($r.toString(), $a.toString(), $p.toString())")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): GraftRobotsAllows =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_robots_allows"
+}
+
 /** `graft_warc_records(blob)` → array of parsed WARC records (see
   * [[WarcUdfs.splitRecords]] for the framing + totality contract). */
 case class GraftWarcRecords(child: Expression) extends UnaryExpression {

@@ -144,6 +144,20 @@ class OpsSpec extends AnyFunSuite {
     // non-URL: scheme/host empty, normalize degrades to "://" + "/" —
     // callers filter on scheme != '' first; must not throw
     assert(got(5).getString(0) != null)
+    // blocklist: subdomain + port + case variants of a blocked domain
+    // all drop; an empty blocklist keeps everything
+    val rows = Seq(
+      (1L, "https://a.b.Example.COM:8443/x"), // subdomain+port+case → blocked
+      (2L, "https://example.com/y"),          // apex → blocked
+      (3L, "https://examplexcom.org/z"),      // different domain → kept
+      (4L, "https://sub.bad.co.uk/w"))        // registry-prefix TLD → blocked
+      .toDF("id", "url")
+    val blocked = Seq("Example.com", "bad.co.uk").toDF("domain")
+    val kept = UrlOps.blocklistFilter(rows, "url", blocked, "domain")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    val none = Seq.empty[String].toDF("domain")
+    assert(UrlOps.blocklistFilter(rows, "url", none, "domain").count() == 4)
   }
 
   test("multimodal real header decode: png/jpeg/gif byte formats") {
