@@ -963,6 +963,22 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // Exact-substring duplication stats (round 5): corpus-wide repeated
+    // 3-grams on REAL text (plus a planted 12-token passage shared by
+    // the doc_id%7==3 family guaranteeing a >=10 run); the DuckDB
+    // oracle replays keygen + corpus counts + gaps-and-islands longest
+    // run on the same data — nothing is assumed, everything recomputed.
+    "q_substr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shared = "qq ww ee rr tt yy uu ii oo pp aa ss "
+      val tx = when(pmod(col("doc_id"), lit(7)) === 3,
+        concat(lit(shared), col("text"))).otherwise(col("text"))
+      Dedup.duplicatedNgramSpans(d.select(col("doc_id"), tx.as("t")),
+          "doc_id", "t", n = 3, oracleHash = true)
+        .select(col("id").as("doc_id"), col("ngrams"), col("dup_ngrams"),
+          col("longest_dup_run"))
+    }),
+
     // Domain blocklist filtering (round 5): registrable-domain
     // broadcast anti-join — subdomains of a blocked domain drop too.
     "q_url_filter" -> ((s, dir) => {
@@ -1757,6 +1773,39 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
         |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
+
+    // full replay on real data: tokenize, 3-gram md5 keys, corpus-wide
+    // counts, per-doc duplicated positions, gaps-and-islands longest run
+    "q_substr_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3
+        |       THEN 'qq ww ee rr tt yy uu ii oo pp aa ss ' || text
+        |       ELSE text END AS tx FROM documents),
+        |tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(tx)), '\s+'),
+        |    x -> x != '') AS toks FROM t),
+        |ng AS (SELECT doc_id, i AS pos,
+        |  md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS k
+        |  FROM tk, LATERAL unnest(generate_series(1,
+        |    greatest(len(toks) - 2, 0))) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |cnt AS (SELECT k, count(*) AS c FROM ng GROUP BY k),
+        |fl AS (SELECT doc_id, pos, c > 1 AS dup FROM ng JOIN cnt USING (k)),
+        |isl AS (SELECT doc_id,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM fl WHERE dup),
+        |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+        |  FROM isl GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, max(run) AS longest FROM runs GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ngrams,
+        |  CAST(count(*) FILTER (dup) AS BIGINT) AS dup_ngrams
+        |  FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(b.ngrams, 0) AS ngrams,
+        |  COALESCE(b.dup_ngrams, 0) AS dup_ngrams,
+        |  COALESCE(a.longest, 0) AS longest_dup_run
+        |FROM documents d
+        |LEFT JOIN base b ON d.doc_id = b.doc_id
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     // kept = hosts whose registrable domain is NOT on the blocklist
     // (a.example.com/example.com → example.com; sub.bad.co.uk → bad.co.uk)

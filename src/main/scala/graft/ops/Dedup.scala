@@ -541,4 +541,69 @@ object Dedup {
         Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Exact-substring duplication stats — the corpus-wide repeated-
+    * passage detector behind suffix-array training-data dedup (drop or
+    * trim documents containing a passage of >= L tokens that appears
+    * elsewhere in the corpus). A token n-gram at position p is
+    * "duplicated" when its key occurs more than once in the WHOLE
+    * corpus; a run of r consecutive duplicated positions certifies a
+    * shared passage of n + r - 1 tokens, so the caller's L maps to
+    * `longest_dup_run >= L - n + 1`. Returns per doc: `ngrams` (total
+    * n-gram positions), `dup_ngrams` (duplicated positions), and
+    * `longest_dup_run`.
+    *
+    * Scale shape for 100 TB: ONE wide shuffle of (id, pos, key) on the
+    * key — its exchange is consumed by BOTH the per-key count aggregate
+    * and the flag join (uniform columns, no pushed constraints: key is
+    * non-nullable from the kernel, so no isnotnull lands on either
+    * branch — the AQE canonical-subtree discipline), so n-gram
+    * generation runs once per row. Counts are aggregate-collapsed
+    * (map-side combine), never collected per key: a boilerplate n-gram
+    * shared by the whole corpus costs one count row, and the flag join
+    * output stays exactly |positions|. The per-doc run fold happens on
+    * a collect_list bounded by the DOCUMENT length (never by key
+    * frequency), folded with a codegen'd `aggregate` over the sorted
+    * array. The DuckDB oracle replays everything on real data:
+    * keygen + corpus counts + gaps-and-islands longest run. */
+  def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 13,
+                           oracleHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    def key(c: Column): Column = if (oracleHash) md5(c) else xxhash64(c)
+    val ids = df.select(col(idCol).as("id"))
+    val keyed = df
+      .select(col(idCol).as("id"),
+        GraftSql.column(graft.spark.GraftNgrams(
+          GraftSql.expressionOf(col(textCol)), n)).as("ngs"))
+      .select(col("id"), posexplode(col("ngs")).as(Seq("pos", "ng")))
+      .select(col("id"), col("pos"), key(col("ng")).as("k"))
+      .repartition(col("k"))
+    val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val runStats = keyed.join(counts, "k")
+      .select(col("id"), col("pos"), (col("cnt") > 1).as("dup"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("ngrams"),
+        count(when(col("dup"), 1)).as("dup_ngrams"),
+        sort_array(collect_list(when(col("dup"), col("pos")))).as("dps"))
+      .withColumn("longest_dup_run",
+        aggregate(col("dps"),
+          struct(lit(0L).as("cur"), lit(0L).as("best"), lit(-2L).as("prev")),
+          (acc, p) => {
+            val cur = when(p.cast("long") === acc.getField("prev") + 1L,
+              acc.getField("cur") + 1L).otherwise(lit(1L))
+            struct(cur.as("cur"),
+              greatest(acc.getField("best"), cur).as("best"),
+              p.cast("long").as("prev"))
+          },
+          acc => acc.getField("best")))
+      .select(col("id"), col("ngrams"), col("dup_ngrams"),
+        col("longest_dup_run"))
+    // every input row reports, including docs shorter than n tokens
+    ids.join(runStats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ngrams"), lit(0L)).as("ngrams"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
+  }
 }

@@ -466,6 +466,32 @@ class ScaleGuardSpec extends AnyFunSuite {
       .count() == 4000)
   }
 
+  test("duplicatedNgramSpans: exact runs on a known corpus; hot n-gram stays linear") {
+    import spark.implicits._
+    // hand-computable micro-corpus, n=2: doc 10 and 11 share "a b c d"
+    // (three duplicated 2-gram positions in a row); doc 12 shares only
+    // "c d"; doc 13 is all-unique; doc 14 is too short for any 2-gram
+    val docs = Seq(
+      (10L, "a b c d zz1"), (11L, "qq a b c d"), (12L, "c d yy2 ww3"),
+      (13L, "u1 u2 u3 u4"), (14L, "solo"))
+    val got = Dedup.duplicatedNgramSpans(docs.toDF("id", "t"), "id", "t", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(10L) == ((4L, 3L, 3L)), s"doc 10: ${got(10L)}") // a-b b-c c-d dup
+    assert(got(11L) == ((4L, 3L, 3L)), s"doc 11: ${got(11L)}")
+    assert(got(12L) == ((3L, 1L, 1L)), s"doc 12: ${got(12L)}") // only c-d
+    assert(got(13L) == ((3L, 0L, 0L)), s"doc 13: ${got(13L)}")
+    assert(got(14L) == ((0L, 0L, 0L)), s"doc 14: ${got(14L)}")
+    // hot key: 20k docs all containing one shared bigram — the count
+    // aggregate collapses it to ONE row; output stays |docs| and every
+    // doc reports exactly its own duplicated positions
+    val hot = (0 until 20000).map(i => (i.toLong, s"hot pair u$i v$i w$i"))
+    val hotGot = Dedup.duplicatedNgramSpans(hot.toDF("id", "t"), "id", "t", n = 2)
+    assert(hotGot.count() == 20000)
+    val sample = hotGot.filter(col("id") === 12345L).collect()(0)
+    assert(sample.getLong(1) == 4L && sample.getLong(2) == 1L &&
+      sample.getLong(3) == 1L, s"hot doc stats: $sample")
+  }
+
   test("minhash recall at graded jaccard overlaps vs brute force") {
     import spark.implicits._
     // pair p at grade (m, n): docs share m of n tokens each → J = m/(2n-m)
