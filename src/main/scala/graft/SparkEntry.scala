@@ -963,6 +963,54 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // The C4/CCNet-style END-TO-END cleaning pipeline under one oracle
+    // (round 5): language allowlist → quality floor → repetition caps
+    // (integer cross-multiplied — float-free) → PII redaction → exact
+    // dedup keep-list, composed over real text plus four planted
+    // families (clone group, symbol-junk, doubled nav lines, appended
+    // email) so every stage demonstrably drops/changes rows. The DuckDB
+    // oracle replays the full chain stage by stage.
+    "q_clean_pipeline" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val junk = "@#$% " * 200
+      val tx = when(pmod(col("doc_id"), lit(10)) === 6,
+          lit("shared clone body text for dedup"))
+        .otherwise(col("text"))
+      val tx2 = when(pmod(col("doc_id"), lit(8)) === 5,
+        concat(tx, lit(" " + junk))).otherwise(tx)
+      val tx3 = when(pmod(col("doc_id"), lit(9)) === 7,
+        concat(tx2, lit("\nnav bar menu\nnav bar menu"))).otherwise(tx2)
+      val tx4 = when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(tx3, lit(" mail a@b.co now"))).otherwise(tx3)
+      val survivors = d.select(col("doc_id"), col("lang"), tx4.as("t"))
+        .filter(col("lang").isin("en", "de", "fr"))
+        .withColumn("quality", TextOps.qualityScore(col("t")))
+        .filter(col("quality") >= 48)
+        .withColumn("r", expr("graft_repetition(t)"))
+        .filter(col("r.dup_lines") * 10 <= col("r.lines") * 3)
+        .filter(col("r.top2_chars") * 5 <= col("r.token_chars"))
+        .withColumn("redacted", graft.ops.Pii.redact(col("t")))
+      // one exchange on the dedup hash feeds BOTH the group aggregate
+      // and the join side (the ngramJaccardPairs discipline — coalesce
+      // keeps h non-nullable so no isnotnull lands on one branch), so
+      // the quality/repetition/redaction chain runs ONCE per row; a
+      // plain keep-list + rejoin would recompute it per consumer
+      val hashed = survivors
+        .withColumn("h", coalesce(md5(lower(trim(col("redacted")))), lit("")))
+        .repartition(col("h"))
+      val groups = hashed.groupBy("h").agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).cast("long").as("dup_count"))
+      hashed.join(groups, "h")
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("dup_count"),
+          size(filter(split(trim(col("redacted")), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_tokens"),
+          md5(col("redacted")).as("clean_key"))
+    }),
+
     // Exact-substring duplication stats (round 5): corpus-wide repeated
     // 3-grams on REAL text (plus a planted 12-token passage shared by
     // the doc_id%7==3 family guaranteeing a >=10 run); the DuckDB
@@ -1773,6 +1821,66 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
         |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
+
+    // the full cleaning chain replayed stage by stage: construction,
+    // language allowlist, quality arithmetic, repetition integers with
+    // the lexicographic top-bigram tie-break, the pii redaction chain,
+    // and the min-id keep-list over redacted-text groups
+    "q_clean_pipeline" ->
+      """WITH t0 AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 6 THEN 'shared clone body text for dedup'
+        |       ELSE text END AS a FROM documents),
+        |t1 AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 8 = 5 THEN a || ' ' || repeat('@#$% ', 200)
+        |       ELSE a END AS b FROM t0),
+        |t2x AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 9 = 7 THEN b || chr(10) || 'nav bar menu' ||
+        |       chr(10) || 'nav bar menu' ELSE b END AS c FROM t1),
+        |tx AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 4 = 1 THEN c || ' mail a@b.co now' ELSE c END AS t
+        |  FROM t2x WHERE lang IN ('en', 'de', 'fr')),
+        |q AS (SELECT doc_id, lang, t,
+        |  CAST(least(length(t)//125, 40)
+        |    + CAST(floor(length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+        |        * 40 / greatest(length(t), 1)) AS BIGINT)
+        |    + CASE WHEN nt > 0 AND length(t) >= 3*nt AND length(t) <= 12*nt
+        |           THEN 20 ELSE 0 END AS BIGINT) AS quality
+        |  FROM (SELECT *, CASE WHEN length(trim(t)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(t), '\s+')) END AS nt FROM tx)),
+        |lr AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(t, chr(10)),
+        |    x -> lower(trim(x))), x -> x <> '') AS ls,
+        |  list_filter(string_split_regex(lower(trim(t)), '\s+'),
+        |    x -> x <> '') AS tk FROM q WHERE quality >= 48),
+        |li AS (SELECT doc_id, len(ls) AS lines,
+        |  len(ls) - len(list_distinct(ls)) AS dup_lines,
+        |  length(array_to_string(tk, ' ')) AS token_chars FROM lr),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |  i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS g FROM lr),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |t2g AS (SELECT doc_id, first(c * length(g) ORDER BY c DESC, g ASC)
+        |  AS top2 FROM c2 GROUP BY doc_id),
+        |surv AS (SELECT q.doc_id, q.lang, q.quality, q.t
+        |  FROM q JOIN li ON q.doc_id = li.doc_id
+        |  LEFT JOIN t2g ON q.doc_id = t2g.doc_id
+        |  WHERE q.quality >= 48 AND li.dup_lines * 10 <= li.lines * 3
+        |    AND coalesce(t2g.top2, 0) * 5 <= li.token_chars),
+        |red AS (SELECT doc_id, lang, quality,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}', '<IP>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS redacted FROM surv),
+        |keep AS (SELECT md5(lower(trim(redacted))) AS h, min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count FROM red GROUP BY 1)
+        |SELECT r.doc_id, r.lang, r.quality, k.dup_count,
+        |  CAST(CASE WHEN length(trim(redacted)) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(trim(redacted), '\s+'),
+        |      x -> x <> '')) END AS BIGINT) AS n_tokens,
+        |  md5(redacted) AS clean_key
+        |FROM red r JOIN keep k ON r.doc_id = k.doc_id""".stripMargin,
 
     // full replay on real data: tokenize, 3-gram md5 keys, corpus-wide
     // counts, per-doc duplicated positions, gaps-and-islands longest run
