@@ -963,6 +963,16 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // Corpus-aware distinctive terms (round 5): integer-exact TF-IDF
+    // ranking (df asc, tf desc, token asc) replayed by a DuckDB window
+    // on real text — floats never enter the hash.
+    "q_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.distinctiveTerms(d, "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("rank"))
+    }),
+
     // The C4/CCNet-style END-TO-END cleaning pipeline under one oracle
     // (round 5): language allowlist → quality floor → repetition caps
     // (integer cross-multiplied — float-free) → PII redaction → exact
@@ -1821,6 +1831,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
         |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
+
+    // same tokenization as graft_ngrams(text, 1); ranking replayed with
+    // a row_number window over the integer (df, -tf, term) order
+    "q_terms" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, tok),
+        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY tok),
+        |ranked AS (SELECT doc_id, tok AS term, tf.tf, dfs.df,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY dfs.df ASC, tf.tf DESC, tok ASC) AS INT) AS rank
+        |  FROM tf JOIN dfs USING (tok))
+        |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     // the full cleaning chain replayed stage by stage: construction,
     // language allowlist, quality arithmetic, repetition integers with

@@ -340,4 +340,38 @@ object TextOps {
     * used to live here). Registration is one table: GraftSql.entries. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.graft.GraftSql.registerAll(spark)
+
+  /** Corpus-aware distinctive terms — TF-IDF-style keyword extraction
+    * with an INTEGER-EXACT ordering so the whole ranking is
+    * hash-oracleable: per document, the top-k tokens ordered by
+    * document frequency ascending (rarest-in-corpus first), then term
+    * frequency descending, then token ascending. No floating-point IDF
+    * — (df asc, tf desc) is order-equivalent to tf·idf ranking for
+    * fixed tf and strictly stabler under hashing.
+    *
+    * Scale shape: tokens → per-(doc, token) counts (one map-side-
+    * combined shuffle), then ONE repartition on the token feeds both
+    * the document-frequency aggregate and the tf×df join (the
+    * exchange-sharing discipline), then a per-doc bounded
+    * sort/slice — the candidate array is bounded by the DOCUMENT's
+    * distinct-token count, never by corpus size; a corpus-wide hot
+    * token costs one df row. Returns (id, term, tf, df, rank). */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    require(k >= 1, s"top-k must be >= 1: $k")
+    val toks = df.select(col(idCol).as("id"),
+      explode(GraftSql.column(graft.spark.GraftNgrams(
+        GraftSql.expressionOf(col(textCol)), 1))).as("tok"))
+    val keyed = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .repartition(col("tok"))
+    val dfs = keyed.groupBy("tok").agg(count(lit(1)).as("df"))
+    keyed.join(dfs, "tok")
+      .groupBy("id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("df"), (-col("tf")).as("ntf"), col("tok")))), 1, k).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("id"), col("t.tok").as("term"), (-col("t.ntf")).as("tf"),
+        col("t.df").as("df"), (col("r") + 1).cast("int").as("rank"))
+  }
 }
