@@ -963,6 +963,48 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // WARC charset handling (round 5): the WHATWG fetch decode order —
+    // BOM beats the HTTP charset beats the meta-prescan beats the
+    // UTF-8 heuristic — exercised with REAL non-UTF-8 bytes (smart
+    // quotes in windows-1252, Cyrillic in iso-8859-5, a BOM that
+    // overrides a wrong transport label, a meta-prescan-only page).
+    // The blob is binary-concatenated (headers as ASCII, payload via
+    // unhex), Content-Length counts OCTETS, and the oracle states the
+    // expected decoded code points per family.
+    "q_warc_charset" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val fam = pmod(col("doc_id"), lit(5))
+      val ct = when(fam === 0, "text/plain; charset=utf-8")
+        .when(fam === 1, "text/plain; charset=windows-1252")
+        .when(fam === 2, "text/plain; charset=iso-8859-5")
+        .when(fam === 3, "text/plain; charset=windows-1252") // BOM wins
+        .otherwise("text/html")                              // meta-prescan
+      val bodyBytes = when(fam === 0,
+          concat(lit("u-"), md5(col("text").cast("binary"))).cast("binary"))
+        .when(fam === 1, unhex(lit("934194")))               // “A”
+        .when(fam === 2, unhex(lit("B0B1")))                 // А Б (capitals)
+        .when(fam === 3, concat(unhex(lit("EFBBBF")), lit("x").cast("binary")))
+        .otherwise(concat(
+          lit("<meta charset=\"windows-1252\">").cast("binary"),
+          unhex(lit("93"))))
+      val httpBin = concat(
+        concat(lit("HTTP/1.1 200 OK" + crlf + "Content-Type: "), ct,
+          lit(crlf + crlf)).cast("binary"),
+        bodyBytes)
+      val blob = concat(
+        concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "Content-Length: "), length(httpBin).cast("string"),
+          lit(crlf + crlf)).cast("binary"),
+        httpBin, lit(crlf + crlf).cast("binary"))
+      d.select(col("doc_id"), fam.cast("int").as("fam"),
+          explode(GraftFunctions.graft_warc_records(blob)).as("r"))
+        .select(col("doc_id"), col("fam"),
+          col("r.charset").as("charset"), col("r.body").as("body"),
+          col("r.ok").as("ok"))
+    }),
+
     // Corpus-aware distinctive terms (round 5): integer-exact TF-IDF
     // ranking (df asc, tf desc, token asc) replayed by a DuckDB window
     // on real text — floats never enter the hash.
@@ -1831,6 +1873,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
         |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
+
+    // expected decode per family: utf-8 passthrough; windows-1252
+    // 0x93/0x94 → U+201C/U+201D; iso-8859-5 0xB0/0xB1 → U+0430/U+0431;
+    // BOM strips and overrides the (wrong) transport label; the
+    // meta-prescan page decodes its own trailing 0x93
+    "q_warc_charset" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS INT) AS fam,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'iso-8859-5' WHEN 3 THEN 'windows-1252'
+        |    ELSE '' END AS charset,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'u-' || md5(text)
+        |    WHEN 1 THEN chr(8220) || 'A' || chr(8221)
+        |    WHEN 2 THEN chr(1040) || chr(1041)
+        |    WHEN 3 THEN 'x'
+        |    ELSE '<meta charset="windows-1252">' || chr(8220) END AS body,
+        |  TRUE AS ok
+        |FROM documents""".stripMargin,
 
     // same tokenization as graft_ngrams(text, 1); ranking replayed with
     // a row_number window over the integer (df, -tf, term) order

@@ -119,10 +119,29 @@ object WarcUdfs {
     m
   }
 
+  /** Body decode in the WHATWG fetch order the reference's encoding
+    * stage implements: BOM overrides everything (and is stripped), then
+    * the HTTP `charset=` parameter when it is a recognized WHATWG
+    * label, then the full sniff (meta-prescan → UTF-8 heuristic →
+    * legacy fallback — graft.html.Encodings.sniff). Malformed bytes
+    * decode to U+FFFD, never a throw — crawl payloads are untrusted. */
+  private def decodeBody(b: Array[Byte], from: Int, to: Int,
+                         httpCharset: String): String = {
+    if (to <= from) return ""
+    val slice = java.util.Arrays.copyOfRange(b, from, to)
+    val bom = graft.html.Encodings.detectBom(slice)
+    val name =
+      if (bom != null) bom._1
+      else if (httpCharset.nonEmpty &&
+        graft.html.Encodings.resolveLabel(httpCharset).isDefined) httpCharset
+      else graft.html.Encodings.sniff(slice)
+    graft.html.Encodings.decode(slice, name)
+  }
+
   /** (status, mime, charset, body) from an HTTP message payload; the
     * non-HTTP fallback is (-1, "", "", whole payload decoded). */
   private def parseHttp(b: Array[Byte], from: Int, to: Int): (Int, String, String, String) = {
-    val plain = (-1, "", "", new String(b, from, to - from, Utf8))
+    val plain = (-1, "", "", decodeBody(b, from, to, ""))
     if (to - from < 5 || !(b(from) == 'H' && b(from + 1) == 'T' &&
         b(from + 2) == 'T' && b(from + 3) == 'P' && b(from + 4) == '/')) return plain
     val hdrEnd = indexOfCrlfCrlf(b, from)
@@ -162,7 +181,7 @@ object WarcUdfs {
         if (end < 0) rest else rest.substring(0, end)
       }
     }
-    (status, mime, charset, new String(b, bodyFrom, to - bodyFrom, Utf8))
+    (status, mime, charset, decodeBody(b, bodyFrom, to, charset))
   }
 
   def splitRecords(blob0: Array[Byte]): ArrayData =

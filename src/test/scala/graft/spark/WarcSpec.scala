@@ -106,6 +106,29 @@ class WarcSpec extends AnyFunSuite {
     assert(split(Array.emptyByteArray).isEmpty)
   }
 
+  test("body decode follows the WHATWG fetch order: BOM > HTTP charset > sniff") {
+    def respond(ct: String, payload: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n".getBytes(Utf8)
+      val http = head ++ payload
+      (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${http.length}\r\n\r\n"
+        .getBytes(Utf8)) ++ http ++ "\r\n\r\n".getBytes(Utf8)
+    }
+    // transport label drives the decode: 0x93 is U+201C in windows-1252
+    val w = split(respond("text/html; charset=windows-1252", Array(0x93.toByte)))
+    assert(w.head.body == "“" && w.head.charset == "windows-1252")
+    // BOM wins over a wrong transport label and is stripped
+    val bom = split(respond("text/html; charset=windows-1252",
+      Array(0xEF, 0xBB, 0xBF, 'y').map(_.toByte)))
+    assert(bom.head.body == "y")
+    // unknown label falls through to the sniff (here: valid UTF-8 bytes)
+    val snf = split(respond("text/html; charset=bogus-enc",
+      "café".getBytes(Utf8)))
+    assert(snf.head.body == "café")
+    // malformed bytes under the declared charset become U+FFFD, no throw
+    val bad = split(respond("text/plain; charset=utf-8", Array(0xFF.toByte)))
+    assert(bad.head.body == "�")
+  }
+
   test("header names are case-insensitive; charset value unquotes and lowercases") {
     val http = "HTTP/1.1 404 Not Found\r\ncontent-TYPE: Text/HTML; charset=\"UTF-8\"\r\n\r\nnope"
     val raw = s"WARC/1.0\r\nwarc-type: response\r\ncontent-length: ${http.length}\r\n\r\n$http\r\n\r\n"
