@@ -628,6 +628,46 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
     }),
 
+    // Residual IVF-PQ / IVFADC (round 5): corpus vectors are coarse
+    // centroid (100·e_{2·cell}, cell = doc_id%4 — the big component
+    // guarantees the intended cell wins argmax-cosine) PLUS per-
+    // subspace residual codewords selected by higher doc_id bits, so
+    // residual encoding is lossless and ADC — dot(q,c) + Σ lut, with
+    // |recon|² from the cnorm/cross/codeword literals — equals exact
+    // cosine bit-for-bit (all-integer doubles; any summation order is
+    // exact below 2^53). nprobe=4 probes every cell, so the oracle is
+    // plain exact-cosine top-5 over the same construction.
+    "q_ann_pqr" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val xs = Seq(1f, 0f, 3f, 4f)
+      val ys = Seq(0f, 2f, 4f, 3f)
+      val cellCol = pmod(col("doc_id"), lit(4)).cast("int")
+      def cw(sub: Int) =
+        (pmod(shiftright(col("doc_id"), 2 * sub + 2), lit(4)) + 1).cast("int")
+      val cvec = array((0 until 4).flatMap { sub =>
+        Seq(element_at(typedlit(xs), cw(sub)) +
+              when(cellCol === sub, lit(100f)).otherwise(lit(0f)),
+          element_at(typedlit(ys), cw(sub)))
+      }: _*)
+      val corpus = d.select(col("doc_id").as("vec_id"), cvec.as("embedding"))
+      val qvec = array(
+        (pmod(col("doc_id"), lit(2)) + 1).cast("float"), lit(2f),
+        lit(0f), lit(1f), lit(3f),
+        pmod(col("doc_id"), lit(3)).cast("float"), lit(1f), lit(2f))
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qvec.as("qvec"))
+      val coarse = Array.tabulate(4) { c =>
+        val v = new Array[Float](8); v(2 * c) = 100f; v
+      }
+      val codebooks = Array.fill(4)(Array(
+        Array(1f, 0f), Array(0f, 2f), Array(3f, 4f), Array(4f, 3f)))
+      Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", coarse, codebooks, k = 5, nprobe = 4,
+          residual = true)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    }),
+
     "q_multimodal_stub" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(
@@ -1634,6 +1674,35 @@ object SparkEntry {
         s"CAST(CASE (doc_id >> ${2 * sub}) & 3 WHEN 0 THEN ${t(0)} " +
           s"WHEN 1 THEN ${t(1)} WHEN 2 THEN ${t(2)} ELSE ${t(3)} END AS DOUBLE)"
       val cv = (0 until 4).flatMap(sub => Seq(cw(sub, xs), cw(sub, ys))).mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id AS vec_id, [$cv] AS cv FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |  [CAST(doc_id % 2 + 1 AS DOUBLE), 2, 0, 1, 3,
+        |   CAST(doc_id % 3 AS DOUBLE), 1, 2] AS qv
+        |  FROM documents WHERE doc_id < 5),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |  list_sum(list_transform(generate_series(1, 8), i -> qv[i] * cv[i]))
+        |  / greatest(sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |           * sqrt(list_sum(list_transform(cv, x -> x*x))), 1e-12) AS cosine
+        |  FROM q CROSS JOIN corpus c)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin
+    },
+
+    // lossless residual plant: exact-cosine top-5 over coarse+codeword
+    // construction — ADC must reproduce it bit-for-bit (see query doc)
+    "q_ann_pqr" -> {
+      val xs = Seq(1, 0, 3, 4)
+      val ys = Seq(0, 2, 4, 3)
+      def cw(sub: Int, t: Seq[Int]) =
+        s"CASE (doc_id >> ${2 * sub + 2}) & 3 WHEN 0 THEN ${t(0)} " +
+          s"WHEN 1 THEN ${t(1)} WHEN 2 THEN ${t(2)} ELSE ${t(3)} END"
+      val cv = (0 until 4).flatMap { sub =>
+        Seq(s"CAST(${cw(sub, xs)} + CASE WHEN doc_id % 4 = $sub THEN 100 " +
+              "ELSE 0 END AS DOUBLE)",
+          s"CAST(${cw(sub, ys)} AS DOUBLE)")
+      }.mkString(", ")
       s"""WITH corpus AS (SELECT doc_id AS vec_id, [$cv] AS cv FROM documents),
         |q AS (SELECT doc_id AS query_id,
         |  [CAST(doc_id % 2 + 1 AS DOUBLE), 2, 0, 1, 3,

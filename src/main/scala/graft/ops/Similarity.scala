@@ -159,6 +159,25 @@ object Similarity {
     }.toArray
   }
 
+  /** Residual-PQ codebooks (IVFADC training): the per-subspace k-means
+    * runs over `vec − coarse[nearest cell]` instead of raw vectors —
+    * residuals are what `ivfPqTopK(residual = true)` encodes, and
+    * training on them is what makes the shared codebook budget model
+    * the much smaller within-cell spread. */
+  def trainPqCodebooksResidual(corpus: DataFrame, vecCol: String,
+                               coarse: Array[Array[Float]], m: Int,
+                               ksub: Int = 16, iters: Int = 5): Array[Array[Array[Float]]] = {
+    import org.apache.spark.sql.graft.GraftSql
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    val cell = coalesce(element_at(GraftSql.column(
+      graft.spark.GraftNearestCentroids(
+        GraftSql.expressionOf(col(vecCol)), coarse, 1)), 1), lit(0))
+    val residuals = corpus.select(zip_with(col(vecCol),
+      element_at(coarseLit, greatest(cell, lit(0)) + 1),
+      (a, b) => a - b).as("rv"))
+    trainPqCodebooks(residuals, "rv", m, ksub, iters)
+  }
+
   /** PQ codes for a vector column: array<int> of m per-subspace
     * argmax-cosine codeword indices. THIS is what rides the candidate
     * join at scale — m small ints instead of dim floats. */
@@ -186,41 +205,88 @@ object Similarity {
     * subvectors ARE codewords and every value is a small integer, ADC
     * equals exact cosine bit-for-bit (integer float arithmetic is
     * associative) — that is what q_ann_pq's oracle hash-gates. */
+  /** `residual = true` is full IVFADC: codes quantize `vec −
+    * coarse[cell]` (computed with built-in zip_with against the literal
+    * centroid matrix — residual magnitudes are a fraction of raw
+    * vectors, so the same codebook budget reconstructs much closer).
+    * ADC then scores dot(q, c_cell) + Σ_s lut_q[s, code_s] against
+    * |recon|² = |c|² + Σ_s(|cw|² + 2·c_s·cw) — the coarse dot comes
+    * from a second per-query LUT (GraftPqLut with the coarse table as a
+    * one-subspace codebook) and the c×cw cross terms are a plan-time
+    * literal of ncells·m·ksub doubles (256 cells × 8 × 256 ≈ 4 MB in a
+    * production config — plan-size, not per-row, cost). */
   def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                 queries: DataFrame, queryId: String, queryVec: String,
                 coarse: Array[Array[Float]],
                 codebooks: Array[Array[Array[Float]]],
-                k: Int = 10, nprobe: Int = 4): DataFrame = {
+                k: Int = 10, nprobe: Int = 4,
+                residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.GraftSql
     val m = codebooks.length
     val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
     def nearest(c: Column, cents: Array[Array[Float]], n: Int): Column =
       GraftSql.column(graft.spark.GraftNearestCentroids(
         GraftSql.expressionOf(c), cents, n))
+    def sub(v: Array[Float], s: Int): Array[Float] =
+      v.slice(s * dsub, math.min((s + 1) * dsub, v.length)).padTo(dsub, 0f)
     val normsq: Seq[Double] = for { s <- 0 until m; j <- 0 until ksub }
       yield codebooks(s)(j).foldLeft(0.0)((a, x) => a + x.toDouble * x)
+    val cnormsq: Seq[Double] =
+      coarse.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toSeq
+    val cross: Seq[Double] =
+      if (!residual) Seq(0.0)
+      else for { cell <- coarse.indices; s <- 0 until m; j <- 0 until ksub }
+        yield sub(coarse(cell), s).zip(codebooks(s)(j))
+          .foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y }
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
     // same coalesce sentinel as ivfTopK: keep the join-pushed
     // isnotnull(cell) constraint from re-evaluating the coarse kernel
     // in the corpus scan filter (counter-pinned in ScaleGuardSpec)
-    val bc = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
+    val bc0 = corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("cvec"))
       .withColumn("cell",
         coalesce(element_at(nearest(col("cvec"), coarse, 1), 1), lit(-1)))
-      .withColumn("codes", pqCodes(col("cvec"), codebooks))
-      .select("vec_id", "cell", "codes") // vectors do NOT ride the join
-    val bq = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+    val encoded =
+      if (!residual) bc0.withColumn("codes", pqCodes(col("cvec"), codebooks))
+      else bc0
+        // greatest(cell, 0): the -1 sentinel only occurs when cvec is
+        // null, in which case the whole zip_with is null anyway — the
+        // clamp just keeps the literal lookup in bounds
+        .withColumn("rvec", zip_with(col("cvec"),
+          element_at(coarseLit, greatest(col("cell"), lit(0)) + 1),
+          (a, b) => a - b))
+        .withColumn("codes", pqCodes(col("rvec"), codebooks))
+    val bc = encoded.select("vec_id", "cell", "codes") // vectors do NOT ride the join
+    val bq0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
       .withColumn("cell", explode(nearest(col("qvec"), coarse, nprobe)))
       .withColumn("lut", GraftSql.column(graft.spark.GraftPqLut(
         GraftSql.expressionOf(col("qvec")), codebooks)))
       .withColumn("qnorm", l2Norm(col("qvec")))
-      .select("query_id", "cell", "lut", "qnorm")
+    val bq =
+      if (!residual) bq0.withColumn("dot_qc", lit(0.0))
+        .select("query_id", "cell", "lut", "qnorm", "dot_qc")
+      else bq0
+        // coarse dots via the SAME LUT kernel: the coarse table as a
+        // one-subspace codebook of full dimension
+        .withColumn("dot_qc", element_at(GraftSql.column(graft.spark.GraftPqLut(
+          GraftSql.expressionOf(col("qvec")), Array(coarse))), col("cell") + 1))
+        .select("query_id", "cell", "lut", "qnorm", "dot_qc")
     val nsq = typedlit(normsq)
+    val xsq = typedlit(cross)
+    val csq = typedlit(cnormsq)
     val scored = bc.join(broadcast(bq), "cell")
-      .withColumn("dotsum", aggregate(
+      .withColumn("dotsum", col("dot_qc") + aggregate(
         transform(col("codes"), (c, s) => element_at(col("lut"), s * lit(ksub) + c + 1)),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("rnormsq", aggregate(
-        transform(col("codes"), (c, s) => element_at(nsq, s * lit(ksub) + c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rnormsq",
+        (if (!residual) lit(0.0) else element_at(csq, col("cell") + 1)) +
+        aggregate(
+          transform(col("codes"), (c, s) =>
+            element_at(nsq, s * lit(ksub) + c + 1) +
+              (if (!residual) lit(0.0)
+               else lit(2.0) * element_at(xsq,
+                 (col("cell") * m + s) * ksub + c + 1))),
+          lit(0.0), (acc, x) => acc + x))
       .select(col("query_id"), col("vec_id"),
         (col("dotsum") /
           greatest(col("qnorm") * sqrt(col("rnormsq")), lit(1e-12))).as("cosine"))

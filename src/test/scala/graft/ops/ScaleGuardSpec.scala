@@ -408,6 +408,23 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(r8 >= 0.50, f"pq recall@10 floor: $r8%.4f (measured 0.56 — " +
       "4x16 codebooks on random 16-dim unit vectors are quantization-limited; " +
       "the planted 0.91+ partners all survive, which is the dedup contract)")
+    // (c) RESIDUAL path (IVFADC): residual-trained codebooks over
+    // vec − coarse[cell] must beat raw-vector PQ at the same budget
+    val rcb = Similarity.trainPqCodebooksResidual(corpus, "embedding",
+      coarse, m = 4, ksub = 16, iters = 3)
+    val gotR = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", coarse, rcb, k = 10, nprobe = 8,
+        residual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rRes = queryRows.map { case (qid, _) =>
+      val t = truthTop(byId2(qid), 10)
+      (gotR.getOrElse(qid, Set.empty) & t).size.toDouble / t.size
+    }.sum / queryRows.size
+    info(f"ivfPqTopK RESIDUAL recall@10 (nprobe=8): $rRes%.4f vs raw $r8%.4f")
+    assert(rRes >= r8 - 0.02,
+      f"residual PQ must not lose recall vs raw PQ: $rRes%.4f < $r8%.4f")
+    assert(rRes >= 0.60, f"residual recall floor: $rRes%.4f")
   }
 
   test("pack: distributed prefix sum equals the naive cumsum at every partition count") {
