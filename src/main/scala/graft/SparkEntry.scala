@@ -1045,6 +1045,21 @@ object SparkEntry {
           col("r.ok").as("ok"))
     }),
 
+    // Sentence segmentation (round 5): lookaround-free regex runs on
+    // real text plus a constructed multi-sentence suffix; every number
+    // is an integer and DuckDB replays the same RE2-safe pattern.
+    "q_sentences" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = concat(col("text"),
+        lit(" First extra. Second one! Is this third? tail no terminator"))
+      val st = TextOps.sentenceStats(t)
+      d.select(col("doc_id"),
+        st.getField("n_sentences").as("n_sentences"),
+        st.getField("sentence_chars").as("sentence_chars"),
+        st.getField("max_sentence_chars").as("max_sentence_chars"),
+        element_at(TextOps.sentences(t), 1).as("first_sentence"))
+    }),
+
     // Corpus-aware distinctive terms (round 5): integer-exact TF-IDF
     // ranking (df asc, tf desc, token asc) replayed by a DuckDB window
     // on real text — floats never enter the hash.
@@ -1961,6 +1976,23 @@ object SparkEntry {
         |    ELSE '<meta charset="windows-1252">' || chr(8220) END AS body,
         |  TRUE AS ok
         |FROM documents""".stripMargin,
+
+    // the same RE2-safe pattern segments on the DuckDB side
+    "q_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' First extra. Second one! Is this third? tail no terminator' AS tx
+        |  FROM documents),
+        |ss AS (SELECT doc_id,
+        |  list_filter(list_transform(
+        |    regexp_extract_all(tx, '[^.!?]+[.!?]+|[^.!?]+$'),
+        |    s -> trim(s)), s -> s <> '') AS sents FROM t)
+        |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_sum(list_transform(sents, s -> length(s))), 0)
+        |    AS BIGINT) AS sentence_chars,
+        |  CAST(coalesce(list_max(list_transform(sents, s -> length(s))), 0)
+        |    AS BIGINT) AS max_sentence_chars,
+        |  sents[1] AS first_sentence
+        |FROM ss""".stripMargin,
 
     // same tokenization as graft_ngrams(text, 1); ranking replayed with
     // a row_number window over the integer (df, -tf, term) order

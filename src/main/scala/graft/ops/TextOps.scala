@@ -356,6 +356,28 @@ object TextOps {
     * sort/slice — the candidate array is bounded by the DOCUMENT's
     * distinct-token count, never by corpus size; a corpus-wide hot
     * token costs one df row. Returns (id, term, tf, df, rank). */
+  /** Sentence segmentation as a pure built-in composition — each
+    * sentence is a maximal run of non-terminators plus its trailing
+    * `[.!?]+` (a terminator-less tail is its own sentence), trimmed,
+    * empties dropped. Deliberately lookaround-free (the Pii
+    * discipline) so Java regex and DuckDB RE2 agree and the whole
+    * segmentation is oracle-replayable; abbreviation handling is
+    * documented out of scope (it needs a dictionary, not a regex). */
+  def sentences(c: Column): Column =
+    filter(transform(regexp_extract_all(c, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+      s => trim(s)), s => s =!= "")
+
+  /** Per-doc sentence stats for quality filtering: count, total chars
+    * across trimmed sentences, max sentence chars — all integers. */
+  def sentenceStats(c: Column): Column = {
+    val ss = sentences(c)
+    struct(size(ss).cast("long").as("n_sentences"),
+      coalesce(aggregate(ss, lit(0L), (acc, s) => acc + length(s)), lit(0L))
+        .as("sentence_chars"),
+      coalesce(aggregate(ss, lit(0L), (acc, s) => greatest(acc, length(s).cast("long"))),
+        lit(0L)).as("max_sentence_chars"))
+  }
+
   def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graft.GraftSql
