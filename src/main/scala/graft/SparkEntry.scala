@@ -1045,6 +1045,39 @@ object SparkEntry {
           col("r.ok").as("ok"))
     }),
 
+    // Streaming WARC ingestion (round 5): blobs arrive as TWO
+    // micro-batch files (even/odd ids) through a checkpointed file
+    // source; the record-split + extraction stage is STATELESS, so the
+    // streamed union must equal the batch construction replay row for
+    // row regardless of arrival order — that invariance IS the oracle.
+    "q_stream_warc" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val h = md5(col("text").cast("binary"))
+      val html = concat(lit("<p>"), h, lit("</p>"))
+      val http = concat(lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf + crlf), html)
+      val rec1 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://s/"), col("doc_id").cast("string"),
+        lit(crlf + "Content-Length: "), length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val pay2 = concat(lit("meta "),
+        md5(concat(col("text"), lit("y")).cast("binary")))
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "Content-Length: "), length(pay2).cast("string"),
+        lit(crlf + crlf), pay2, lit(crlf + crlf))
+      val blobs = d.select(col("doc_id"),
+        concat(rec1, rec2).cast("binary").as("blob"))
+      val batches = Seq(
+        blobs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        blobs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      ).map(_.select(col("doc_id").cast("string").as("doc_id"), col("blob")))
+      graft.streaming.StreamingExtract.warcExtractDrain(batches)
+    }),
+
     // Sentence segmentation (round 5): lookaround-free regex runs on
     // real text plus a constructed multi-sentence suffix; every number
     // is an integer and DuckDB replays the same RE2-safe pattern.
@@ -1976,6 +2009,16 @@ object SparkEntry {
         |    ELSE '<meta charset="windows-1252">' || chr(8220) END AS body,
         |  TRUE AS ok
         |FROM documents""".stripMargin,
+
+    // stateless streaming == batch replay: both records per doc, any
+    // arrival order
+    "q_stream_warc" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'response' AS warc_type,
+        |  200 AS status, 'http://s/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  md5(text) AS body_text FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id AS VARCHAR), 'metadata', -1, '',
+        |  'meta ' || md5(text || 'y') FROM documents""".stripMargin,
 
     // the same RE2-safe pattern segments on the DuckDB side
     "q_sentences" ->

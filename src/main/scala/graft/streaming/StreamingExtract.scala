@@ -110,6 +110,70 @@ object StreamingExtract {
     }
   }
 
+  /** Streaming WARC ingestion: blobs landing as files → record split →
+    * HTTP body → extracted clear text, per micro-batch. The transform
+    * is STATELESS (record framing and extraction are per-row), so the
+    * streamed output equals the batch query on the union of batches
+    * regardless of file arrival order — which is exactly what the
+    * q_stream_warc oracle replays. Checkpointed file source = the
+    * exactly-once resumability story for a continuously-crawling
+    * archive directory. */
+  def warcExtract(blobs: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    graft.spark.GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    blobs.select(col(idCol).as("doc_id"),
+        explode(graft.spark.GraftFunctions.graft_warc_records(col(blobCol))).as("r"))
+      .filter(col("r.ok"))
+      .select(col("doc_id"), col("r.warc_type").as("warc_type"),
+        col("r.status").as("status"), col("r.uri").as("uri"),
+        graft.spark.GraftFunctions.parse_html_text(col("r.body")).as("body_text"))
+  }
+
+  /** Bounded micro-batch drain of `warcExtract` for the oracle gate —
+    * same harness as `dedupVerdictsDrain` (mtime-sequenced files,
+    * maxFilesPerTrigger=1, AvailableNow, memory sink, full teardown).
+    * Append mode: the stage is stateless, every row emits exactly
+    * once. */
+  def warcExtractDrain(batches: Seq[DataFrame]): DataFrame = {
+    val spark = batches.head.sparkSession
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, BinaryType}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-warc")
+    val inDir = new java.io.File(base.toFile, "in")
+    inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(base.toFile, s"part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet file written for batch $i"))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("blob", BinaryType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val out = warcExtract(stream, "doc_id", "blob")
+    val qname = "graft_stream_warc_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    try {
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(qname).localCheckpoint()
+    } finally {
+      scala.util.Try(spark.catalog.dropTempView(qname))
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
+
   /** Per-hash dedup state: how many copies seen, which doc won. */
   final case class DedupState(first_doc_id: String, copies: Long)
   /** Dedup verdict row emitted per input doc. */

@@ -40,6 +40,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out/metrics").count() > 0)
   }
 
+  test("streaming WARC ingestion: drain equals the batch path; malformed blobs stay row verdicts") {
+    import spark.implicits._
+    def record(id: Int, body: String): String = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://t/$id\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val rows = (0 until 40).map { i =>
+      val blob =
+        if (i == 13) "WARC/1.0\r\nWARC-Type: response\r\n\r\nbroken".getBytes(utf8)
+        else record(i, s"<p>body-$i</p>").getBytes(utf8)
+      (i.toString, blob)
+    }
+    val df = rows.toDF("doc_id", "blob")
+    val batches = Seq(df.filter($"doc_id".cast("int") % 2 === 0),
+      df.filter($"doc_id".cast("int") % 2 === 1))
+    val streamed = StreamingExtract.warcExtractDrain(batches)
+      .collect().map(r => (r.getString(0), r.getString(4))).toSet
+    val batch = StreamingExtract.warcExtract(df, "doc_id", "blob")
+      .collect().map(r => (r.getString(0), r.getString(4))).toSet
+    assert(streamed == batch, "stateless stage: streamed union must equal batch")
+    assert(streamed.size == 39 && !streamed.exists(_._1 == "13"),
+      "the malformed blob drops its record (ok=false), everything else extracts")
+    assert(streamed(("7", "body-7")))
+  }
+
   test("streaming stateful dedup: first doc per hash wins across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
