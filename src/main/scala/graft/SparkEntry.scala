@@ -1127,18 +1127,23 @@ object SparkEntry {
         .filter(col("lang").isin("en", "de", "fr"))
         .withColumn("quality", TextOps.qualityScore(col("t")))
         .filter(col("quality") >= 48)
-        .withColumn("r", expr("graft_repetition(t)"))
-        .filter(col("r.dup_lines") * 10 <= col("r.lines") * 3)
-        .filter(col("r.top2_chars") * 5 <= col("r.token_chars"))
+        // single-eval boolean kernel: filtering on struct getFields
+        // re-evaluates graft_repetition per field access once the
+        // predicates collapse (measured 6.6 evals/row; PlanSpec pins
+        // this shape at exactly 1/row via repetitionEvals)
+        .filter(expr("graft_repetition_ok(t, 10, 3, 5)"))
         .withColumn("redacted", graft.ops.Pii.redact(col("t")))
-      // one exchange on the dedup hash feeds BOTH the group aggregate
-      // and the join side (the ngramJaccardPairs discipline — coalesce
-      // keeps h non-nullable so no isnotnull lands on one branch), so
-      // the quality/repetition/redaction chain runs ONCE per row; a
-      // plain keep-list + rejoin would recompute it per consumer
-      val hashed = survivors
+      // the dedup keep-list needs survivors TWICE (group aggregate +
+      // rejoin); a checkpoint materializes the quality/repetition/
+      // redaction chain exactly once for both consumers (exchange reuse
+      // alone proved partial here — PlanSpec pins 1.0 repetition-kernel
+      // evals per lang-passed row through this shape; the Dedup.exact
+      // skewSafe convention)
+      val hashed0 = survivors
         .withColumn("h", coalesce(md5(lower(trim(col("redacted")))), lit("")))
-        .repartition(col("h"))
+      val hashed =
+        if (s.sparkContext.getCheckpointDir.isDefined) hashed0.checkpoint(true)
+        else hashed0.localCheckpoint(true)
       val groups = hashed.groupBy("h").agg(
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).cast("long").as("dup_count"))

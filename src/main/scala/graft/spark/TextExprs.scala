@@ -70,9 +70,21 @@ object TextKernels {
       "top2_chars", "top3_chars", "top4_chars")
       .map(n => StructField(n, IntegerType, nullable = false)))
 
-  def repetition(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+  val repetitionEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def repetition(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    repetitionEvals.incrementAndGet()
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       TextOps.repetition(t.toString).map(_.asInstanceOf[Any]))
+  }
+
+  /** dup_lines·a <= lines·b && top2_chars·c <= token_chars in one
+    * kernel pass (indices 1/0/7/6 of TextOps.repetition). */
+  def repetitionOk(t: UTF8String, a: Int, b: Int, c: Int): Boolean = {
+    repetitionEvals.incrementAndGet()
+    val r = TextOps.repetition(t.toString)
+    r(1).toLong * a <= r(0).toLong * b && r(7).toLong * c <= r(6).toLong
+  }
 
   def bpeCount(t: UTF8String): Int = graft.ops.Bpe.count(t.toString)
 
@@ -259,6 +271,29 @@ case class GraftRepetition(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftRepetition =
     copy(child = newChild)
   override def prettyName: String = "graft_repetition"
+}
+
+/** Single-eval repetition gate:
+  * `graft_repetition_ok(text, a, b, c)` ⇔ `dup_lines·a <= lines·b AND
+  * top2_chars·c <= token_chars` — the integer cross-multiplied Gopher
+  * caps in ONE kernel invocation. Filtering on getFields of the
+  * graft_repetition struct re-evaluates the kernel per field access
+  * once the filter predicates collapse (measured 6.6 evals/row in the
+  * q_clean_pipeline shape; projection access stays at 1 — q_repetition
+  * is fine). Counter-pinned in PlanSpec via repetitionEvals. */
+case class GraftRepetitionOk(child: Expression, a: Int, b: Int, c: Int)
+    extends UnaryExpression {
+  require(a >= 1 && b >= 0 && c >= 1, s"bad repetition caps: $a $b $c")
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionOk(input.asInstanceOf[UTF8String], a, b, c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.spark.TextKernels.repetitionOk($t, $a, $b, $c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftRepetitionOk =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition_ok"
 }
 
 /** Real BPE token count: `graft_bpe_count(text)` — true iterative

@@ -61,6 +61,10 @@ object GraftSql {
       args => GraftLangId(args.head)),
     ("graft_repetition", "graft.spark.GraftRepetition",
       args => GraftRepetition(args.head)),
+    ("graft_repetition_ok", "graft.spark.GraftRepetitionOk",
+      args => GraftRepetitionOk(args.head,
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],
+        args(3).eval().asInstanceOf[Int])),
     ("graft_bpe_count", "graft.spark.GraftBpeCount",
       args => GraftBpeCount(args.head)),
     ("graft_ngrams", "graft.spark.GraftNgrams",

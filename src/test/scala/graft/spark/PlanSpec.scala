@@ -120,6 +120,34 @@ class PlanSpec extends AnyFunSuite {
     assert(pq == 300 * 5 + 20, s"ivfPqTopK kernels: $pq evals, want ${300 * 5 + 20}")
   }
 
+  test("repetition kernel runs once per row in the cleaning-pipeline filter shape") {
+    // Filtering on getFields of the graft_repetition STRUCT re-evaluates
+    // the kernel per field access once the predicates collapse (measured
+    // 6.6 evals/row); the single-eval boolean graft_repetition_ok is the
+    // fix. Projection access (q_repetition) stays at 1 — pin both.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val langRows = docs.filter(col("lang").isin("en", "de", "fr")).count()
+    graft.spark.TextKernels.repetitionEvals.set(0)
+    val out = graft.SparkEntry.queries("q_clean_pipeline")(spark, sf)
+    out.write.format("noop").mode("overwrite").save()
+    val pipeEvals = graft.spark.TextKernels.repetitionEvals.get
+    val outRows = out.count() // checkpointed — no kernel re-run
+    // short-circuit And: quality-failed rows skip the gate, so the
+    // exact count floats between survivors and lang-passed rows; the
+    // struct-getField bug measured 604 (1.75× the upper bound) and the
+    // pre-checkpoint double-compute 2×, both violating the pin
+    assert(pipeEvals <= langRows && pipeEvals >= outRows,
+      s"pipeline repetition gate must run at most once per lang-passed " +
+        s"row: $pipeEvals evals for $langRows lang rows / $outRows out rows")
+    val nAll = docs.count()
+    graft.spark.TextKernels.repetitionEvals.set(0)
+    graft.SparkEntry.queries("q_repetition")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val projEvals = graft.spark.TextKernels.repetitionEvals.get
+    assert(projEvals == nAll,
+      s"q_repetition must run once per row: $projEvals evals for $nAll rows")
+  }
+
   test("html parse kernels run once per row even with multiple consumers") {
     // VERDICT r3 #3: the signature kernels are pinned at 1.0 evals/doc;
     // this extends the same invocation-counter discipline to the HTML
@@ -213,7 +241,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_fingerprint64", "graft_lang_id", "graft_image_header",
       "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text",
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
-      "graft_ngrams", "graft_warc_records", "graft_robots_allows")
+      "graft_ngrams", "graft_warc_records", "graft_robots_allows",
+      "graft_repetition_ok")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
