@@ -410,17 +410,27 @@ object Dedup {
       val src = df.select((ngCols :+ col("__text")): _*)
         .withColumn("ngs", GraftSql.column(
           graft.spark.GraftNgrams(GraftSql.expressionOf(col("__text")), n)))
-      src.select((ngCols :+ explode(col("ngs")).as("ng")): _*)
+      // explode_OUTER + post-filter, not explode: InferFiltersFromGenerate
+      // adds size(child)>0 AND isnotnull(child) under a non-outer
+      // generate, and predicate pushdown substitutes the kernel into
+      // both — 3 kernel evals/row (counter-measured). The rule skips
+      // outer generators; the null row from an empty array drops on the
+      // GENERATED attribute, which nothing can substitute into.
+      src.select((ngCols :+ explode_outer(col("ngs")).as("ng")): _*)
+        .filter(col("ng").isNotNull)
         .select((ngCols :+ key(col("ng")).as("k")): _*)
     }
     val ids = corpus.select(col(idCol).as("id"))
     // per-doc DISTINCT n-gram keys: one wide shuffle on (id, k) with
-    // map-side partial dedup; text never rides past this point
-    val dkeys = ngramKeys(
+    // map-side partial dedup; text never rides past this point. The
+    // compact (id, k) frame is SNAPSHOTTED — its consumers prune the
+    // shared subtree differently, which defeats AQE exchange reuse and
+    // re-runs the whole n-gram generation (measured 2× by ngramsEvals)
+    val dkeys = Snapshot(ngramKeys(
       corpus.select(col(idCol).as("id"), col(textCol).as("__text")),
-      col("id")).distinct()
-    val ckeys0 = ngramKeys(
-      contam.select(col(contamTextCol).as("__text"))).distinct()
+      col("id")).distinct())
+    val ckeys0 = Snapshot(ngramKeys(
+      contam.select(col(contamTextCol).as("__text"))).distinct())
     val ckeys = if (broadcastContam) broadcast(ckeys0) else ckeys0
     // ONE pass over the (expensive) n-gram generation: flag hits with a
     // broadcast LEFT join, then count totals and hits in the same
@@ -572,13 +582,19 @@ object Dedup {
     import org.apache.spark.sql.graft.GraftSql
     def key(c: Column): Column = if (oracleHash) md5(c) else xxhash64(c)
     val ids = df.select(col(idCol).as("id"))
-    val keyed = df
+    // compact (id, pos, k) snapshot: the counts aggregate and the flag
+    // join prune the shared subtree differently, defeating exchange
+    // reuse — without it the n-gram generation re-ran 6× (ngramsEvals)
+    // posexplode_OUTER + post-filter (the ngramKeys rule): a non-outer
+    // generate gets size/isnotnull filters inferred with the kernel
+    // substituted in — 3 evals/row
+    val keyed = Snapshot(df
       .select(col(idCol).as("id"),
         GraftSql.column(graft.spark.GraftNgrams(
           GraftSql.expressionOf(col(textCol)), n)).as("ngs"))
-      .select(col("id"), posexplode(col("ngs")).as(Seq("pos", "ng")))
-      .select(col("id"), col("pos"), key(col("ng")).as("k"))
-      .repartition(col("k"))
+      .select(col("id"), posexplode_outer(col("ngs")).as(Seq("pos", "ng")))
+      .filter(col("ng").isNotNull)
+      .select(col("id"), col("pos"), key(col("ng")).as("k")))
     val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
     val runStats = keyed.join(counts, "k")
       .select(col("id"), col("pos"), (col("cnt") > 1).as("dup"))

@@ -382,11 +382,16 @@ object TextOps {
                        k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graft.GraftSql
     require(k >= 1, s"top-k must be >= 1: $k")
+    // explode_OUTER + post-filter: non-outer generates get size/isnotnull
+    // filters inferred with the kernel substituted in (2-3 evals/row)
     val toks = df.select(col(idCol).as("id"),
-      explode(GraftSql.column(graft.spark.GraftNgrams(
-        GraftSql.expressionOf(col(textCol)), 1))).as("tok"))
-    val keyed = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .repartition(col("tok"))
+        explode_outer(GraftSql.column(graft.spark.GraftNgrams(
+          GraftSql.expressionOf(col(textCol)), 1))).as("tok"))
+      .filter(col("tok").isNotNull)
+    // compact (id, tok, tf) snapshot: df-aggregate and tf×df join prune
+    // the shared subtree differently → no exchange reuse → the token
+    // generation re-ran 2× without it (ngramsEvals counter)
+    val keyed = Snapshot(toks.groupBy("id", "tok").agg(count(lit(1)).as("tf")))
     val dfs = keyed.groupBy("tok").agg(count(lit(1)).as("df"))
     keyed.join(dfs, "tok")
       .groupBy("id")

@@ -90,6 +90,8 @@ object TextKernels {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
+  val ngramsEvals = new java.util.concurrent.atomic.AtomicLong
+
   /** Whitespace-token n-gram strings in ONE pass per row — bit-equal to
     * `transform(sequence(1, size(tk)-(n-1)), i -> array_join(slice(tk,
     * i, n), ' '))` over `tk = filter(split(lower(trim(text)), '\s+'),
@@ -102,6 +104,7 @@ object TextKernels {
     * UTF8String ops behind Spark's trim()/lower(), so semantics match
     * the built-ins exactly. */
   def ngrams(t: UTF8String, n: Int): ArrayData = {
+    ngramsEvals.incrementAndGet()
     val toks = Ws.split(t.trim().toLowerCase.toString).filter(_.nonEmpty)
     val count = toks.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.empty[Any])

@@ -148,6 +148,26 @@ class PlanSpec extends AnyFunSuite {
       s"q_repetition must run once per row: $projEvals evals for $nAll rows")
   }
 
+  test("ngram kernel runs once per row through explode (no inferred-filter re-eval)") {
+    // InferFiltersFromGenerate puts size(child)>0 AND isnotnull(child)
+    // under a non-outer generate, and predicate pushdown substitutes
+    // the kernel expression into both — measured 3 evals/row on
+    // q_substr_dedup (plus pruning-divergent consumers at 6× total) and
+    // 2× on q_decontam/q_terms. The outer-generate + post-filter +
+    // Snapshot discipline pins all three at exactly 1.0 evals/row.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    for ((q, want) <- Seq("q_substr_dedup" -> n, "q_terms" -> n,
+        "q_decontam" -> (n + docs.filter(col("doc_id") % 4 === 0).count() + 1))) {
+      graft.spark.TextKernels.ngramsEvals.set(0)
+      graft.SparkEntry.queries(q)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      val evals = graft.spark.TextKernels.ngramsEvals.get
+      assert(evals == want, s"$q ngram kernel must run once per row: " +
+        s"$evals evals, want $want")
+    }
+  }
+
   test("html parse kernels run once per row even with multiple consumers") {
     // VERDICT r3 #3: the signature kernels are pinned at 1.0 evals/doc;
     // this extends the same invocation-counter discipline to the HTML
