@@ -35,6 +35,10 @@ for name, sql in sorted(oracle.items()):
     ecols = [d[0] for d in exp.description]
     erows = exp.fetchall()
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: NO SPARK OUTPUT (query crashed or was not written)")
+        fails += 1
+        continue
     got = con.execute(f"SELECT * FROM read_parquet({files!r})")
     gcols = [d[0] for d in got.description]
     grows = got.fetchall()
