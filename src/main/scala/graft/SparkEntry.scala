@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, TextOps, Multimodal, TopK, Pack, Sample, UrlOps}
+import graft.ops.{Dedup, Similarity, TextNorm, TextOps, Multimodal, TopK, Pack, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,29 @@ object SparkEntry {
       |  j -> md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR))), ' ') AS t
       |FROM documents WHERE doc_id < 100""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Parser-visible views of raw column text, for the HTML oracles
+  // (round 6 — the adversarial corpus exposes these; each cites the
+  // engine behavior it replays):
+  //  - sqlPrep: input preprocessing CRLF→LF, CR→LF (TextPrep.normalize,
+  //    reference mycore/mystring.c:24-129)
+  //  - sqlBodyText: in-body character handling — NUL dropped
+  //    (TreeBuilder in_body, reference rules.c:1160)
+  //  - sqlTokText: tokenizer character-token view — NUL → U+FFFD
+  //    (Tokenizer data-state flush)
+  //  - sqlWsOnlyGuard: extraction drops whitespace-ONLY text spans,
+  //    where extraction-ws = HTML5 ws + VT (TextPrep.isWhitespaceOnly,
+  //    binary-probed reference clear_text behavior). Empty counts as
+  //    ws-only (no text node at all).
+  private def sqlPrep(e: String): String =
+    s"replace(replace($e, chr(13) || chr(10), chr(10)), chr(13), chr(10))"
+  private def sqlBodyText(e: String): String =
+    s"replace(${sqlPrep(e)}, chr(0), '')"
+  private def sqlTokText(e: String): String =
+    s"replace(${sqlPrep(e)}, chr(0), chr(65533))"
+  private def sqlNotWsOnly(e: String): String =
+    s"NOT regexp_matches($e, '^[\\t\\n\\f\\r\\x0b ]*$$')"
+
   /** Dominance-graded planted vectors — the round-2 verdict's "recall at
     * the similarity boundary" gate. Pair g lives in its own 2-coordinate
     * subspace (cross-pair cosines are exactly 0): u=[a,b], v=[0,c] with
@@ -96,9 +119,11 @@ object SparkEntry {
     // ----------------------------------------------- HTML engine queries
     "q_html_extract" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<html><head><title>"), col("source"),
-        lit("</title></head><body><h1>"), col("lang"),
-        lit("</h1><p>"), col("text"), lit("</p></body></html>"))
+      // nullable columns coalesce to '' (round-6 null discipline: the
+      // oracle does the same, so both sides parse the same document)
+      val html = concat(lit("<html><head><title>"), coalesce(col("source"), lit("")),
+        lit("</title></head><body><h1>"), coalesce(col("lang"), lit("")),
+        lit("</h1><p>"), coalesce(col("text"), lit("")), lit("</p></body></html>"))
       d.select(col("doc_id"),
           explode(GraftFunctions.parse_html_spans(html)).as("s"))
         .select(col("doc_id"), col("s.kind").as("kind"),
@@ -108,7 +133,8 @@ object SparkEntry {
     "q_html_entities" -> ((s, dir) => {
       val d = docs(s, dir)
       val html = concat(lit("<p>"),
-        regexp_replace(col("text"), lit(" "), lit("&#32;")), lit("</p>"))
+        regexp_replace(coalesce(col("text"), lit("")), lit(" "), lit("&#32;")),
+        lit("</p>"))
       d.select(col("doc_id"),
         GraftFunctions.parse_html_text(html).as("decoded"),
         GraftFunctions.parse_html_text(
@@ -137,9 +163,10 @@ object SparkEntry {
 
     "q_html_script_skip" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<p>keep1</p><script>"), col("text"),
+      val html = concat(lit("<p>keep1</p><script>"), coalesce(col("text"), lit("")),
         lit("</script><style>h1{color:red}</style><p>keep2</p><!-- "),
-        col("source"), lit(" --><textarea>"), col("lang"), lit("</textarea>"))
+        coalesce(col("source"), lit("")), lit(" --><textarea>"),
+        coalesce(col("lang"), lit("")), lit("</textarea>"))
       d.select(col("doc_id"), GraftFunctions.parse_html_text(html).as("extracted"))
     }),
 
@@ -172,7 +199,7 @@ object SparkEntry {
 
     "q_html_attrs" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<div id=\""), col("source"),
+      val html = concat(lit("<div id=\""), coalesce(col("source"), lit("")),
         lit("\" CLASS=c1 class=c2 data-n="), col("doc_id").cast("string"),
         lit(">t</div>"))
       // ONE parse per row for all three selector counts (native
@@ -251,7 +278,7 @@ object SparkEntry {
     // <footer> blocks are dropped from main_text but kept in full_text
     "q_html_boiler" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<article><p>"), col("text"),
+      val html = concat(lit("<article><p>"), coalesce(col("text"), lit("")),
         lit("</p></article><nav><a href=\"/a\">aa</a> <a href=\"/b\">bb</a></nav>" +
           "<footer><a href=\"/c\">x</a></footer>"))
       d.select(col("doc_id"),
@@ -303,27 +330,31 @@ object SparkEntry {
 
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        expr("graft_lang_id(text)").as("lang_pred"))),
+        expr("graft_lang_id(coalesce(text, ''))").as("lang_pred"))),
 
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.subwordCount(col("text")).as("n_subwords"))),
 
-    // Gopher-family repetition signals (round 5, VERDICT r4 next-#4):
-    // the text plants controlled duplication — a doubled nav line, a
-    // doubled promo paragraph carrying a repeated bigram, one unique
-    // body line — and the oracle replays EVERY number from the
-    // definitions: line/paragraph dup arithmetic via list ops, top
-    // 2/3/4-gram char mass via grouped counts with the lexicographic
-    // tie-break, fractions from the integers.
+    // Gopher-family repetition signals (round 5, VERDICT r4 next-#4;
+    // made driver-robust in round 6): the text plants controlled
+    // duplication — a doubled nav line, a doubled promo paragraph
+    // carrying a repeated bigram, one unique body line — and the oracle
+    // replays EVERY number from the definitions via the TextNorm
+    // canonical alphabet. INTEGER outputs only (the CLAUDE.md float
+    // rule — the round-5 DOUBLE frac columns were a driver hash
+    // hazard; callers reconstruct fractions from the ints). Nullable
+    // inputs are coalesced identically on both sides so concat_ws-
+    // vs-|| null semantics cannot diverge.
     "q_repetition" -> ((s, dir) => {
       val d = docs(s, dir)
       val promo = lit("promo alpha beta alpha beta gamma")
       val t = concat_ws("\n",
-        concat(lit("nav "), col("source")),
-        concat(lit("nav "), col("source")),
-        concat(lit("body "), md5(concat(col("text"), col("doc_id").cast("string")))),
+        concat(lit("nav "), coalesce(col("source"), lit(""))),
+        concat(lit("nav "), coalesce(col("source"), lit(""))),
+        concat(lit("body "), md5(concat(coalesce(col("text"), lit("")),
+          col("doc_id").cast("string")))),
         lit(""), promo, lit(""), promo)
       d.withColumn("t", t)
         .select(col("doc_id"), expr("graft_repetition(t)").as("r"))
@@ -336,10 +367,6 @@ object SparkEntry {
           col("r.top2_chars").as("top2_chars"),
           col("r.top3_chars").as("top3_chars"),
           col("r.top4_chars").as("top4_chars"))
-        .withColumn("dup_line_frac",
-          col("dup_lines").cast("double") / col("lines"))
-        .withColumn("top2_frac",
-          col("top2_chars").cast("double") / col("token_chars"))
     }),
 
     // Real BPE token counting (round 5, VERDICT r4 next-#6): text is
@@ -366,8 +393,8 @@ object SparkEntry {
       // contract — the oracle computes the rolling hash once in HUGEINT
       // arithmetic and asserts both columns
       docs(s, dir).select(col("doc_id"),
-        expr("graft_fingerprint64(text)").as("fp"),
-        expr("graft_fingerprint64(' ' || replace(text, ' ', '  '))").as("fp_ws"))),
+        expr("graft_fingerprint64(coalesce(text, ''))").as("fp"),
+        expr("graft_fingerprint64(' ' || replace(coalesce(text, ''), ' ', '  '))").as("fp_ws"))),
 
     "q_minhash_dedup" -> ((s, dir) => {
       val base = md5Corpus(docs(s, dir))
@@ -407,9 +434,11 @@ object SparkEntry {
       val d = docs(s, dir)
       val text = concat_ws("\n",
         lit("COOKIE NOTICE accept all"),
-        concat(lit("h-"), col("lang"), lit("-"), col("doc_id").cast("string")),
-        concat(lit("nav menu "), col("source")),
-        concat(lit("body "), md5(concat(col("text"), col("doc_id").cast("string")))),
+        concat(lit("h-"), coalesce(col("lang"), lit("")), lit("-"),
+          col("doc_id").cast("string")),
+        concat(lit("nav menu "), coalesce(col("source"), lit(""))),
+        concat(lit("body "), md5(concat(coalesce(col("text"), lit("")),
+          col("doc_id").cast("string")))),
         lit("copyright 2026 site"))
       Dedup.lineDedup(d.select(col("doc_id"), text.as("t")), "doc_id", "t",
           maxDocFreq = 5, oracleHash = true)
@@ -675,7 +704,7 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(3)) === 0, "image")
             .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
             .otherwise("video").as("media_type"),
-          col("text").cast("binary").as("payload"),
+          coalesce(col("text"), lit("")).cast("binary").as("payload"),
           lit(64).as("width"), lit(64).as("height"),
           (col("n_chars") * 100).as("duration_ms"))
         .as[Multimodal.MediaRow]
@@ -694,7 +723,7 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 300)
         .select(lpad(col("doc_id").cast("string"), 6, "0").as("doc_id"),
-          col("source").as("text"))
+          coalesce(col("source"), lit("")).as("text"))
       val b1 = d.filter(col("doc_id") < "000150")
       val b2 = d.filter(col("doc_id") >= "000150")
       graft.streaming.StreamingExtract.dedupVerdictsDrain(Seq(b1, b2))
@@ -828,7 +857,7 @@ object SparkEntry {
         .when(pmod(col("doc_id"), lit(4)) === 1, ":443")
         .when(pmod(col("doc_id"), lit(4)) === 2, ":8080").otherwise("")
       val pth = when(pmod(col("doc_id"), lit(5)) === 0, "")
-        .otherwise(concat(lit("/a/"), col("source")))
+        .otherwise(concat(lit("/a/"), coalesce(col("source"), lit(""))))
       val qry = when(pmod(col("doc_id"), lit(3)) === 1, lit("?b=2&a=1&c=3"))
         .otherwise(lit(""))
       val frag = when(pmod(col("doc_id"), lit(2)) === 1, lit("#Frag")).otherwise(lit(""))
@@ -895,7 +924,8 @@ object SparkEntry {
       val contentObjs = array_join(transform(sequence(lit(1), nPages),
         i => concat((i + 2 + nPages).cast("string"),
           lit(" 0 obj<</Length 0>>stream\nBT 72 720 Td (pg"), i.cast("string"),
-          lit("-"), col("source"), lit(") Tj ( "), col("lang"),
+          lit("-"), coalesce(col("source"), lit("")), lit(") Tj ( "),
+          coalesce(col("lang"), lit("")),
           lit(") Tj ET\nendstream endobj\n"))), "")
       val pdf = concat(lit("%PDF-"), ver, lit("\n"),
         lit("1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"),
@@ -929,8 +959,8 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
       val crlf = "\r\n"
-      val h = md5(col("text").cast("binary"))
-      val h2 = md5(concat(col("text"), lit("x")).cast("binary"))
+      val h = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val h2 = md5(concat(coalesce(col("text"), lit("")), lit("x")).cast("binary"))
       val body1 = concat(lit("<html><body>"), h, lit("</body></html>"))
       val status = when(pmod(col("doc_id"), lit(5)) === 0, 404).otherwise(200)
       val reason = when(status === 404, " Not Found").otherwise(" OK")
@@ -983,16 +1013,18 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
       val crlf = "\r\n"
-      val h = md5(col("text").cast("binary"))
-      val html = concat(lit("<html><head><title>"), col("source"),
-        lit("</title></head><body><h1>"), col("lang"),
+      val h = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val html = concat(lit("<html><head><title>"), coalesce(col("source"), lit("")),
+        lit("</title></head><body><h1>"), coalesce(col("lang"), lit("")),
         lit("</h1><p>"), h, lit("</p></body></html>"))
       val http = concat(lit("HTTP/1.1 200 OK" + crlf +
         "Content-Type: text/html; charset=utf-8" + crlf + crlf), html)
+      // Content-Length counts OCTETS (the WARC spec): octet_length, not
+      // the codepoint length() — non-ASCII titles would misframe the walk
       val blob = concat(
         lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
           "WARC-Target-URI: http://e/"), col("doc_id").cast("string"),
-        lit(crlf + "Content-Length: "), length(http).cast("string"),
+        lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
         lit(crlf + crlf), http, lit(crlf + crlf))
       d.select(col("doc_id"),
           explode(GraftFunctions.graft_warc_records(blob.cast("binary"))).as("r"))
@@ -1022,7 +1054,7 @@ object SparkEntry {
         .when(fam === 3, "text/plain; charset=windows-1252") // BOM wins
         .otherwise("text/html")                              // meta-prescan
       val bodyBytes = when(fam === 0,
-          concat(lit("u-"), md5(col("text").cast("binary"))).cast("binary"))
+          concat(lit("u-"), md5(coalesce(col("text"), lit("")).cast("binary"))).cast("binary"))
         .when(fam === 1, unhex(lit("934194")))               // “A”
         .when(fam === 2, unhex(lit("B0B1")))                 // А Б (capitals)
         .when(fam === 3, concat(unhex(lit("EFBBBF")), lit("x").cast("binary")))
@@ -1054,7 +1086,7 @@ object SparkEntry {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
       val crlf = "\r\n"
-      val h = md5(col("text").cast("binary"))
+      val h = md5(coalesce(col("text"), lit("")).cast("binary"))
       val html = concat(lit("<p>"), h, lit("</p>"))
       val http = concat(lit("HTTP/1.1 200 OK" + crlf +
         "Content-Type: text/html; charset=utf-8" + crlf + crlf), html)
@@ -1064,7 +1096,7 @@ object SparkEntry {
         lit(crlf + "Content-Length: "), length(http).cast("string"),
         lit(crlf + crlf), http, lit(crlf + crlf))
       val pay2 = concat(lit("meta "),
-        md5(concat(col("text"), lit("y")).cast("binary")))
+        md5(concat(coalesce(col("text"), lit("")), lit("y")).cast("binary")))
       val rec2 = concat(
         lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
           "Content-Length: "), length(pay2).cast("string"),
@@ -1083,7 +1115,7 @@ object SparkEntry {
     // is an integer and DuckDB replays the same RE2-safe pattern.
     "q_sentences" -> ((s, dir) => {
       val d = docs(s, dir)
-      val t = concat(col("text"),
+      val t = concat(coalesce(col("text"), lit("")),
         lit(" First extra. Second one! Is this third? tail no terminator"))
       val st = TextOps.sentenceStats(t)
       d.select(col("doc_id"),
@@ -1140,7 +1172,8 @@ object SparkEntry {
       // evals per lang-passed row through this shape; the Dedup.exact
       // skewSafe convention)
       val hashed0 = survivors
-        .withColumn("h", coalesce(md5(lower(trim(col("redacted")))), lit("")))
+        .withColumn("h", coalesce(md5(TextNorm.lowerCol(
+          TextNorm.trimCol(col("redacted")))), lit("")))
       val hashed =
         if (s.sparkContext.getCheckpointDir.isDefined) hashed0.checkpoint(true)
         else hashed0.localCheckpoint(true)
@@ -1151,8 +1184,7 @@ object SparkEntry {
         .filter(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("lang"), col("quality"),
           col("dup_count"),
-          size(filter(split(trim(col("redacted")), "\\s+"), x => x =!= ""))
-            .cast("long").as("n_tokens"),
+          TextNorm.tokenCountCol(col("redacted")).as("n_tokens"),
           md5(col("redacted")).as("clean_key"))
     }),
 
@@ -1223,7 +1255,8 @@ object SparkEntry {
     // partition-offset arithmetic must agree with it exactly.
     "q_pack" -> ((s, dir) => {
       val d = docs(s, dir)
-      val toks = size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+      // canonical token count, total on null/empty text (TextNorm)
+      val toks = TextNorm.tokenCountCol(col("text"))
       Pack.concatChunk(d.select(col("doc_id"), toks.as("n")),
         "doc_id", "n", budget = 128)
     }),
@@ -1264,18 +1297,30 @@ object SparkEntry {
     * the driver hash-compares). EVERY query has an oracle. */
   def oracleSql: Map[String, String] = Map(
 
-    "q_html_extract" ->
-      """SELECT doc_id, 'text' AS kind, source AS span_text, 19 AS offset FROM documents
+    // spans replay the parser-visible text (sqlPrep/sqlBodyText) and the
+    // extraction ws-only drop rule; offsets are raw-input positions, so
+    // they use the RAW column lengths
+    "q_html_extract" -> {
+      s"""WITH e AS (SELECT doc_id,
+        |  coalesce(source, '') AS src, coalesce(lang, '') AS lng,
+        |  ${sqlBodyText("coalesce(text, '')")} AS btxt FROM documents)
+        |SELECT doc_id, 'text' AS kind, ${sqlPrep("src")} AS span_text, 19 AS offset
+        |FROM e WHERE ${sqlNotWsOnly(sqlPrep("src"))}
         |UNION ALL
-        |SELECT doc_id, 'heading' AS kind, lang AS span_text,
-        |       CAST(44 + length(source) AS INT) AS offset FROM documents
+        |SELECT doc_id, 'heading' AS kind, ${sqlBodyText("lng")} AS span_text,
+        |       CAST(44 + length(src) AS INT) AS offset
+        |FROM e WHERE ${sqlNotWsOnly(sqlBodyText("lng"))}
         |UNION ALL
-        |SELECT doc_id, 'text' AS kind, text AS span_text,
-        |       CAST(52 + length(source) + length(lang) AS INT) AS offset FROM documents"""
-        .stripMargin,
+        |SELECT doc_id, 'text' AS kind, btxt AS span_text,
+        |       CAST(52 + length(src) + length(lng) AS INT) AS offset
+        |FROM e WHERE ${sqlNotWsOnly("btxt")}""".stripMargin
+    },
 
     "q_html_entities" ->
-      "SELECT doc_id, text AS decoded, 'A &< B © A' AS decoded2 FROM documents",
+      s"""SELECT doc_id,
+        |  CASE WHEN ${sqlNotWsOnly(sqlBodyText("coalesce(text, '')"))}
+        |       THEN ${sqlBodyText("coalesce(text, '')")} ELSE '' END AS decoded,
+        |  'A &< B © A' AS decoded2 FROM documents""".stripMargin,
 
     "q_html_misnest" ->
       """SELECT doc_id,
@@ -1284,7 +1329,7 @@ object SparkEntry {
         |FROM documents WHERE length(text) >= 40""".stripMargin,
 
     "q_html_foster" ->
-      """SELECT doc_id, substr(text,1,12) AS leak, 'CELL' AS cell
+      s"""SELECT doc_id, ${sqlBodyText("substr(text,1,12)")} AS leak, 'CELL' AS cell
         |FROM documents WHERE length(text) >= 12""".stripMargin,
 
     "q_html_script_skip" ->
@@ -1306,20 +1351,30 @@ object SparkEntry {
       "SELECT doc_id, source || '<b>x' AS extracted FROM documents",
 
     "q_html_pre" ->
-      """SELECT doc_id, 'pre' AS kind1, substr(text,1,10) AS text1
+      s"""SELECT doc_id, 'pre' AS kind1, ${sqlBodyText("substr(text,1,10)")} AS text1
         |FROM documents WHERE length(text) >= 10""".stripMargin,
 
     "q_html_attrs" ->
       // duplicate attributes are KEPT on the chain (reference model) and
       // the attr matcher walks the whole chain (myhtml.c while(attr)) —
       // BOTH [class=c1] and [class=c2] match the same div
+      // idm replays the case-SENSITIVE begin matcher on the raw source
+      // (selector value matching is case-sensitive; NULL → '' → no match)
       """SELECT doc_id, CAST(1 AS BIGINT) AS c1, CAST(1 AS BIGINT) AS c2,
-        |       CAST(1 AS BIGINT) AS idm FROM documents""".stripMargin,
+        |       CAST(CASE WHEN starts_with(coalesce(source, ''), 'src')
+        |            THEN 1 ELSE 0 END AS BIGINT) AS idm
+        |FROM documents""".stripMargin,
 
-    "q_html_serialize" ->
-      """SELECT doc_id, '<html><head></head><body><p>' || substr(text,1,20)
+    // serializer text escaping: & < > NBSP (Serializer.escapeText,
+    // reference serialization.c:322-391) over the parser-visible text
+    "q_html_serialize" -> {
+      val esc = "replace(replace(replace(replace(" +
+        sqlBodyText("substr(text,1,20)") +
+        ", '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), chr(160), '&nbsp;')"
+      s"""SELECT doc_id, '<html><head></head><body><p>' || $esc
         |       || '</p></body></html>' AS normalized
-        |FROM documents WHERE length(text) >= 20""".stripMargin,
+        |FROM documents WHERE length(text) >= 20""".stripMargin
+    },
 
     "q_html_quirks" ->
       """SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
@@ -1327,26 +1382,32 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_html_nodes" ->
-      """SELECT doc_id, 0 AS pos, 'html' AS tag, 0 AS depth, 'element' AS ntype, '' AS ntext, 0 AS nattrs FROM documents WHERE length(text) >= 5
+      s"""SELECT doc_id, 0 AS pos, 'html' AS tag, 0 AS depth, 'element' AS ntype, '' AS ntext, 0 AS nattrs FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 1, 'head', 1, 'element', '', 0 FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 2, 'body', 1, 'element', '', 0 FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 3, 'div', 2, 'element', '', 1 FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 4, 'p', 3, 'element', '', 0 FROM documents WHERE length(text) >= 5
-        |UNION ALL SELECT doc_id, 5, '#text', 4, 'text', substr(text,1,5), 0 FROM documents WHERE length(text) >= 5
+        |UNION ALL SELECT doc_id, 5, '#text', 4, 'text', ${sqlBodyText("substr(text,1,5)")}, 0 FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 6, 'br', 3, 'element', '', 0 FROM documents WHERE length(text) >= 5""".stripMargin,
 
-    "q_html_tokens" ->
-      """SELECT doc_id, 0 AS pos, 'StartTag' AS ttype, 'p' AS name, '' AS data, 0 AS offset
+    // token offsets are UTF-16 positions over the PREPROCESSED stream
+    // (the tokenizer walks a Java string after CRLF→LF): utf16len =
+    // codepoints + one extra per supplementary char
+    "q_html_tokens" -> {
+      val prep10 = sqlPrep("substr(text,1,10)")
+      val u16 = s"length($prep10) + len(regexp_extract_all($prep10, '[\\x{10000}-\\x{10FFFF}]'))"
+      s"""SELECT doc_id, 0 AS pos, 'StartTag' AS ttype, 'p' AS name, '' AS data, 0 AS offset
         |FROM documents WHERE length(text) >= 10
         |UNION ALL
-        |SELECT doc_id, 1, 'Characters', '', substr(text,1,10), 10
+        |SELECT doc_id, 1, 'Characters', '', ${sqlTokText("substr(text,1,10)")}, 10
         |FROM documents WHERE length(text) >= 10
         |UNION ALL
-        |SELECT doc_id, 2, 'EndTag', 'p', '', 20
+        |SELECT doc_id, 2, 'EndTag', 'p', '', CAST(10 + $u16 AS INT)
         |FROM documents WHERE length(text) >= 10
         |UNION ALL
-        |SELECT doc_id, 3, 'Comment', '', 'c', 24
-        |FROM documents WHERE length(text) >= 10""".stripMargin,
+        |SELECT doc_id, 3, 'Comment', '', 'c', CAST(14 + $u16 AS INT)
+        |FROM documents WHERE length(text) >= 10""".stripMargin
+    },
 
     "q_html_fragment" ->
       """SELECT doc_id, source || ' ' || lang AS row_cells,
@@ -1355,8 +1416,14 @@ object SparkEntry {
         |       source AS tmpl_cell
         |FROM documents""".stripMargin,
 
-    "q_html_boiler" ->
-      "SELECT doc_id, text AS main_text, text || ' aa bb x' AS full_text FROM documents",
+    "q_html_boiler" -> {
+      val bt = sqlBodyText("coalesce(text, '')")
+      s"""SELECT doc_id,
+        |  CASE WHEN ${sqlNotWsOnly("bt")} THEN bt ELSE '' END AS main_text,
+        |  CASE WHEN ${sqlNotWsOnly("bt")} THEN bt || ' aa bb x'
+        |       ELSE 'aa bb x' END AS full_text
+        |FROM (SELECT doc_id, $bt AS bt FROM documents)""".stripMargin
+    },
 
     "q_charset_sniff" ->
       """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
@@ -1367,21 +1434,25 @@ object SparkEntry {
     // coalesce(…, '') mirrors the engine's null-text sentinel (shared by
     // Dedup.exact and exactKeepList) — a null-text row groups under ''
     // on every path, oracle included
-    "q_dedup_exact" ->
-      """SELECT coalesce(md5(lower(trim(source))), '') AS text_hash, min(doc_id) AS doc_id,
+    "q_dedup_exact" -> {
+      val h = s"coalesce(md5(${TextNorm.sqlLower(TextNorm.sqlTrim("source"))}), '')"
+      s"""SELECT $h AS text_hash, min(doc_id) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS dup_count
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents GROUP BY 1""".stripMargin
+    },
 
-    "q_dedup_flags" ->
-      """SELECT doc_id, coalesce(md5(lower(trim(source))), '') AS text_hash,
-        |  CAST(count(*) OVER (PARTITION BY coalesce(md5(lower(trim(source))), '')) AS BIGINT) AS dup_count,
-        |  doc_id = min(doc_id) OVER (PARTITION BY coalesce(md5(lower(trim(source))), '')) AS is_canonical
-        |FROM documents""".stripMargin,
+    "q_dedup_flags" -> {
+      val h = s"coalesce(md5(${TextNorm.sqlLower(TextNorm.sqlTrim("source"))}), '')"
+      s"""SELECT doc_id, $h AS text_hash,
+        |  CAST(count(*) OVER (PARTITION BY $h) AS BIGINT) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY $h) AS is_canonical
+        |FROM documents""".stripMargin
+    },
 
     "q_text_stats" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_uniq,
+      s"""SELECT doc_id,
+        |  coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS n_tokens,
+        |  coalesce(CAST(len(list_distinct(${TextNorm.sqlTokens("text")})) AS BIGINT), 0) AS n_uniq,
         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
         |  CAST(length(text) AS BIGINT) AS n_chars2
         |FROM documents""".stripMargin,
@@ -1396,7 +1467,7 @@ object SparkEntry {
       "SELECT vec_id AS query_id, vec_id AS top_vec_id FROM embeddings WHERE vec_id < 20",
 
     "q_lang_id" ->
-      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+      s"""WITH p AS (SELECT doc_id, ' ' || ${TextNorm.sqlLower("coalesce(text, '')")} || ' ' AS s FROM documents),
         |sc AS (SELECT doc_id,
         | (len(s)-len(replace(s,' the ','')))//5 + (len(s)-len(replace(s,' and ','')))//5 + (len(s)-len(replace(s,' of ','')))//4 + (len(s)-len(replace(s,' to ','')))//4 + (len(s)-len(replace(s,' is ','')))//4 AS s_en,
         | (len(s)-len(replace(s,' der ','')))//5 + (len(s)-len(replace(s,' die ','')))//5 + (len(s)-len(replace(s,' und ','')))//5 + (len(s)-len(replace(s,' ist ','')))//5 + (len(s)-len(replace(s,' nicht ','')))//7 AS s_de,
@@ -1410,7 +1481,7 @@ object SparkEntry {
         |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m FROM sc)""".stripMargin,
 
     "q_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(least(nc//125, 40)
         |     + CAST(floor(na*40/greatest(nc,1)) AS BIGINT)
         |     + CASE WHEN nt > 0 AND nc >= 3*nt AND nc <= 12*nt THEN 20 ELSE 0 END
@@ -1418,23 +1489,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Z][a-z]*|[a-z]+|[0-9]+')) AS BIGINT) AS n_subwords
         |FROM (SELECT doc_id, text, length(text) AS nc,
         |        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
-        |        CASE WHEN length(trim(text)) = 0 THEN 0
-        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |        coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS nt
         |      FROM documents)""".stripMargin,
 
+    // canonical-alphabet replay (TextNorm fragments); LEFT JOIN +
+    // coalesce(0) for the top-gram CTEs so degenerate docs (<n tokens)
+    // keep the kernel's total-function row instead of dropping
     "q_repetition" ->
-      """WITH base AS (SELECT doc_id,
-        |  'nav ' || source || chr(10) || 'nav ' || source || chr(10) ||
-        |  'body ' || md5(text || CAST(doc_id AS VARCHAR)) || chr(10) || chr(10) ||
+      s"""WITH base AS (SELECT doc_id,
+        |  'nav ' || coalesce(source, '') || chr(10) || 'nav ' || coalesce(source, '') || chr(10) ||
+        |  'body ' || md5(coalesce(text, '') || CAST(doc_id AS VARCHAR)) || chr(10) || chr(10) ||
         |  'promo alpha beta alpha beta gamma' || chr(10) || chr(10) ||
         |  'promo alpha beta alpha beta gamma' AS t
         |  FROM documents),
         |lns AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)),
-        |    x -> lower(trim(x))), x -> x <> '') AS ls FROM base),
-        |prs AS (SELECT doc_id, list_filter(list_transform(string_split_regex(t, '\n{2,}'),
-        |    x -> lower(trim(x))), x -> x <> '') AS ps FROM base),
-        |tks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(t)), '\s+'),
-        |    x -> x <> '') AS tk FROM base),
+        |    x -> ${TextNorm.sqlLower(TextNorm.sqlTrim("x"))}), x -> x <> '') AS ls FROM base),
+        |prs AS (SELECT doc_id, list_filter(list_transform(string_split_regex(t, '\\n{2,}'),
+        |    x -> ${TextNorm.sqlLower(TextNorm.sqlTrim("x"))}), x -> x <> '') AS ps FROM base),
+        |tks AS (SELECT doc_id, ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS tk FROM base),
         |ls AS (SELECT doc_id, len(ls) AS lines,
         |    len(ls) - len(list_distinct(ls)) AS dup_lines,
         |    coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS line_chars,
@@ -1462,11 +1534,12 @@ object SparkEntry {
         |  FROM c4 GROUP BY doc_id)
         |SELECT ls.doc_id, ls.lines, ls.dup_lines, ls.line_chars, ls.dup_line_chars,
         |  ps.paras, ps.dup_paras, ts.token_chars,
-        |  t2.top2_chars, t3.top3_chars, t4.top4_chars,
-        |  CAST(ls.dup_lines AS DOUBLE) / ls.lines AS dup_line_frac,
-        |  CAST(t2.top2_chars AS DOUBLE) / ts.token_chars AS top2_frac
+        |  coalesce(t2.top2_chars, 0) AS top2_chars,
+        |  coalesce(t3.top3_chars, 0) AS top3_chars,
+        |  coalesce(t4.top4_chars, 0) AS top4_chars
         |FROM ls JOIN ps USING (doc_id) JOIN ts USING (doc_id)
-        |  JOIN t2 USING (doc_id) JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)""".stripMargin,
+        |  LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |  LEFT JOIN t4 USING (doc_id)""".stripMargin,
 
     // the oracle replays the BPE merge walk itself: per word, a
     // generated chain of literal replaces in merge-rank order over the
@@ -1490,8 +1563,11 @@ object SparkEntry {
         |FROM base""".stripMargin
     },
 
+    // ltrim(x, ' ') — SPACE only: DuckDB's default trim set includes
+    // NBSP, which is NOT canonical whitespace (the round-6 NBSP-only
+    // doc pinned this)
     "q_fingerprint" ->
-      """WITH n AS (SELECT doc_id, ltrim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+      s"""WITH n AS (SELECT doc_id, ltrim(regexp_replace(${TextNorm.sqlLower("coalesce(text, '')")}, '${TextNorm.wsClass}', ' ', 'g'), ' ') AS s FROM documents),
         |f AS (SELECT doc_id, CASE WHEN s = '' THEN CAST(1125899906842597 AS HUGEINT)
         |  ELSE list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
         |         list_transform(regexp_split_to_array(s, ''), c -> CAST(ord(c) AS HUGEINT))),
@@ -1520,9 +1596,9 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM documents WHERE length(trim(text)) > 0),
+      s"""WITH toks AS (SELECT doc_id,
+        |    ${TextNorm.sqlTokens(TextNorm.sqlLower("text"))} AS tk
+        |  FROM documents WHERE length(${TextNorm.sqlTrim("text")}) > 0),
         |keyed AS (SELECT doc_id,
         |    list_min(list_transform(list_slice(tk, 1, 64), t -> md5(t))) AS block,
         |    list_distinct(tk) AS st
@@ -1536,11 +1612,27 @@ object SparkEntry {
         |  FROM sel a JOIN sel b ON a.block = b.block AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.3""".stripMargin,
 
-    "q_line_dedup" ->
-      """SELECT doc_id,
-        |  'h-' || lang || '-' || CAST(doc_id AS VARCHAR) || chr(10) ||
-        |  'body ' || md5(text || CAST(doc_id AS VARCHAR)) AS clean_text
-        |FROM documents""".stripMargin,
+    // full algorithm replay (round 6): doc-frequency of the normalized
+    // line key over the whole corpus, drop lines above maxDocFreq=5,
+    // rebuild in original order — a mutated one-off source keeps its
+    // nav line (docfreq 1), which the old hardcoded oracle missed
+    "q_line_dedup" -> {
+      val norm = s"md5(${TextNorm.sqlTrim(TextNorm.sqlLower("x"))})"
+      s"""WITH base AS (SELECT doc_id,
+        |  'COOKIE NOTICE accept all' || chr(10) ||
+        |  'h-' || coalesce(lang, '') || '-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'nav menu ' || coalesce(source, '') || chr(10) ||
+        |  'body ' || md5(coalesce(text, '') || CAST(doc_id AS VARCHAR)) || chr(10) ||
+        |  'copyright 2026 site' AS t FROM documents),
+        |ks AS (SELECT doc_id, unnest(list_transform(string_split(t, chr(10)),
+        |    x -> $norm)) AS k FROM base),
+        |common AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS docfreq
+        |    FROM ks GROUP BY k) WHERE docfreq > 5),
+        |commonl AS (SELECT coalesce(list(k), []) AS cks FROM common)
+        |SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(c.cks, $norm)), chr(10)) AS clean_text
+        |FROM base, commonl c""".stripMargin
+    },
 
     "q_cjk_dedup" ->
       """WITH base AS (SELECT doc_id,
@@ -1776,24 +1868,26 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS media_type,
-        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |  CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
         |    WHEN doc_id % 3 = 2 THEN greatest(1, (n_chars*100)//1000)
         |    WHEN doc_id % 3 = 1 THEN greatest(1, (n_chars*100)//5000)
         |    ELSE 1 END AS INT) AS frames_sampled,
-        |  length(text) > 0 AS ok
+        |  length(coalesce(text, '')) > 0 AS ok
         |FROM documents""".stripMargin,
 
     // arrival order == doc_id order by construction (lpad string sort;
     // batch-1 ids all below batch-2 ids), so one window replays the
     // stateful verdicts exactly
-    "q_stream_dedup" ->
-      """SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
-        |       md5(lower(trim(source))) AS text_hash,
+    "q_stream_dedup" -> {
+      val h = s"md5(${TextNorm.sqlLower(TextNorm.sqlTrim("coalesce(source, '')"))})"
+      s"""SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+        |       $h AS text_hash,
         |       rn = 1 AS is_first, CAST(rn AS BIGINT) AS copies_so_far
         |FROM (SELECT doc_id, source,
-        |        row_number() OVER (PARTITION BY md5(lower(trim(source)))
+        |        row_number() OVER (PARTITION BY $h
         |                           ORDER BY doc_id) AS rn
-        |      FROM documents WHERE doc_id < 300)""".stripMargin,
+        |      FROM documents WHERE doc_id < 300)""".stripMargin
+    },
 
     // the oracle rebuilds the same payload hex and RE-PARSES every header
     // field with independent hex-digit arithmetic at the documented byte
@@ -1884,7 +1978,7 @@ object SparkEntry {
         |  'www.site' || CAST(doc_id % 50 AS VARCHAR) ||
         |    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.example.com' END AS h,
         |  CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END AS keep_port,
-        |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '/a/' || source END AS pth,
+        |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '/a/' || coalesce(source, '') END AS pth,
         |  CASE WHEN doc_id % 3 = 1 THEN '?a=1&b=2&c=3' ELSE '' END AS qs
         |  FROM documents)
         |SELECT doc_id, sch AS scheme, h AS host,
@@ -1925,7 +2019,8 @@ object SparkEntry {
         |FROM base""".stripMargin,
 
     "q_pdf_extract" ->
-      """WITH base AS (SELECT doc_id, source, lang,
+      """WITH base AS (SELECT doc_id, coalesce(source, '') AS source,
+        |  coalesce(lang, '') AS lang,
         |  CAST(doc_id % 3 + 1 AS INT) AS np,
         |  '1.' || CAST(doc_id % 4 + 4 AS VARCHAR) AS ver FROM documents)
         |SELECT doc_id, ver AS pdf_version, np AS n_pages,
@@ -1940,7 +2035,8 @@ object SparkEntry {
     // mime/charset split, truncation prefix) — the kernel must recover
     // them from the bytes; see the query doc for the family map
     "q_warc" ->
-      """WITH b AS (SELECT doc_id, md5(text) AS h, md5(text || 'x') AS h2,
+      """WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS h,
+        |  md5(coalesce(text, '') || 'x') AS h2,
         |  CAST(doc_id % 9 AS INT) AS fam,
         |  CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS st,
         |  CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=utf-8'
@@ -1986,15 +2082,18 @@ object SparkEntry {
     // same span arithmetic as q_html_extract — the WARC walk must hand
     // the parser a byte-exact body for these offsets to line up
     "q_warc_extract" ->
-      """WITH e AS (SELECT doc_id,
+      s"""WITH e AS (SELECT doc_id,
         |  'http://e/' || CAST(doc_id AS VARCHAR) AS uri,
-        |  source, lang, md5(text) AS h FROM documents)
-        |SELECT doc_id, uri, 'text' AS kind, source AS span_text, 19 AS offset FROM e
+        |  coalesce(source, '') AS src, coalesce(lang, '') AS lng,
+        |  md5(coalesce(text, '')) AS h FROM documents)
+        |SELECT doc_id, uri, 'text' AS kind, src AS span_text, 19 AS offset
+        |FROM e WHERE ${sqlNotWsOnly("src")}
         |UNION ALL
-        |SELECT doc_id, uri, 'heading', lang, CAST(44 + length(source) AS INT) FROM e
+        |SELECT doc_id, uri, 'heading', lng, CAST(44 + length(src) AS INT)
+        |FROM e WHERE ${sqlNotWsOnly("lng")}
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
-        |  CAST(52 + length(source) + length(lang) AS INT) FROM e""".stripMargin,
+        |  CAST(52 + length(src) + length(lng) AS INT) FROM e""".stripMargin,
 
     // expected decode per family: utf-8 passthrough; windows-1252
     // 0x93/0x94 → U+201C/U+201D; iso-8859-5 0xB0/0xB1 → U+0430/U+0431;
@@ -2007,7 +2106,7 @@ object SparkEntry {
         |    WHEN 2 THEN 'iso-8859-5' WHEN 3 THEN 'windows-1252'
         |    ELSE '' END AS charset,
         |  CASE CAST(doc_id % 5 AS INT)
-        |    WHEN 0 THEN 'u-' || md5(text)
+        |    WHEN 0 THEN 'u-' || md5(coalesce(text, ''))
         |    WHEN 1 THEN chr(8220) || 'A' || chr(8221)
         |    WHEN 2 THEN chr(1040) || chr(1041)
         |    WHEN 3 THEN 'x'
@@ -2020,20 +2119,20 @@ object SparkEntry {
     "q_stream_warc" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'response' AS warc_type,
         |  200 AS status, 'http://s/' || CAST(doc_id AS VARCHAR) AS uri,
-        |  md5(text) AS body_text FROM documents
+        |  md5(coalesce(text, '')) AS body_text FROM documents
         |UNION ALL
         |SELECT CAST(doc_id AS VARCHAR), 'metadata', -1, '',
-        |  'meta ' || md5(text || 'y') FROM documents""".stripMargin,
+        |  'meta ' || md5(coalesce(text, '') || 'y') FROM documents""".stripMargin,
 
     // the same RE2-safe pattern segments on the DuckDB side
     "q_sentences" ->
       """WITH t AS (SELECT doc_id,
-        |  text || ' First extra. Second one! Is this third? tail no terminator' AS tx
+        |  coalesce(text, '') || ' First extra. Second one! Is this third? tail no terminator' AS tx
         |  FROM documents),
         |ss AS (SELECT doc_id,
         |  list_filter(list_transform(
         |    regexp_extract_all(tx, '[^.!?]+[.!?]+|[^.!?]+$'),
-        |    s -> trim(s)), s -> s <> '') AS sents FROM t)
+        |    s -> trim(s, ' ' || chr(9) || chr(10) || chr(12) || chr(13))), s -> s <> '') AS sents FROM t)
         |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
         |  CAST(coalesce(list_sum(list_transform(sents, s -> length(s))), 0)
         |    AS BIGINT) AS sentence_chars,
@@ -2045,9 +2144,8 @@ object SparkEntry {
     // same tokenization as graft_ngrams(text, 1); ranking replayed with
     // a row_number window over the integer (df, -tf, term) order
     "q_terms" ->
-      """WITH tk AS (SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |    x -> x <> '')) AS tok FROM documents),
+      s"""WITH tk AS (SELECT doc_id,
+        |  unnest(${TextNorm.sqlTokens(TextNorm.sqlLower("text"))}) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
         |  FROM tk GROUP BY doc_id, tok),
         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
@@ -2063,11 +2161,11 @@ object SparkEntry {
     // the lexicographic top-bigram tie-break, the pii redaction chain,
     // and the min-id keep-list over redacted-text groups
     "q_clean_pipeline" ->
-      """WITH t0 AS (SELECT doc_id, lang,
+      s"""WITH t0 AS (SELECT doc_id, lang,
         |  CASE WHEN doc_id % 10 = 6 THEN 'shared clone body text for dedup'
         |       ELSE text END AS a FROM documents),
         |t1 AS (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 8 = 5 THEN a || ' ' || repeat('@#$% ', 200)
+        |  CASE WHEN doc_id % 8 = 5 THEN a || ' ' || repeat('@#$$% ', 200)
         |       ELSE a END AS b FROM t0),
         |t2x AS (SELECT doc_id, lang,
         |  CASE WHEN doc_id % 9 = 7 THEN b || chr(10) || 'nav bar menu' ||
@@ -2081,13 +2179,11 @@ object SparkEntry {
         |        * 40 / greatest(length(t), 1)) AS BIGINT)
         |    + CASE WHEN nt > 0 AND length(t) >= 3*nt AND length(t) <= 12*nt
         |           THEN 20 ELSE 0 END AS BIGINT) AS quality
-        |  FROM (SELECT *, CASE WHEN length(trim(t)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(t), '\s+')) END AS nt FROM tx)),
+        |  FROM (SELECT *, coalesce(${TextNorm.sqlTokenCount("t")}, 0) AS nt FROM tx)),
         |lr AS (SELECT doc_id,
         |  list_filter(list_transform(string_split(t, chr(10)),
-        |    x -> lower(trim(x))), x -> x <> '') AS ls,
-        |  list_filter(string_split_regex(lower(trim(t)), '\s+'),
-        |    x -> x <> '') AS tk FROM q WHERE quality >= 48),
+        |    x -> ${TextNorm.sqlLower(TextNorm.sqlTrim("x"))}), x -> x <> '') AS ls,
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS tk FROM q WHERE quality >= 48),
         |li AS (SELECT doc_id, len(ls) AS lines,
         |  len(ls) - len(list_distinct(ls)) AS dup_lines,
         |  length(array_to_string(tk, ' ')) AS token_chars FROM lr),
@@ -2104,30 +2200,28 @@ object SparkEntry {
         |red AS (SELECT doc_id, lang, quality,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}', '<IP>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+\d{7,15}', '<PHONE>', 'g'),
-        |    '\d{9,}', '<NUM>', 'g') AS redacted FROM surv),
-        |keep AS (SELECT md5(lower(trim(redacted))) AS h, min(doc_id) AS doc_id,
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |    '\\+\\d{7,15}', '<PHONE>', 'g'),
+        |    '\\d{9,}', '<NUM>', 'g') AS redacted FROM surv),
+        |keep AS (SELECT md5(${TextNorm.sqlLower(TextNorm.sqlTrim("redacted"))}) AS h,
+        |  min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS dup_count FROM red GROUP BY 1)
         |SELECT r.doc_id, r.lang, r.quality, k.dup_count,
-        |  CAST(CASE WHEN length(trim(redacted)) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(trim(redacted), '\s+'),
-        |      x -> x <> '')) END AS BIGINT) AS n_tokens,
+        |  coalesce(${TextNorm.sqlTokenCount("redacted")}, 0) AS n_tokens,
         |  md5(redacted) AS clean_key
         |FROM red r JOIN keep k ON r.doc_id = k.doc_id""".stripMargin,
 
     // full replay on real data: tokenize, 3-gram md5 keys, corpus-wide
     // counts, per-doc duplicated positions, gaps-and-islands longest run
     "q_substr_dedup" ->
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3
         |       THEN 'qq ww ee rr tt yy uu ii oo pp aa ss ' || text
         |       ELSE text END AS tx FROM documents),
         |tk AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(trim(tx)), '\s+'),
-        |    x -> x != '') AS toks FROM t),
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("tx"))} AS toks FROM t),
         |ng AS (SELECT doc_id, i AS pos,
         |  md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS k
         |  FROM tk, LATERAL unnest(generate_series(1,
@@ -2179,9 +2273,8 @@ object SparkEntry {
 
     // the naive global-window cumsum the distributed prefix sum must equal
     "q_pack" ->
-      """WITH t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |    x -> x != '')) AS BIGINT) AS n FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+        |  coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS n FROM documents),
         |c AS (SELECT doc_id, n,
         |  COALESCE(sum(n) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM t)

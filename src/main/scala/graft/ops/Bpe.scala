@@ -47,7 +47,7 @@ object Bpe {
     * the pair — counts and ties are corpus-deterministic. */
   def trainMerges(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
     var vocab: Map[Vector[String], Int] = corpus
-      .flatMap(_.toLowerCase(Locale.ROOT).split("\\s+")).filter(_.nonEmpty)
+      .flatMap(w => TextNorm.tokens(TextNorm.asciiLower(w)))
       .groupBy(identity).map { case (w, ws) =>
         w.map(_.toString).toVector -> ws.size
       }
@@ -119,14 +119,15 @@ object Bpe {
     syms
   }
 
-  /** BPE token count over a text: lowercase whitespace pre-tokenize,
-    * encode each word, sum the token counts. */
+  /** BPE token count over a text: canonical lower + whitespace
+    * pre-tokenize (TextNorm alphabet), encode each word, sum the
+    * token counts. */
   def count(text: String): Int = {
-    val words = text.toLowerCase(Locale.ROOT).split("\\s+")
+    val words = TextNorm.tokens(TextNorm.asciiLower(text))
     var total = 0
     var i = 0
     while (i < words.length) {
-      if (words(i).nonEmpty) total += encodeWord(words(i)).length
+      total += encodeWord(words(i)).length
       i += 1
     }
     total

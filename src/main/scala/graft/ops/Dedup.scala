@@ -50,7 +50,7 @@ object Dedup {
     if (!skewSafe) exactShared(df, idCol, textCol)
     else {
       val spark = df.sparkSession
-      val hash = coalesce(md5(lower(trim(col(textCol)))), lit(""))
+      val hash = coalesce(md5(TextNorm.lowerCol(TextNorm.trimCol(col(textCol)))), lit(""))
       val hashed = df.withColumn("text_hash", hash)
       val stats0 = hashed.groupBy("text_hash")
         .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("__canon_id"))
@@ -82,7 +82,7 @@ object Dedup {
     // guardedBucketPairs; without it the aggregate branch re-hashes the
     // full text map-side)
     val hashed = df
-      .withColumn("text_hash", coalesce(md5(lower(trim(col(textCol)))), lit("")))
+      .withColumn("text_hash", coalesce(md5(TextNorm.lowerCol(TextNorm.trimCol(col(textCol)))), lit("")))
       .repartition(col("text_hash"))
     val stats = hashed.groupBy("text_hash")
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("__canon_id"))
@@ -100,7 +100,7 @@ object Dedup {
     // same null-text sentinel as `exact` (ADVICE r3): a NULL text row
     // groups under '' in BOTH variants and in the DuckDB oracles, so the
     // three paths can never disagree on null handling
-    df.groupBy(coalesce(md5(lower(trim(col(textCol)))), lit("")).as("text_hash"))
+    df.groupBy(coalesce(md5(TextNorm.lowerCol(TextNorm.trimCol(col(textCol)))), lit("")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dup_count"))
 
   /** Self-join `banded` on (band, bucket) with a skew guard: buckets
@@ -308,12 +308,18 @@ object Dedup {
     // into only its own branches — making it uniform keeps every
     // consumer of the block-key exchange canonical-equal
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .filter(length(trim(col("text"))) > 0 && col("id").isNotNull)
+      // canonical trim (TextNorm): DuckDB's default trim also strips
+      // NBSP, so a bare trim() here would diverge on NBSP-only texts
+      .filter(length(TextNorm.trimCol(col("text"))) > 0 && col("id").isNotNull)
     // same exchange-reuse shape as guardedBucketPairs: one shuffle on
     // the block key feeds the size guard and both join sides, so the
     // min-token blocking is computed once per doc
+    // canonical tokenization (TextNorm): explicit ws class + ASCII
+    // lower; the Spark SQL parser unescapes the class literal to raw
+    // control chars, which is regex-equivalent for a character class
+    val lowerSql = s"translate(text, '${TextNorm.upperAz}', '${TextNorm.lowerAz}')"
     val keyed = texts.withColumn("block",
-        expr("coalesce(array_min(transform(slice(filter(split(lower(trim(text)), '\\\\s+'), " +
+        expr(s"coalesce(array_min(transform(slice(filter(split($lowerSql, '${TextNorm.wsClass}'), " +
           s"t -> t != ''), 1, 64), $tokenKey)), $sentinel)"))
       .select("id", "block")
       .repartition(col("block"))
@@ -357,8 +363,9 @@ object Dedup {
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .withColumn("k",
-        if (oracleHash) md5(trim(lower(col("line"))))       // DuckDB-replayable
-        else xxhash64(trim(lower(col("line")))))            // production: 64-bit
+        // canonical TextNorm normalization (trim/lower replayable in RE2)
+        if (oracleHash) md5(TextNorm.trimCol(TextNorm.lowerCol(col("line"))))
+        else xxhash64(TextNorm.trimCol(TextNorm.lowerCol(col("line")))))
     val common = lines.select("id", "k").distinct()
       .groupBy("k").agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") > maxDocFreq)

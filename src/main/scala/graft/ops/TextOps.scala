@@ -9,10 +9,9 @@ import org.apache.spark.sql.functions._
   * are deterministic scalar UDFs kept off the extract hot path. */
 object TextOps {
 
-  /** Whitespace token count — `size(split(trim(s), '\s+'))`. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+  /** Whitespace token count over the canonical alphabet (TextNorm);
+    * total: null/empty/ws-only → 0. */
+  def tokenCount(c: Column): Column = TextNorm.tokenCountCol(c)
 
   /** BPE-ish subword count: camel-case pieces + letter runs + digit runs
     * (regex approximation of byte-pair tokenizer granularity). The
@@ -25,8 +24,8 @@ object TextOps {
   def charCount(c: Column): Column = length(c).cast("long")
 
   def uniqueTokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(array_distinct(split(trim(c), "\\s+"))).cast("long"))
+    when(c.isNull, lit(0L))
+      .otherwise(size(array_distinct(TextNorm.tokensCol(c))).cast("long"))
 
   /** Quality-scoring signals (integer outputs — oracle-stable). */
   def alphaChars(c: Column): Column =
@@ -93,7 +92,7 @@ object TextOps {
     * decision byte-for-byte. Deterministic; registered as `graft_lang_id`. */
   def langIdHeuristic(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    val padded = " " + text.toLowerCase + " "
+    val padded = " " + TextNorm.asciiLower(text) + " "
     var best = "und"
     var bestScore = 0
     markers.foreach { case (lang, ms) =>
@@ -110,7 +109,11 @@ object TextOps {
   // -------------------------------------------------------- fingerprint
 
   /** 64-bit rolling (polynomial) document fingerprint over normalized
-    * tokens — stable under whitespace differences. */
+    * tokens — stable under whitespace differences. Canonical alphabet
+    * (TextNorm): ws = the explicit RE2 set, lower = ASCII-only, and the
+    * walk is over CODE POINTS (the DuckDB oracle replays with
+    * regexp_split_to_array(s,'') + ord(c), which are codepoint-wise —
+    * UTF-16 surrogate pairs must hash as one value, not two). */
   def fingerprint64(text: String): Long = {
     if (text == null) return 0L
     var h = 1125899906842597L
@@ -118,14 +121,14 @@ object TextOps {
     var prevSpace = true
     val n = text.length
     while (i < n) {
-      val c0 = text.charAt(i)
-      val isSpace = Character.isWhitespace(c0)
+      val cp0 = text.codePointAt(i)
+      val isSpace = cp0 < 0x80 && TextNorm.isWs(cp0.toChar)
       if (!isSpace) {
-        val c = Character.toLowerCase(c0)
-        h = h * 31 + c
+        val cp = if (cp0 >= 'A' && cp0 <= 'Z') cp0 + 32 else cp0
+        h = h * 31 + cp
       } else if (!prevSpace) h = h * 31 + ' '
       prevSpace = isSpace
-      i += 1
+      i += Character.charCount(cp0)
     }
     h
   }
@@ -137,7 +140,7 @@ object TextOps {
     * each other as hamming-0 near-duplicates). */
   def simhash64(text: String): Long = {
     if (text == null || text.isEmpty) return 0L
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = TextNorm.tokens(TextNorm.asciiLower(text))
     if (toks.isEmpty) return 0L
     val counts = new Array[Int](64)
     var i = 0
@@ -188,7 +191,7 @@ object TextOps {
   def minhash(text: String, k: Int = 64): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     if (text == null) return sig
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = TextNorm.tokens(TextNorm.asciiLower(text))
     if (toks.length == 0) return sig
     val prime = 2305843009213693951L // 2^61 - 1
     val (as, bs) = perms(k)
@@ -210,11 +213,12 @@ object TextOps {
     sig
   }
 
-  /** Normalize for character shingling: lowercase, trim, collapse
-    * whitespace runs — SQL-replayable as
-    * regexp_replace(lower(trim(s)), '\s+', ' '). */
+  /** Normalize for character shingling: canonical lower/trim, collapse
+    * canonical-ws runs — SQL-replayable as
+    * regexp_replace(sqlLower(sqlTrim(s)), wsClass, ' ', 'g') (TextNorm). */
   private def shingleNorm(text: String): String =
-    text.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
+    TextNorm.trimWs(TextNorm.asciiLower(text))
+      .replaceAll(TextNorm.wsClass, " ")
 
   /** MinHash over CHARACTER n-grams — the whitespace-free-script path
     * (CJK, Thai, …) where token shingling degenerates to whole-sentence
@@ -263,8 +267,8 @@ object TextOps {
   /** Exact token-set Jaccard similarity. */
   def jaccardTokens(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
-    val sa = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-    val sb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val sa = TextNorm.tokens(TextNorm.asciiLower(a)).toSet
+    val sb = TextNorm.tokens(TextNorm.asciiLower(b)).toSet
     if (sa.isEmpty && sb.isEmpty) return 1.0
     val inter = sa.intersect(sb).size
     inter.toDouble / (sa.size + sb.size - inter)
@@ -293,7 +297,6 @@ object TextOps {
     * Typical thresholds (Gopher): drop when dup_line_frac > 0.30,
     * dup_para_frac > 0.30, top2_chars/token_chars > 0.20. */
   def repetition(text: String): Array[Int] = {
-    import java.util.Locale
     def cp(s: String): Int = s.codePointCount(0, s.length)
     def dupStats(units: Array[String]): (Int, Int, Int, Int) = {
       val seen = new java.util.HashSet[String]()
@@ -307,13 +310,15 @@ object TextOps {
       }
       (total, dup, chars, dupChars)
     }
-    val lines = text.split("\n")
-      .map(_.trim.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+    // canonical alphabet throughout (TextNorm): explicit ws class, both-
+    // ends canonical trim, ASCII-only lower — all DuckDB-replayable
+    val lines = text.split("\n", -1)
+      .map(l => TextNorm.asciiLower(TextNorm.trimWs(l))).filter(_.nonEmpty)
     val (ln, dln, lch, dlch) = dupStats(lines)
-    val paras = text.split("\n{2,}")
-      .map(_.trim.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+    val paras = text.split("\n{2,}", -1)
+      .map(p => TextNorm.asciiLower(TextNorm.trimWs(p))).filter(_.nonEmpty)
     val (pn, dpn, _, _) = dupStats(paras)
-    val toks = text.trim.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val toks = TextNorm.tokens(TextNorm.asciiLower(text))
     val tokenChars =
       if (toks.isEmpty) 0 else toks.map(cp).sum + toks.length - 1
     def topN(n: Int): Int = {
@@ -324,7 +329,7 @@ object TextOps {
       while (i + n <= toks.length) {
         val g = toks.slice(i, i + n).mkString(" ")
         val c: Int = counts.merge(g, 1, (a, b) => a + b)
-        if (c > bestC || (c == bestC && g.compareTo(best) < 0)) {
+        if (c > bestC || (c == bestC && TextNorm.cpCompare(g, best) < 0)) {
           bestC = c; best = g
         }
         i += 1
@@ -364,8 +369,11 @@ object TextOps {
     * segmentation is oracle-replayable; abbreviation handling is
     * documented out of scope (it needs a dictionary, not a regex). */
   def sentences(c: Column): Column =
+    // TextNorm.trimCol, NOT trim(): DuckDB's default trim set includes
+    // NBSP (Spark's is space-only) — the canonical explicit set is the
+    // only trim both engines replay identically
     filter(transform(regexp_extract_all(c, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
-      s => trim(s)), s => s =!= "")
+      s => TextNorm.trimCol(s)), s => s =!= "")
 
   /** Per-doc sentence stats for quality filtering: count, total chars
     * across trimmed sentences, max sentence chars — all integers. */

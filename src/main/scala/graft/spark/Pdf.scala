@@ -92,7 +92,28 @@ object PdfUdfs {
   }
 
   /** Extracted text, streams joined by \n in document order. */
-  def text(b: Array[Byte]): String = {
+  /** Literal/hex string bytes ride through the Latin-1 view char-per-
+    * byte; if the assembled text's bytes are STRICTLY valid UTF-8,
+    * present them as UTF-8 (real-world PDFs emit UTF-8 literal
+    * strings), else keep the byte-transparent Latin-1 reading. Total:
+    * never throws (round-6 — the adversarial corpus caught Σ mojibake). */
+  private def reDecodeUtf8(s: String): String = {
+    var has8 = false
+    var i = 0
+    while (i < s.length && !has8) {
+      if (s.charAt(i) >= 0x80) has8 = true
+      i += 1
+    }
+    if (!has8) return s
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  def text(b: Array[Byte]): String = reDecodeUtf8(textRaw(b))
+
+  private def textRaw(b: Array[Byte]): String = {
     if (b == null || b.length < 5) return ""
     val s = latin1(b)
     if (!s.startsWith("%PDF-") || s.contains("/Encrypt")) return ""

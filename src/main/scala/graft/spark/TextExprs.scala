@@ -88,24 +88,24 @@ object TextKernels {
 
   def bpeCount(t: UTF8String): Int = graft.ops.Bpe.count(t.toString)
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   val ngramsEvals = new java.util.concurrent.atomic.AtomicLong
 
   /** Whitespace-token n-gram strings in ONE pass per row — bit-equal to
     * `transform(sequence(1, size(tk)-(n-1)), i -> array_join(slice(tk,
-    * i, n), ' '))` over `tk = filter(split(lower(trim(text)), '\s+'),
-    * t -> t != '')`, which the DuckDB oracles replay. The built-in
+    * i, n), ' '))` over `tk = TextNorm.tokensCol(TextNorm.lowerCol(
+    * text))`, which the DuckDB oracles replay through
+    * TextNorm.sqlTokens/sqlLower (round 6: the canonical explicit-class
+    * alphabet — Java `\s`/trim/toLowerCase diverge from RE2/DuckDB on
+    * VT, control bytes, and Greek/Turkish case). The built-in
     * formulation is a correctness twin but a performance trap: the
     * higher-order lambda body re-evaluates its inlined token-array
     * subtree PER ELEMENT under interpreted HOF eval (measured 41× on
     * 13-grams — the q_decontam 16 s cliff), while this kernel tokenizes
-    * once and reuses one StringBuilder. trim/toLowerCase are the
-    * UTF8String ops behind Spark's trim()/lower(), so semantics match
-    * the built-ins exactly. */
+    * once and reuses one StringBuilder. */
   def ngrams(t: UTF8String, n: Int): ArrayData = {
     ngramsEvals.incrementAndGet()
-    val toks = Ws.split(t.trim().toLowerCase.toString).filter(_.nonEmpty)
+    val toks = graft.ops.TextNorm.tokens(
+      graft.ops.TextNorm.asciiLower(t.toString))
     val count = toks.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)

@@ -202,7 +202,8 @@ object StreamingExtract {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs.toDF("doc_id", "text")
-      .select(col("doc_id"), md5(lower(trim(col("text")))).cast("string").as("text_hash"))
+      .select(col("doc_id"), md5(graft.ops.TextNorm.lowerCol(
+        graft.ops.TextNorm.trimCol(col("text")))).cast("string").as("text_hash"))
       .as[(String, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
