@@ -7,11 +7,10 @@ package graft.html
   * source/myhtml/charef.c:24-150) with longest-match + missing-semicolon
   * history (`last_entry`, charef.c:63-78) and an attribute mode that
   * refuses legacy matches followed by alphanumeric/'=' (spec; reference
-  * data_process.c states data_process.h:59-65). We regenerate the table
-  * from public WHATWG/HTML-4.01 data: the full Latin-1/Greek/symbol sets
-  * plus HTML5 basics — the entities any real corpus and all of our
-  * fixtures use. Exotic multi-codepoint HTML5 names are intentionally
-  * out of scope (documented divergence; same spirit as SURVEY §2.1 S9).
+  * data_process.c states data_process.h:59-65). We regenerate the COMPLETE
+  * table from the public WHATWG data — all 2,125 names INCLUDING the 93
+  * multi-codepoint entries (see `loaded` below; HtmlCoreSpec pins the
+  * count) — so there is no named-entity divergence from the reference.
   */
 object Entities {
 

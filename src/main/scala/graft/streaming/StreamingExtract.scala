@@ -202,8 +202,10 @@ object StreamingExtract {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs.toDF("doc_id", "text")
-      .select(col("doc_id"), md5(graft.ops.TextNorm.lowerCol(
-        graft.ops.TextNorm.trimCol(col("text")))).cast("string").as("text_hash"))
+      // '' sentinel for null text (the Dedup.exact convention): a null
+      // text row must still get a verdict, never a null groupByKey key
+      .select(col("doc_id"), coalesce(md5(graft.ops.TextNorm.lowerCol(
+        graft.ops.TextNorm.trimCol(col("text")))), lit("")).cast("string").as("text_hash"))
       .as[(String, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
