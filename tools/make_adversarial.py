@@ -44,6 +44,11 @@ MUT = {
     79: ("one", KEEP, KEEP),                                 # single token
     83: ("\x0b", KEEP, KEEP),                                # VT-only text
     89: ("  　", KEEP, KEEP),                  # unicode-ws-only
+    97: (KEEP, "multi\nline src", KEEP),                    # newline in source
+    101: (KEEP, KEEP, "EN"),                                 # uppercase lang value
+    109: ("a � b", KEEP, KEEP),                         # U+FFFD in text
+    113: ("...!!! ??? .", KEEP, KEEP),                       # terminators only
+    127: ("__COPY_OF_1__", KEEP, KEEP),                      # exact dup of doc 1
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -66,10 +71,13 @@ for sf in ["0.001", "0.01"]:
         rows = con.execute(
             f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{p}') ORDER BY doc_id"
         ).fetchall()
+        text1 = next(r[1] for r in rows if r[0] == 1)
         out = []
         for (doc_id, text, lang, source, n_chars) in rows:
             if doc_id in MUT:
                 mt, ms, ml = MUT[doc_id]
+                if mt == "__COPY_OF_1__":
+                    mt = text1  # exact cross-doc duplicate (dedup stress)
                 if mt is not KEEP:
                     text = None if mt is NULL else mt
                 if ms is not KEEP:
