@@ -1661,7 +1661,7 @@ object SparkEntry {
     // contamination join, and the fraction/verdict arithmetic all
     // recomputed by DuckDB on the same planted construction
     "q_decontam" ->
-      """WITH boiler AS (SELECT array_to_string(list_transform(range(0,13),
+      s"""WITH boiler AS (SELECT array_to_string(list_transform(range(0,13),
         |    j -> md5('boiler.' || CAST(j AS VARCHAR))), ' ') AS t),
         |corpus AS (SELECT doc_id,
         |    array_to_string(list_transform(range(0,40),
@@ -1675,13 +1675,11 @@ object SparkEntry {
         |  UNION ALL SELECT t FROM boiler),
         |cng0 AS (SELECT unnest(list_transform(range(1, len(tk)-11),
         |    i -> array_to_string(list_slice(tk, i, i+12), ' '))) AS ng
-        |  FROM (SELECT list_filter(string_split_regex(lower(trim(t)), '\s+'),
-        |    x -> x <> '') AS tk FROM contam)),
+        |  FROM (SELECT ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS tk FROM contam)),
         |cng AS (SELECT DISTINCT md5(ng) AS k FROM cng0),
         |dng0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-11),
         |    i -> array_to_string(list_slice(tk, i, i+12), ' '))) AS ng
-        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(t)), '\s+'),
-        |    x -> x <> '') AS tk FROM corpus)),
+        |  FROM (SELECT doc_id, ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS tk FROM corpus)),
         |dng AS (SELECT DISTINCT doc_id, md5(ng) AS k FROM dng0),
         |tot AS (SELECT doc_id, count(*) AS ngrams FROM dng GROUP BY doc_id),
         |hit AS (SELECT doc_id, count(*) AS hits FROM dng JOIN cng USING (k) GROUP BY doc_id)

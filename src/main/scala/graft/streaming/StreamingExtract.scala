@@ -220,6 +220,12 @@ object StreamingExtract {
           // is valid: FlatMapGroupsWithStateExec persists whatever the
           // GroupState holds once the OUTPUT iterator completes, so the
           // last update wins and the map can stay lazy end to end.
+          // ASSUMPTION PINNED (round-6, ADVICE r5): the state-commit
+          // path drains the output iterator via CompletionIterator
+          // before advancing groups. StreamingSpec's cross-batch case
+          // ("first doc per hash wins across micro-batches": batch-2
+          // copies_so_far == 3) fails loudly if a Spark upgrade ever
+          // changes that timing — do NOT drop that test.
           rows.map { case (docId, _) =>
             val prev = state.getOption.getOrElse(DedupState(docId, 0L))
             val st = DedupState(prev.first_doc_id, prev.copies + 1)
