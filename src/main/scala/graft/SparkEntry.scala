@@ -1261,6 +1261,17 @@ object SparkEntry {
         "doc_id", "n", budget = 128)
     }),
 
+    // The packing WRITER view (round 6): per (chunk, doc) token slices
+    // — what a fixed-length-example writer actually consumes. The
+    // oracle replays the naive window cumsum + the same slice
+    // arithmetic; all-integer outputs.
+    "q_pack_examples" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextNorm.tokenCountCol(col("text"))
+      Pack.examples(d.select(col("doc_id"), toks.as("n")),
+        "doc_id", "n", budget = 128)
+    }),
+
     // Stratified hash sampling / domain mixing (round 5): per-stratum
     // keep rates decided by the md5 24-bit fraction of the doc key —
     // deterministic, shuffle-free, and fully replayable in DuckDB.
@@ -2280,6 +2291,22 @@ object SparkEntry {
         |  st // 128 AS chunk_start,
         |  CASE WHEN n > 0 THEN (st + n - 1) // 128 ELSE st // 128 END AS chunk_end
         |FROM c""".stripMargin,
+
+    // naive-cumsum replay of the writer view; doc_offset/take from the
+    // same max/min slice arithmetic
+    "q_pack_examples" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM t),
+        |e AS (SELECT doc_id, n, st,
+        |  unnest(generate_series(st // 128, (st + n - 1) // 128)) AS chunk_id
+        |  FROM c WHERE n > 0)
+        |SELECT chunk_id, doc_id,
+        |  greatest(st, chunk_id * 128) - st AS doc_offset,
+        |  least(st + n, (chunk_id + 1) * 128) - greatest(st, chunk_id * 128) AS take
+        |FROM e""".stripMargin,
 
     // md5 24-bit fraction selection replayed via DuckDB's 0x hex cast
     "q_sample" ->

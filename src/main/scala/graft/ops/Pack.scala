@@ -91,4 +91,35 @@ object Pack {
       }
       .toDF(idCol, "n_tokens", "start_offset", "chunk_start", "chunk_end")
   }
+
+  /** The inverse view — the training-example WRITER step: for every
+    * chunk a document intersects, the exact token slice that lands in
+    * it: (chunk_id, doc_id, doc_offset, take) with doc tokens
+    * [doc_offset, doc_offset + take) filling chunk positions
+    * [max(start, chunk·B) − chunk·B, …). A writer groups by chunk_id
+    * and concatenates slices in doc order to emit fixed-length
+    * examples; sum(take) per chunk = budget except the final partial
+    * chunk, and sum(take) per doc = its token count (OpsSpec pins
+    * both).
+    *
+    * Scale shape: derives from `concatChunk`'s two-pass prefix sum —
+    * the explode factor is ceil(n/budget)+1 rows per doc, i.e. the
+    * output is O(total_tokens / budget + docs), linear in the corpus;
+    * the chunk_id is the natural repartition key for the writer (all
+    * slices of a chunk co-locate; chunks are uniformly sized by
+    * construction, so the write stage cannot skew). Zero-token docs
+    * occupy no stream space and emit no slice. */
+  def examples(df: DataFrame, idCol: String, tokensCol: String,
+               budget: Long, partitions: Int = 0): DataFrame = {
+    val packed = concatChunk(df, idCol, tokensCol, budget, partitions)
+    packed.filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("chunk_start"), col("chunk_end"))).as("chunk_id"))
+      .select(col("chunk_id"), col(idCol),
+        (greatest(col("start_offset"), col("chunk_id") * budget)
+          - col("start_offset")).as("doc_offset"),
+        (least(col("start_offset") + col("n_tokens"),
+          (col("chunk_id") + 1) * budget)
+          - greatest(col("start_offset"), col("chunk_id") * budget)).as("take"))
+  }
 }

@@ -459,6 +459,40 @@ class ScaleGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("pack examples: slices cover every token exactly once; chunks fill to budget") {
+    import spark.implicits._
+    // hand-checkable core: budget 4, docs (1→5)(2→0)(3→3)(4→6)
+    val tiny = Seq((1L, 5L), (2L, 0L), (3L, 3L), (4L, 6L)).toDF("id", "n")
+    val got = Pack.examples(tiny, "id", "n", budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0L, 1L, 0L, 4L), (1L, 1L, 4L, 1L),          // doc 1 spans chunks 0-1
+      (1L, 3L, 0L, 3L),                            // doc 3 fills chunk 1
+      (2L, 4L, 0L, 4L), (3L, 4L, 4L, 2L)))         // doc 4 spans chunks 2-3
+    // invariants at scale shape: per-doc takes sum to n; every chunk
+    // except the last sums to exactly the budget; offsets are contiguous
+    val docs = (0 until 300).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "n")
+    val ex = Pack.examples(docs, "id", "n", budget = 16)
+    val perDoc = ex.groupBy("id").agg(sum("take").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 300).foreach { i =>
+      val n = (i % 13).toLong
+      assert(perDoc.getOrElse(i.toLong, 0L) == n, s"doc $i take sum")
+    }
+    val perChunk = ex.groupBy("chunk_id").agg(sum("take").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, s) =>
+      if (c != lastChunk) assert(s == 16L, s"chunk $c not full: $s")
+    }
+    // partition-count invariance (the concatChunk contract carries over)
+    val p7 = Pack.examples(docs, "id", "n", budget = 16, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val p32 = Pack.examples(docs, "id", "n", budget = 16, partitions = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(p7 == p32)
+  }
+
   test("sample: deterministic across partitioning; rates land within tolerance") {
     import spark.implicits._
     val rows = (0 until 4000).map(i =>
