@@ -1077,6 +1077,43 @@ object SparkEntry {
           col("r.ok").as("ok"))
     }),
 
+    // CDX-style archive indexing (round 6): per record, byte offset +
+    // span in the blob and an md5 payload digest — the seek/dedup/
+    // integrity index for WARC corpora. Offsets and digests are fully
+    // determined by the construction arithmetic, so the oracle
+    // recomputes every number from the same strings; a truncation
+    // family (%11==5 cuts the final 10 bytes) pins the ok=false
+    // available-span/prefix-digest verdicts.
+    "q_warc_index" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val h = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val html = concat(lit("<p>"), h, lit("</p>"))
+      val http = concat(lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html" + crlf + crlf), html)
+      val rec1 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://s/"), col("doc_id").cast("string"),
+        lit(crlf + "Content-Length: "), length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val pay2 = concat(lit("meta "),
+        md5(concat(coalesce(col("text"), lit("")), lit("y")).cast("binary")))
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "Content-Length: "), length(pay2).cast("string"),
+        lit(crlf + crlf), pay2, lit(crlf + crlf))
+      val full = concat(rec1, rec2)
+      val blob = when(pmod(col("doc_id"), lit(11)) === 5,
+        substring(full, lit(1), length(full) - 10)).otherwise(full)
+      d.select(col("doc_id"),
+          explode(GraftFunctions.graft_warc_index(blob.cast("binary"))).as("r"))
+        .select(col("doc_id"), col("r.idx").as("idx"),
+          col("r.rec_offset").as("rec_offset"), col("r.rec_len").as("rec_len"),
+          col("r.warc_type").as("warc_type"),
+          col("r.payload_digest").as("payload_digest"), col("r.ok").as("ok"))
+    }),
+
     // Streaming WARC ingestion (round 5): blobs arrive as TWO
     // micro-batch files (even/odd ids) through a checkpointed file
     // source; the record-split + extraction stage is STATELESS, so the
@@ -2122,6 +2159,40 @@ object SparkEntry {
         |    ELSE '<meta charset="windows-1252">' || chr(8220) END AS body,
         |  TRUE AS ok
         |FROM documents""".stripMargin,
+
+    // every offset/length/digest recomputed from the construction
+    // strings; the truncation family loses the 4-byte trailer plus the
+    // last 6 payload bytes, so the ok=false row reports the available
+    // span and the prefix digest
+    "q_warc_index" ->
+      """WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS h,
+        |  md5(coalesce(text, '') || 'y') AS h2 FROM documents),
+        |c AS (SELECT doc_id,
+        |  'HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Type: text/html'
+        |    || chr(13)||chr(10)||chr(13)||chr(10) || '<p>' || h || '</p>' AS http,
+        |  'meta ' || h2 AS pay2 FROM b),
+        |d AS (SELECT doc_id, http, pay2,
+        |  length('WARC/1.0' || chr(13)||chr(10) || 'WARC-Type: response'
+        |    || chr(13)||chr(10) || 'WARC-Target-URI: http://s/' || CAST(doc_id AS VARCHAR)
+        |    || chr(13)||chr(10) || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
+        |    || chr(13)||chr(10)||chr(13)||chr(10)) AS hl1,
+        |  length('WARC/1.0' || chr(13)||chr(10) || 'WARC-Type: metadata'
+        |    || chr(13)||chr(10) || 'Content-Length: ' || CAST(length(pay2) AS VARCHAR)
+        |    || chr(13)||chr(10)||chr(13)||chr(10)) AS hl2,
+        |  doc_id % 11 = 5 AS trunc FROM c)
+        |SELECT doc_id, CAST(0 AS INT) AS idx, CAST(0 AS BIGINT) AS rec_offset,
+        |  CAST(hl1 + length(http) AS BIGINT) AS rec_len,
+        |  'response' AS warc_type, md5(http) AS payload_digest, TRUE AS ok
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), CAST(hl1 + length(http) + 4 AS BIGINT),
+        |  CAST(CASE WHEN trunc THEN hl2 + length(pay2) - 6
+        |       ELSE hl2 + length(pay2) END AS BIGINT),
+        |  'metadata',
+        |  CASE WHEN trunc THEN md5(substr(pay2, 1, length(pay2) - 6))
+        |       ELSE md5(pay2) END,
+        |  NOT trunc
+        |FROM d""".stripMargin,
 
     // stateless streaming == batch replay: both records per doc, any
     // arrival order

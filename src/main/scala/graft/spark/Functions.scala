@@ -992,6 +992,7 @@ object GraftFunctions {
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
   def graft_warc_records(c: Column): Column = call_function("graft_warc_records", c)
+  def graft_warc_index(c: Column): Column = call_function("graft_warc_index", c)
   def graft_robots_allows(robots: Column, agent: Column, path: Column): Column =
     call_function("graft_robots_allows", robots, agent, path)
 

@@ -184,6 +184,96 @@ object WarcUdfs {
     (status, mime, charset, decodeBody(b, bodyFrom, to, charset))
   }
 
+  // ---------------------------------------------------------- CDX index
+  // The random-access index step every archive corpus needs at scale
+  // (the CDX convention): per record, its byte offset and span inside
+  // the (decompressed) blob plus a payload digest — what lets a reader
+  // seek straight to one record of a 1 GB archive member, dedup at the
+  // payload level before any decode, and verify integrity after a
+  // copy. Same Content-Length-only framing walk as splitRecords; md5
+  // digest (the repo's oracle-hash family) of the RAW payload bytes.
+  // Malformed records index with ok=false over the available span and
+  // halt the walk, mirroring splitRecords' verdicts exactly.
+
+  val indexType: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("rec_offset", LongType, nullable = false),
+    StructField("rec_len", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("payload_digest", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)
+  ))
+  val indexArrayType: ArrayType = ArrayType(indexType, containsNull = false)
+
+  private def md5Hex(b: Array[Byte], from: Int, to: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(b, from, math.max(to - from, 0))
+    val d = md.digest()
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def idxRec(idx: Int, off: Long, len: Long, warcType: String,
+                     digest: String, ok: Boolean): InternalRow =
+    InternalRow(idx, off, len, u(warcType), u(digest), ok)
+
+  def indexRecords(blob0: Array[Byte]): ArrayData =
+    try {
+      val blob =
+        if (blob0.length >= 2 && (blob0(0) & 0xff) == 0x1f && (blob0(1) & 0xff) == 0x8b)
+          gunzip(blob0)
+        else blob0
+      if (blob == null) return new GenericArrayData(Array.empty[Any])
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = indexOfWarc(blob, 0)
+      var idx = 0
+      var halted = false
+      while (i >= 0 && !halted) {
+        val hdrEnd = indexOfCrlfCrlf(blob, i)
+        if (hdrEnd < 0) {
+          out += idxRec(idx, i, blob.length - i, "", "", ok = false)
+          halted = true
+        } else {
+          val headText = new String(blob, i, hdrEnd - i, Utf8)
+          val verEol = headText.indexOf("\r\n") match {
+            case -1 => headText.length
+            case e  => e
+          }
+          val headers = parseHeaders(
+            if (verEol + 2 <= headText.length) headText.substring(verEol + 2) else "")
+          val warcType = headers.getOrElse("warc-type", "")
+          val lenStr = headers.getOrElse("content-length", "")
+          val len =
+            if (lenStr.nonEmpty && lenStr.forall(c => c >= '0' && c <= '9') &&
+                lenStr.length <= 9) lenStr.toInt
+            else -1
+          val p = hdrEnd + 4
+          if (len < 0) {
+            out += idxRec(idx, i, (p - i).toLong, warcType, "", ok = false)
+            halted = true
+          } else if (p + len > blob.length) {
+            out += idxRec(idx, i, (blob.length - i).toLong, warcType,
+              md5Hex(blob, p, blob.length), ok = false)
+            halted = true
+          } else {
+            out += idxRec(idx, i, (p + len - i).toLong, warcType,
+              md5Hex(blob, p, p + len), ok = true)
+            i = indexOfWarc(blob, p + len)
+          }
+          idx += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    } catch {
+      case _: Throwable => new GenericArrayData(Array.empty[Any])
+    }
+
   def splitRecords(blob0: Array[Byte]): ArrayData =
     try {
       val blob =
@@ -271,4 +361,20 @@ case class GraftWarcRecords(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftWarcRecords =
     copy(child = newChild)
   override def prettyName: String = "graft_warc_records"
+}
+
+/** CDX-style archive index: `graft_warc_index(blob)` → array of
+  * (idx, rec_offset, rec_len, warc_type, payload_digest, ok) over the
+  * decompressed blob — the seek/dedup/integrity index step for WARC
+  * corpora at scale (see WarcUdfs.indexRecords). */
+case class GraftWarcIndex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WarcUdfs.indexArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    WarcUdfs.indexRecords(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.WarcUdfs.indexRecords($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftWarcIndex =
+    copy(child = newChild)
+  override def prettyName: String = "graft_warc_index"
 }

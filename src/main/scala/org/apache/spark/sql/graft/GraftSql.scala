@@ -71,6 +71,8 @@ object GraftSql {
       args => GraftNgrams(args.head, args(1).eval().asInstanceOf[Int])),
     ("graft_warc_records", "graft.spark.GraftWarcRecords",
       args => GraftWarcRecords(args.head)),
+    ("graft_warc_index", "graft.spark.GraftWarcIndex",
+      args => GraftWarcIndex(args.head)),
     ("graft_robots_allows", "graft.spark.GraftRobotsAllows",
       args => GraftRobotsAllows(args(0), args(1), args(2))),
     // multimodal: real image-container header decode (round 4)

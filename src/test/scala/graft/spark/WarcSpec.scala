@@ -138,4 +138,53 @@ class WarcSpec extends AnyFunSuite {
     assert(r.warcType == "response" && r.status == 404 &&
       r.mime == "Text/HTML" && r.charset == "utf-8" && r.body == "nope" && r.ok)
   }
+
+  // ------------------------------------------------ CDX index (round 6)
+
+  private case class Idx(idx: Int, off: Long, len: Long, warcType: String,
+                         digest: String, ok: Boolean)
+
+  private def index(b: Array[Byte]): Seq[Idx] = {
+    val arr = WarcUdfs.indexRecords(b)
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 6)
+      Idx(r.getInt(0), r.getLong(1), r.getLong(2), r.getUTF8String(3).toString,
+        r.getUTF8String(4).toString, r.getBoolean(5))
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(Utf8))
+      .map(b => f"$b%02x").mkString
+
+  test("index: offsets/spans/digests for a two-record archive; gzip offsets are decompressed-space") {
+    val r1 = response(3, "<p>idx</p>")
+    val r2 = metadata(3, "meta payload")
+    val plain = (r1 + r2).getBytes(Utf8)
+    val ix = index(plain)
+    assert(ix.size == 2)
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<p>idx</p>"
+    assert(ix(0) == Idx(0, 0L, r1.length - 4L, "response", md5hex(http), ok = true))
+    assert(ix(1) == Idx(1, r1.length.toLong, r2.length - 4L, "metadata",
+      md5hex("meta payload"), ok = true))
+    // gzip: same index (offsets refer to the DECOMPRESSED blob)
+    assert(index(gz(plain)) == ix)
+  }
+
+  test("index: leading garbage skipped; missing length and overrun index ok=false and halt") {
+    val r1 = response(4, "x")
+    val garbage = ("junk bytes " + r1).getBytes(Utf8)
+    val ix = index(garbage)
+    assert(ix.size == 1 && ix(0).off == 11L && ix(0).ok)
+    // missing Content-Length: header span indexed, walk halts
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\npayload".getBytes(Utf8)
+    val ix2 = index(noLen)
+    assert(ix2.size == 1 && !ix2(0).ok && ix2(0).digest == "")
+    // overrun: available span + prefix digest
+    val cut = r1.getBytes(Utf8).dropRight(7)
+    val ix3 = index(cut)
+    assert(ix3.size == 1 && !ix3(0).ok && ix3(0).len == cut.length.toLong)
+    // totality: every prefix indexes without throwing
+    (0 until r1.length).foreach(n => index(r1.getBytes(Utf8).take(n)))
+  }
 }
