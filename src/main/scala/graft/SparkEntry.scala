@@ -502,6 +502,21 @@ object SparkEntry {
           col("frac"), col("contaminated"))
     }),
 
+    // Quality-aware canonical selection (round 6): per near-dup cluster
+    // keep the highest-quality member, tie → smallest id. The planted
+    // 5-member chain clusters + a mod-3 score guarantee ties, so the
+    // deterministic tie-break is actually exercised.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cluster = when(col("doc_id") < 50,
+        floor(col("doc_id") / 5) * 5).otherwise(col("doc_id"))
+      val score = pmod(col("doc_id"), lit(3))
+      Dedup.keepBest(
+        d.select(col("doc_id"), cluster.cast("long").as("cluster"),
+          score.cast("long").as("quality")),
+        "doc_id", "cluster", "quality")
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       // planted chain components: ids 0..49 linked in runs of 5
@@ -1740,6 +1755,16 @@ object SparkEntry {
     "q_dedup_clusters" ->
       """SELECT doc_id AS id, CASE WHEN doc_id < 50 THEN (doc_id//5)*5 ELSE doc_id END AS cluster
         |FROM documents""".stripMargin,
+
+    // winner = min id among the max-quality members of each cluster
+    "q_dedup_keep_best" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 50 THEN (doc_id//5)*5 ELSE doc_id END AS cluster,
+        |  doc_id % 3 AS quality FROM documents),
+        |m AS (SELECT *, max(quality) OVER (PARTITION BY cluster) AS mx FROM t),
+        |k AS (SELECT *, min(CASE WHEN quality = mx THEN doc_id END)
+        |  OVER (PARTITION BY cluster) AS kid FROM m)
+        |SELECT doc_id, cluster, quality, doc_id = kid AS keep FROM k""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -521,6 +521,33 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware canonical selection over near-dup clusters — the
+    * step after `clusters`: per cluster keep the HIGHEST-quality
+    * member (tie → smallest id), not the arbitrary min-id winner.
+    * Real pipelines keep the best extraction of a duplicated page
+    * (longest text, highest quality score), so the canonical choice is
+    * a ranked argmax, made deterministic here by the (score desc,
+    * id asc) order. Returns (id, cluster, keep) for every input row —
+    * a projection-free annotate, ready to filter or audit.
+    *
+    * Scale shape: ONE map-side-combined aggregate on the cluster key —
+    * `max(struct(score, -id))` is an O(1) combiner, so a 10⁷-member
+    * boilerplate cluster arrives at its reducer as ≤ #partitions
+    * partial rows — then a broadcast-or-shuffle join of the
+    * (cluster, winner) frame (one row per CLUSTER, ≤ distinct
+    * clusters) back onto the input. No Window over the corpus. */
+  def keepBest(df: DataFrame, idCol: String, clusterCol: String,
+               scoreCol: String): DataFrame = {
+    val winners = df.groupBy(col(clusterCol))
+      .agg(max(struct(
+        coalesce(col(scoreCol).cast("long"), lit(Long.MinValue)).as("s"),
+        (-col(idCol).cast("long")).as("nid"))).as("w"))
+      .select(col(clusterCol), (-col("w.nid")).as("__keep_id"))
+    df.join(winners, clusterCol)
+      .withColumn("keep", col(idCol).cast("long") === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** Embedding near-dup: cosine ≥ threshold among LSH-bucketed vectors
     * (random hyperplane signatures — seeded, deterministic).
     * `bands` independent signatures are OR-ed (a pair is a candidate if
