@@ -71,6 +71,20 @@ object SparkEntry {
   //    where extraction-ws = HTML5 ws + VT (TextPrep.isWhitespaceOnly,
   //    binary-probed reference clear_text behavior). Empty counts as
   //    ws-only (no text node at all).
+  // Construction-side hardening (round 6): raw document text embedded
+  // into constructed HTML must be ESCAPED (& first, then < / ") so
+  // markup-looking content ('<b>', '&amp;', quotes) round-trips through
+  // entity decode instead of changing the tree; RAWTEXT (script/style)
+  // and comment contents cannot be escaped (no decode there), so their
+  // breaker sequences ('</', '--') are neutralized instead. sqlEsc
+  // mirrors the escape for oracle length arithmetic.
+  private def escTxt(c: Column): Column =
+    regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;")
+  private def escAttr(c: Column): Column =
+    regexp_replace(regexp_replace(c, "&", "&amp;"), "\"", "&quot;")
+  private def sqlEsc(e: String): String =
+    s"replace(replace($e, '&', '&amp;'), '<', '&lt;')"
+
   private def sqlPrep(e: String): String =
     s"replace(replace($e, chr(13) || chr(10), chr(10)), chr(13), chr(10))"
   private def sqlBodyText(e: String): String =
@@ -120,10 +134,11 @@ object SparkEntry {
     "q_html_extract" -> ((s, dir) => {
       val d = docs(s, dir)
       // nullable columns coalesce to '' (round-6 null discipline: the
-      // oracle does the same, so both sides parse the same document)
-      val html = concat(lit("<html><head><title>"), coalesce(col("source"), lit("")),
-        lit("</title></head><body><h1>"), coalesce(col("lang"), lit("")),
-        lit("</h1><p>"), coalesce(col("text"), lit("")), lit("</p></body></html>"))
+      // oracle does the same, so both sides parse the same document);
+      // embedded columns are HTML-escaped — entity decode restores them
+      val html = concat(lit("<html><head><title>"), escTxt(coalesce(col("source"), lit(""))),
+        lit("</title></head><body><h1>"), escTxt(coalesce(col("lang"), lit(""))),
+        lit("</h1><p>"), escTxt(coalesce(col("text"), lit(""))), lit("</p></body></html>"))
       d.select(col("doc_id"),
           explode(GraftFunctions.parse_html_spans(html)).as("s"))
         .select(col("doc_id"), col("s.kind").as("kind"),
@@ -133,7 +148,7 @@ object SparkEntry {
     "q_html_entities" -> ((s, dir) => {
       val d = docs(s, dir)
       val html = concat(lit("<p>"),
-        regexp_replace(coalesce(col("text"), lit("")), lit(" "), lit("&#32;")),
+        regexp_replace(escTxt(coalesce(col("text"), lit(""))), lit(" "), lit("&#32;")),
         lit("</p>"))
       d.select(col("doc_id"),
         GraftFunctions.parse_html_text(html).as("decoded"),
@@ -143,17 +158,17 @@ object SparkEntry {
 
     "q_html_misnest" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 40)
-      val html = concat(lit("<p>"), substring(col("text"), 1, 8),
-        lit("<b>"), substring(col("text"), 9, 8),
-        lit("<i>"), substring(col("text"), 17, 8),
-        lit("</b>"), substring(col("text"), 25, 8),
-        lit("</i>"), substring(col("text"), 33, 8), lit("</p>"))
+      val html = concat(lit("<p>"), escTxt(substring(col("text"), 1, 8)),
+        lit("<b>"), escTxt(substring(col("text"), 9, 8)),
+        lit("<i>"), escTxt(substring(col("text"), 17, 8)),
+        lit("</b>"), escTxt(substring(col("text"), 25, 8)),
+        lit("</i>"), escTxt(substring(col("text"), 33, 8)), lit("</p>"))
       d.select(col("doc_id"), GraftFunctions.parse_html_text(html).as("extracted"))
     }),
 
     "q_html_foster" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 12)
-      val html = concat(lit("<table>"), substring(col("text"), 1, 12),
+      val html = concat(lit("<table>"), escTxt(substring(col("text"), 1, 12)),
         lit("<tr><td>CELL</td></tr></table>"))
       val spans = GraftFunctions.parse_html_spans(html)
       d.select(col("doc_id"),
@@ -163,16 +178,21 @@ object SparkEntry {
 
     "q_html_script_skip" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<p>keep1</p><script>"), coalesce(col("text"), lit("")),
+      // RAWTEXT/comment content can't be entity-escaped (no decode
+      // there) — neutralize the only breaker sequences instead
+      val html = concat(lit("<p>keep1</p><script>"),
+        regexp_replace(coalesce(col("text"), lit("")), "</", "(/"),
         lit("</script><style>h1{color:red}</style><p>keep2</p><!-- "),
-        coalesce(col("source"), lit("")), lit(" --><textarea>"),
-        coalesce(col("lang"), lit("")), lit("</textarea>"))
+        regexp_replace(coalesce(col("source"), lit("")), "--", "- -"),
+        lit(" --><textarea>"),
+        regexp_replace(coalesce(col("lang"), lit("")), "</", "(/"),
+        lit("</textarea>"))
       d.select(col("doc_id"), GraftFunctions.parse_html_text(html).as("extracted"))
     }),
 
     "q_html_media" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 6)
-      val html = concat(lit("<p>"), substring(col("text"), 1, 6),
+      val html = concat(lit("<p>"), escTxt(substring(col("text"), 1, 6)),
         lit("<img src=\"m://"), col("doc_id").cast("string"),
         lit("/a.png\"><video src=\"m://"), col("doc_id").cast("string"),
         lit("/b.mp4\"></video></p>"))
@@ -184,13 +204,15 @@ object SparkEntry {
 
     "q_html_rcdata" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<title>"), col("source"), lit("<b>x</title>"))
+      val html = concat(lit("<title>"), escTxt(coalesce(col("source"), lit(""))),
+        lit("<b>x</title>"))
       d.select(col("doc_id"), GraftFunctions.parse_html_text(html).as("extracted"))
     }),
 
     "q_html_pre" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 10)
-      val html = concat(lit("<pre>\n"), substring(col("text"), 1, 10), lit("</pre>"))
+      val html = concat(lit("<pre>\n"), escTxt(substring(col("text"), 1, 10)),
+        lit("</pre>"))
       val spans = GraftFunctions.parse_html_spans(html)
       d.select(col("doc_id"),
         element_at(spans, 1).getField("kind").as("kind1"),
@@ -199,7 +221,7 @@ object SparkEntry {
 
     "q_html_attrs" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<div id=\""), coalesce(col("source"), lit("")),
+      val html = concat(lit("<div id=\""), escAttr(coalesce(col("source"), lit(""))),
         lit("\" CLASS=c1 class=c2 data-n="), col("doc_id").cast("string"),
         lit(">t</div>"))
       // ONE parse per row for all three selector counts (native
@@ -217,7 +239,8 @@ object SparkEntry {
 
     "q_html_serialize" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 20)
-      val html = concat(lit("<p>"), substring(col("text"), 1, 20), lit("</p>"))
+      val html = concat(lit("<p>"), escTxt(substring(col("text"), 1, 20)),
+        lit("</p>"))
       d.select(col("doc_id"), GraftFunctions.serialize_html(html).as("normalized"))
     }),
 
@@ -233,7 +256,7 @@ object SparkEntry {
 
     "q_html_tokens" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 10)
-      val html = concat(lit("<p id=\"1\">"), substring(col("text"), 1, 10),
+      val html = concat(lit("<p id=\"1\">"), escTxt(substring(col("text"), 1, 10)),
         lit("</p><!--c-->"))
       d.select(col("doc_id"),
           posexplode(GraftFunctions.tokenize_html(html)).as(Seq("pos", "t")))
@@ -244,7 +267,7 @@ object SparkEntry {
 
     "q_html_nodes" -> ((s, dir) => {
       val d = docs(s, dir).filter(length(col("text")) >= 5)
-      val html = concat(lit("<div id=\"x\"><p>"), substring(col("text"), 1, 5),
+      val html = concat(lit("<div id=\"x\"><p>"), escTxt(substring(col("text"), 1, 5)),
         lit("</p><br></div>"))
       d.select(col("doc_id"),
           posexplode(GraftFunctions.parse_html_nodes(html)).as(Seq("pos", "n")))
@@ -259,9 +282,11 @@ object SparkEntry {
     // switch (tokenizer state from context element, tokenizer.c:204-244)
     "q_html_fragment" -> ((s, dir) => {
       val d = docs(s, dir)
-      val rowFrag = concat(lit("<td>"), col("source"), lit("</td><td>"), col("lang"))
-      val cellFrag = concat(lit("<b>"), col("source"), lit("</b>rest"))
-      val rawFrag = concat(lit("<b>"), col("source"))
+      val src = escTxt(coalesce(col("source"), lit("")))
+      val lng = escTxt(coalesce(col("lang"), lit("")))
+      val rowFrag = concat(lit("<td>"), src, lit("</td><td>"), lng)
+      val cellFrag = concat(lit("<b>"), src, lit("</b>rest"))
+      val rawFrag = concat(lit("<b>"), src)
       d.select(col("doc_id"),
         GraftFunctions.parse_fragment_text(rowFrag, lit("tr")).as("row_cells"),
         GraftFunctions.parse_fragment_text(cellFrag, lit("td")).as("cell_text"),
@@ -269,7 +294,7 @@ object SparkEntry {
         // template context seeds the template-insertion-mode stack
         // (fragment init; binary-verified in parity corpus docs15)
         GraftFunctions.parse_fragment_text(
-          concat(lit("<td>"), col("source"), lit("</td>")), lit("template"))
+          concat(lit("<td>"), src, lit("</td>")), lit("template"))
           .as("tmpl_cell"))
     }),
 
@@ -278,7 +303,7 @@ object SparkEntry {
     // <footer> blocks are dropped from main_text but kept in full_text
     "q_html_boiler" -> ((s, dir) => {
       val d = docs(s, dir)
-      val html = concat(lit("<article><p>"), coalesce(col("text"), lit("")),
+      val html = concat(lit("<article><p>"), escTxt(coalesce(col("text"), lit(""))),
         lit("</p></article><nav><a href=\"/a\">aa</a> <a href=\"/b\">bb</a></nav>" +
           "<footer><a href=\"/c\">x</a></footer>"))
       d.select(col("doc_id"),
@@ -1029,8 +1054,8 @@ object SparkEntry {
       val d = docs(s, dir)
       val crlf = "\r\n"
       val h = md5(coalesce(col("text"), lit("")).cast("binary"))
-      val html = concat(lit("<html><head><title>"), coalesce(col("source"), lit("")),
-        lit("</title></head><body><h1>"), coalesce(col("lang"), lit("")),
+      val html = concat(lit("<html><head><title>"), escTxt(coalesce(col("source"), lit(""))),
+        lit("</title></head><body><h1>"), escTxt(coalesce(col("lang"), lit(""))),
         lit("</h1><p>"), h, lit("</p></body></html>"))
       val http = concat(lit("HTTP/1.1 200 OK" + crlf +
         "Content-Type: text/html; charset=utf-8" + crlf + crlf), html)
@@ -1363,19 +1388,24 @@ object SparkEntry {
     // spans replay the parser-visible text (sqlPrep/sqlBodyText) and the
     // extraction ws-only drop rule; offsets are raw-input positions, so
     // they use the RAW column lengths
+    // offsets are raw-input positions, and the raw input embeds the
+    // ESCAPED columns — so the arithmetic uses sqlEsc lengths while the
+    // span text is the decoded (raw) column
     "q_html_extract" -> {
       s"""WITH e AS (SELECT doc_id,
         |  coalesce(source, '') AS src, coalesce(lang, '') AS lng,
+        |  length(${sqlEsc("coalesce(source, '')")}) AS esrc,
+        |  length(${sqlEsc("coalesce(lang, '')")}) AS elng,
         |  ${sqlBodyText("coalesce(text, '')")} AS btxt FROM documents)
         |SELECT doc_id, 'text' AS kind, ${sqlPrep("src")} AS span_text, 19 AS offset
         |FROM e WHERE ${sqlNotWsOnly(sqlPrep("src"))}
         |UNION ALL
         |SELECT doc_id, 'heading' AS kind, ${sqlBodyText("lng")} AS span_text,
-        |       CAST(44 + length(src) AS INT) AS offset
+        |       CAST(44 + esrc AS INT) AS offset
         |FROM e WHERE ${sqlNotWsOnly(sqlBodyText("lng"))}
         |UNION ALL
         |SELECT doc_id, 'text' AS kind, btxt AS span_text,
-        |       CAST(52 + length(src) + length(lng) AS INT) AS offset
+        |       CAST(52 + esrc + elng AS INT) AS offset
         |FROM e WHERE ${sqlNotWsOnly("btxt")}""".stripMargin
     },
 
@@ -1411,7 +1441,7 @@ object SparkEntry {
         |FROM documents WHERE length(text) >= 6""".stripMargin,
 
     "q_html_rcdata" ->
-      "SELECT doc_id, source || '<b>x' AS extracted FROM documents",
+      "SELECT doc_id, coalesce(source, '') || '<b>x' AS extracted FROM documents",
 
     "q_html_pre" ->
       s"""SELECT doc_id, 'pre' AS kind1, ${sqlBodyText("substr(text,1,10)")} AS text1
@@ -1457,7 +1487,7 @@ object SparkEntry {
     // (the tokenizer walks a Java string after CRLF→LF): utf16len =
     // codepoints + one extra per supplementary char
     "q_html_tokens" -> {
-      val prep10 = sqlPrep("substr(text,1,10)")
+      val prep10 = sqlPrep(sqlEsc("substr(text,1,10)"))
       val u16 = s"length($prep10) + len(regexp_extract_all($prep10, '[\\x{10000}-\\x{10FFFF}]'))"
       s"""SELECT doc_id, 0 AS pos, 'StartTag' AS ttype, 'p' AS name, '' AS data, 0 AS offset
         |FROM documents WHERE length(text) >= 10
@@ -1472,12 +1502,18 @@ object SparkEntry {
         |FROM documents WHERE length(text) >= 10""".stripMargin
     },
 
+    // the ' ' separators come from joining non-empty text NODES — an
+    // empty cell contributes no node, so no separator (the CASEs)
     "q_html_fragment" ->
-      """SELECT doc_id, source || ' ' || lang AS row_cells,
-        |       source || ' rest' AS cell_text,
-        |       '<b>' || source AS rcdata_text,
-        |       source AS tmpl_cell
-        |FROM documents""".stripMargin,
+      """WITH f AS (SELECT doc_id, coalesce(source, '') AS s,
+        |  coalesce(lang, '') AS l FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s = '' AND l = '' THEN '' WHEN s = '' THEN l
+        |       WHEN l = '' THEN s ELSE s || ' ' || l END AS row_cells,
+        |  CASE WHEN s = '' THEN 'rest' ELSE s || ' rest' END AS cell_text,
+        |  '<b>' || s AS rcdata_text,
+        |  s AS tmpl_cell
+        |FROM f""".stripMargin,
 
     "q_html_boiler" -> {
       val bt = sqlBodyText("coalesce(text, '')")
@@ -2156,15 +2192,17 @@ object SparkEntry {
       s"""WITH e AS (SELECT doc_id,
         |  'http://e/' || CAST(doc_id AS VARCHAR) AS uri,
         |  coalesce(source, '') AS src, coalesce(lang, '') AS lng,
+        |  length(${sqlEsc("coalesce(source, '')")}) AS esrc,
+        |  length(${sqlEsc("coalesce(lang, '')")}) AS elng,
         |  md5(coalesce(text, '')) AS h FROM documents)
         |SELECT doc_id, uri, 'text' AS kind, src AS span_text, 19 AS offset
         |FROM e WHERE ${sqlNotWsOnly("src")}
         |UNION ALL
-        |SELECT doc_id, uri, 'heading', lng, CAST(44 + length(src) AS INT)
+        |SELECT doc_id, uri, 'heading', lng, CAST(44 + esrc AS INT)
         |FROM e WHERE ${sqlNotWsOnly("lng")}
         |UNION ALL
         |SELECT doc_id, uri, 'text', h,
-        |  CAST(52 + length(src) + length(lng) AS INT) FROM e""".stripMargin,
+        |  CAST(52 + esrc + elng AS INT) FROM e""".stripMargin,
 
     // expected decode per family: utf-8 passthrough; windows-1252
     // 0x93/0x94 → U+201C/U+201D; iso-8859-5 0xB0/0xB1 → U+0430/U+0431;

@@ -49,6 +49,10 @@ MUT = {
     109: ("a � b", KEEP, KEEP),                         # U+FFFD in text
     113: ("...!!! ??? .", KEEP, KEEP),                       # terminators only
     127: ("__COPY_OF_1__", KEEP, KEEP),                      # exact dup of doc 1
+    131: ("x &amp; y &lt;z&#33; &bogus; &", KEEP, KEEP),     # entity-looking text
+    137: ("a <b>bold</b> c <div x", KEEP, KEEP),             # markup in text
+    139: ("end </script> alive --> ok", KEEP, KEEP),         # rawtext/comment breakers
+    149: (KEEP, "sr\"c<&13", KEEP),                          # quote/lt/amp in source
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
