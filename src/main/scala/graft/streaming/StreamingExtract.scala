@@ -66,7 +66,8 @@ object StreamingExtract {
     * construction (copies_so_far/is_first depend only on global arrival
     * order, which the caller makes equal to doc_id order), so the oracle
     * replay is a plain window over the batch input. */
-  def dedupVerdictsDrain(batches: Seq[DataFrame]): DataFrame = {
+  def dedupVerdictsDrain(batches: Seq[DataFrame],
+                         statePartitions: Int = 8): DataFrame = {
     val spark = batches.head.sparkSession
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
     val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
@@ -90,7 +91,16 @@ object StreamingExtract {
     val verdicts = dedupVerdicts(stream.as[(String, String)])
     val qname = "graft_stream_dedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
+    // state-store instance count is pinned by the FIRST run's shuffle
+    // partitions (checkpoint schema): size it to the drain, not the
+    // session — a bounded gate drain paying 32 state tasks × batches of
+    // pure overhead was ~40% of this operator's bench cost. Production
+    // callers size it to their key cardinality instead (statePartitions
+    // <= 0 inherits the session setting).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       val q = verdicts.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
@@ -101,6 +111,7 @@ object StreamingExtract {
       // invocations must not accumulate driver memory + disk)
       spark.table(qname).localCheckpoint()
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       scala.util.Try(spark.catalog.dropTempView(qname))
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
