@@ -983,6 +983,31 @@ object SparkEntry {
         GraftFunctions.graft_pdf_text(bytes).as("pdf_text"))
     }),
 
+    // ToUnicode CMap text recovery (round 6): subset-font (Type0/
+    // Identity-H) pages show raw glyph codes without the CMap — the
+    // kernel parses bfchar (incl. a multi-codepoint ligature) + bfrange
+    // from the document's CMap stream and maps 2-byte hex-string codes;
+    // an unmapped code pins the byte-transparent fallback. Every
+    // mapping is constructed from doc_id arithmetic, so the oracle
+    // rebuilds the expected text with chr() arithmetic.
+    "q_pdf_cmap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def hx4(c: Column) = lpad(hex(c), 4, "0")
+      val dst1 = hx4(lit(65) + pmod(col("doc_id"), lit(3)))
+      val rbase = hx4(lit(97) + pmod(col("doc_id"), lit(2)))
+      val showCode = hx4(lit(16) + pmod(col("doc_id"), lit(4)))
+      val content = concat(lit("BT <00010002"), showCode,
+        lit("00ff> Tj ET"))
+      val pdf = concat(
+        lit("%PDF-1.6\n1 0 obj<</Length 0>>stream\n"), content,
+        lit("\nendstream endobj\n2 0 obj<</Length 0>>stream\n" +
+          "2 beginbfchar\n<0001> <"), dst1,
+        lit(">\n<0002> <00660069>\nendbfchar\n1 beginbfrange\n<0010> <0013> <"),
+        rbase, lit(">\nendbfrange\nendstream endobj\n%%EOF"))
+      d.select(col("doc_id"),
+        GraftFunctions.graft_pdf_text(pdf.cast("binary")).as("pdf_text"))
+    }),
+
     // WARC crawl-archive ingestion (round 5, beyond-verdict): the format
     // a 100 TB extraction corpus actually arrives in, upstream of
     // parse_html_spans. Two records per doc (an HTTP response + a
@@ -2136,6 +2161,17 @@ object SparkEntry {
         |    i -> 'pg' || CAST(i AS VARCHAR) || '-' || source || ' ' || lang),
         |    chr(10)) AS pdf_text
         |FROM base""".stripMargin,
+
+    // expected text from the same chr() arithmetic the construction
+    // used: bfchar code 1 → chr(65+id%3), code 2 → the 'fi' ligature,
+    // range code (16+id%4) → chr(97+id%2 + id%4), unmapped 00ff →
+    // byte-transparent chr(0)||chr(255)
+    "q_pdf_cmap" ->
+      """SELECT doc_id,
+        |  chr(65 + CAST(doc_id % 3 AS INT)) || 'fi'
+        |  || chr(97 + CAST(doc_id % 2 AS INT) + CAST(doc_id % 4 AS INT))
+        |  || chr(0) || chr(255) AS pdf_text
+        |FROM documents""".stripMargin,
 
     // expected WARC records reconstructed DIRECTLY from the same
     // construction arithmetic (family routing, header/HTTP framing,

@@ -98,10 +98,15 @@ object PdfUdfs {
     * strings), else keep the byte-transparent Latin-1 reading. Total:
     * never throws (round-6 — the adversarial corpus caught Σ mojibake). */
   private def reDecodeUtf8(s: String): String = {
+    // only a PURE byte view (every char <= 0xFF, at least one >= 0x80)
+    // is a candidate: CMap-mapped hex strings already carry real
+    // Unicode chars and must not round-trip through Latin-1
     var has8 = false
     var i = 0
-    while (i < s.length && !has8) {
-      if (s.charAt(i) >= 0x80) has8 = true
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return s
+      if (c >= 0x80) has8 = true
       i += 1
     }
     if (!has8) return s
@@ -117,45 +122,193 @@ object PdfUdfs {
     if (b == null || b.length < 5) return ""
     val s = latin1(b)
     if (!s.startsWith("%PDF-") || s.contains("/Encrypt")) return ""
-    val out = new java.lang.StringBuilder(256)
+    // pass 1: decode every stream once (CMap objects may appear after
+    // the content streams that need them)
+    val streams = scala.collection.mutable.ArrayBuffer.empty[String]
     var from = 0
-    while (true) {
+    var walking = true
+    while (walking) {
       val streamKw = s.indexOf("stream", from)
-      if (streamKw < 0) return out.toString
+      if (streamKw < 0) walking = false
       // must be the keyword, not part of "endstream"
-      if (streamKw >= 3 && s.regionMatches(streamKw - 3, "end", 0, 3)) {
+      else if (streamKw >= 3 && s.regionMatches(streamKw - 3, "end", 0, 3)) {
         from = streamKw + 6
       } else {
         var dataStart = streamKw + 6
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
         val endKw = s.indexOf("endstream", dataStart)
-        if (endKw < 0) return out.toString
-        // the stream's dict = everything from its object header to the
-        // keyword (NOT lastIndexOf("<<") — a nested sub-dict like
-        // /DecodeParms<<…>> would shadow the outer /Filter entry)
-        val objStart = s.lastIndexOf("obj", streamKw)
-        val dict = if (objStart >= 0) s.substring(objStart, streamKw)
-          else s.substring(math.max(0, streamKw - 512), streamKw)
-        var data = java.util.Arrays.copyOfRange(b, dataStart, endKw)
-        // trailing EOL before endstream belongs to the delimiter
-        while (data.length > 0 && (data(data.length - 1) == '\n' || data(data.length - 1) == '\r'))
-          data = java.util.Arrays.copyOf(data, data.length - 1)
-        if (dict.contains("/FlateDecode")) data = inflate(data)
-        if (data != null) {
-          val content = latin1(data)
-          if (content.contains("BT")) {
-            val t = contentText(content)
-            if (t.nonEmpty) {
-              if (out.length > 0) out.append('\n')
-              out.append(t)
-            }
-          }
+        if (endKw < 0) walking = false
+        else {
+          // the stream's dict = everything from its object header to the
+          // keyword (NOT lastIndexOf("<<") — a nested sub-dict like
+          // /DecodeParms<<…>> would shadow the outer /Filter entry)
+          val objStart = s.lastIndexOf("obj", streamKw)
+          val dict = if (objStart >= 0) s.substring(objStart, streamKw)
+            else s.substring(math.max(0, streamKw - 512), streamKw)
+          var data = java.util.Arrays.copyOfRange(b, dataStart, endKw)
+          // trailing EOL before endstream belongs to the delimiter
+          while (data.length > 0 && (data(data.length - 1) == '\n' || data(data.length - 1) == '\r'))
+            data = java.util.Arrays.copyOf(data, data.length - 1)
+          if (dict.contains("/FlateDecode")) data = inflate(data)
+          if (data != null) streams += latin1(data)
+          from = endKw + 9
         }
-        from = endKw + 9
+      }
+    }
+    // pass 2: merge every ToUnicode CMap in the document (the pragmatic
+    // single-font-family assumption real extractors use when they don't
+    // resolve per-page font resources; documented in `cmapText`)
+    val cmap = new java.util.HashMap[Integer, String]()
+    streams.foreach { c =>
+      if (c.contains("beginbfchar") || c.contains("beginbfrange"))
+        parseCMap(c, cmap)
+    }
+    // pass 3: show-text extraction, hex strings mapped through the CMap
+    val out = new java.lang.StringBuilder(256)
+    streams.foreach { content =>
+      if (content.contains("BT")) {
+        val t = contentText(content, cmap)
+        if (t.nonEmpty) {
+          if (out.length > 0) out.append('\n')
+          out.append(t)
+        }
       }
     }
     out.toString
+  }
+
+  // ------------------------------------------------- ToUnicode CMaps
+  // Subset-font text recovery (PDF 32000-1 §9.10.3): without the CMap a
+  // Type0/Identity-H page shows as raw glyph codes. Scope (documented):
+  // 2-byte source codes (Identity-H, the overwhelmingly common case),
+  // bfchar + bfrange (both dst forms), dst parsed as UTF-16BE (multi-
+  // codepoint ligature targets and surrogate pairs compose naturally).
+  // All CMaps in the document merge into one table — per-page font
+  // resource resolution is out of scope; for multi-font documents with
+  // CONFLICTING code spaces the first mapping wins. Entry count capped
+  // (bomb discipline).
+
+  private val MaxCmapEntries = 65536
+
+  private def utf16be(hex: String): String = {
+    if (hex.length < 2 || hex.length % 2 != 0) return null
+    val n = hex.length / 2
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val hi = Character.digit(hex.charAt(2 * i), 16)
+      val lo = Character.digit(hex.charAt(2 * i + 1), 16)
+      if (hi < 0 || lo < 0) return null
+      bytes(i) = ((hi << 4) | lo).toByte
+      i += 1
+    }
+    if (n % 2 != 0) return null
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+  }
+
+  /** Collect `<hex>` tokens between `from` and the next `end` keyword. */
+  private def hexTokens(s: String, from: Int, endKw: String): (Seq[String], Int) = {
+    val end = s.indexOf(endKw, from) match {
+      case -1 => s.length
+      case e  => e
+    }
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = from
+    while (i < end) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val close = s.indexOf('>', i + 1)
+        if (close < 0 || close > end) i = end
+        else { toks += s.substring(i + 1, close).trim; i = close + 1 }
+      } else if (c == '[') { toks += "["; i += 1 }
+      else if (c == ']') { toks += "]"; i += 1 }
+      else i += 1
+    }
+    (toks.toSeq, end + endKw.length)
+  }
+
+  private[spark] def parseCMap(s: String, into: java.util.HashMap[Integer, String]): Unit = {
+    def put(code: Int, dst: String): Unit =
+      if (dst != null && into.size < MaxCmapEntries && !into.containsKey(code))
+        into.put(code, dst)
+    var i = 0
+    while (i < s.length) {
+      val bc = s.indexOf("beginbfchar", i)
+      val br = s.indexOf("beginbfrange", i)
+      if (bc < 0 && br < 0) i = s.length
+      else if (bc >= 0 && (br < 0 || bc < br)) {
+        val (toks, next) = hexTokens(s, bc + 11, "endbfchar")
+        var j = 0
+        while (j + 1 < toks.length) {
+          val src = toks(j)
+          if (src.length == 4) {
+            try put(Integer.parseInt(src, 16), utf16be(toks(j + 1)))
+            catch { case _: NumberFormatException => }
+          }
+          j += 2
+        }
+        i = next
+      } else {
+        val (toks, next) = hexTokens(s, br + 12, "endbfrange")
+        var j = 0
+        while (j + 2 < toks.length || (j + 2 == toks.length && toks.length >= 3)) {
+          if (j + 2 >= toks.length) { j = toks.length }
+          else if (toks(j) == "[" || toks(j) == "]") j += 1
+          else {
+            val lo0 = toks(j); val hi0 = toks(j + 1)
+            if (lo0.length == 4 && hi0.length == 4) {
+              try {
+                val lo = Integer.parseInt(lo0, 16)
+                val hi = Integer.parseInt(hi0, 16)
+                if (toks(j + 2) == "[") {
+                  // bracketed form: one dst per code
+                  var k = j + 3
+                  var code = lo
+                  while (k < toks.length && toks(k) != "]") {
+                    if (code <= hi) put(code, utf16be(toks(k)))
+                    code += 1; k += 1
+                  }
+                  j = k + 1
+                } else {
+                  // dstStart form: last UTF-16 unit increments
+                  val d0 = utf16be(toks(j + 2))
+                  if (d0 != null && d0.nonEmpty && hi - lo >= 0 && hi - lo <= 0xFFFF) {
+                    var code = lo
+                    while (code <= hi) {
+                      val a = d0.toCharArray
+                      a(a.length - 1) = (a(a.length - 1) + (code - lo)).toChar
+                      put(code, new String(a))
+                      code += 1
+                    }
+                  }
+                  j += 3
+                }
+              } catch { case _: NumberFormatException => j += 3 }
+            } else j += 3
+          }
+        }
+        i = next
+      }
+    }
+  }
+
+  /** Map a raw hex-string byte sequence (latin1 view: char==byte)
+    * through the 2-byte-code CMap; unmapped codes and odd tails fall
+    * back to the byte-transparent reading. */
+  private def mapCodes(raw: String, cmap: java.util.HashMap[Integer, String]): String = {
+    if (cmap.isEmpty || raw.isEmpty) return raw
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i + 1 < raw.length) {
+      val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+      val m = cmap.get(code)
+      if (m != null) sb.append(m)
+      else { sb.append(raw.charAt(i)); sb.append(raw.charAt(i + 1)) }
+      i += 2
+    }
+    if (i < raw.length) sb.append(raw.charAt(i))
+    sb.toString
   }
 
   /** Inflated output is capped: a crafted deflate bomb (~1000:1
@@ -179,8 +332,11 @@ object PdfUdfs {
       out.toByteArray
     } catch { case _: Throwable => null }
 
-  /** Text of one content stream: BT…ET blocks, show-text operators. */
-  private def contentText(s: String): String = {
+  /** Text of one content stream: BT…ET blocks, show-text operators.
+    * Hex strings route through the merged ToUnicode CMap when one
+    * exists; literal strings are byte-transparent as before. */
+  private def contentText(s: String,
+      cmap: java.util.HashMap[Integer, String] = new java.util.HashMap()): String = {
     val out = new java.lang.StringBuilder(128)
     var newlinePending = false
     var lastString: String = null
@@ -197,10 +353,10 @@ object PdfUdfs {
       val c = s.charAt(i)
       if (c == '(') {
         val (str, next) = literalString(s, i)
-        lastString = str; i = next
+        lastString = reDecodeUtf8(str); i = next
       } else if (c == '<' && (i + 1 >= n || s.charAt(i + 1) != '<')) {
         val (str, next) = hexString(s, i)
-        lastString = str; i = next
+        lastString = mapCodes(str, cmap); i = next
       } else if (c == '<') {
         i = s.indexOf(">>", i) match { case -1 => n; case e => e + 2 }
       } else if (c == '[') {
@@ -212,11 +368,11 @@ object PdfUdfs {
         while (j < n && !done) {
           val cj = s.charAt(j)
           if (cj == '(') { val (str, next) = literalString(s, j); sb.append(str); j = next }
-          else if (cj == '<') { val (str, next) = hexString(s, j); sb.append(str); j = next }
+          else if (cj == '<') { val (str, next) = hexString(s, j); sb.append(mapCodes(str, cmap)); j = next }
           else if (cj == ']') { done = true; j += 1 }
           else j += 1
         }
-        lastString = sb.toString; i = j
+        lastString = reDecodeUtf8(sb.toString); i = j
       } else if (c == '%') { // comment to EOL
         while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {

@@ -128,4 +128,40 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfUdfs.text(b(enc)) == "")
     assert(!PdfUdfs.info(b(enc))._4)
   }
+
+  test("ToUnicode CMap: bfchar, ligature dst, bfrange, fallback, no-cmap unchanged") {
+    val content = "BT <00010002> Tj (lit ) Tj <0003> Tj <00ff> Tj ET"
+    val cmapStream = """5 0 obj<</Length 0>>stream
+/CIDInit /ProcSet findresource begin begincmap
+2 beginbfchar
+<0001> <0041>
+<0002> <00660069>
+endbfchar
+1 beginbfrange
+<0003> <0005> <0061>
+endbfrange
+endcmap end
+endstream endobj
+"""
+    val pdf = minimalPdf(content).replace("trailer", cmapStream + "trailer")
+    val got = PdfUdfs.text(b(pdf))
+    // <0001>→A, <0002>→fi (ligature), literal passthrough, <0003>→a
+    // (range), <00ff> unmapped → raw bytes 0x00 0xFF
+    assert(got == "Afi" + "lit " + "a" + "\u0000\u00ff", s"got ${got.toList}")
+    // same content with NO CMap: hex bytes stay byte-transparent
+    val plain = PdfUdfs.text(b(minimalPdf(content)))
+    assert(plain == "\u0000\u0001\u0000\u0002" + "lit " + "\u0000\u0003" + "\u0000\u00ff")
+    // surrogate-pair dst composes to one astral codepoint
+    val astral = """%PDF-1.4
+1 0 obj<</Length 0>>stream
+BT <0007> Tj ET
+endstream endobj
+2 0 obj<</Length 0>>stream
+1 beginbfchar
+<0007> <D835DD4F>
+endbfchar
+endstream endobj
+%%EOF"""
+    assert(PdfUdfs.text(b(astral)) == new String(Character.toChars(0x1D54F)))
+  }
 }
