@@ -84,9 +84,16 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, vecCol: String,
                      k: Int = 256, iters: Int = 5): Array[Array[Float]] = {
     import org.apache.spark.sql.graft.GraftSql
+    // training hygiene: null/zero/NaN vectors fail `> 0.0` (NaN compares
+    // false), and the upper bound excludes ±Inf elements AND squared-sum
+    // overflow — ONE corrupt embedding must not poison every centroid
+    // (the aggregate would turn NaN/Inf and every assignment with it)
     val vecs = corpus.select(col(vecCol).as("vec"))
-      .filter(aggregate(col("vec"), lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double")) > 0.0)
+      .filter {
+        val ss = aggregate(col("vec"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+        ss > 0.0 && ss <= Double.MaxValue
+      }
     // init: k distinct vector VALUES ordered by a 64-bit value hash —
     // deterministic, duplicate-free (a clone-heavy corpus still seeds k
     // distinct directions), no id column required.
