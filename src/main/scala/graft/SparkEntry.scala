@@ -412,6 +412,17 @@ object SparkEntry {
         length(col("t")).as("n_chars"))
     }),
 
+    // Mixture report + token-length histogram (round 6): the two
+    // pre-training corpus reports, each one map-side-combined
+    // aggregate; null lang groups under 'und' on both sides.
+    "q_corpus_report" -> ((s, dir) =>
+      TextOps.corpusReport(docs(s, dir), "text", "lang")
+        .select(col("grp").as("lang2"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("max_tokens"))),
+
+    "q_len_hist" -> ((s, dir) =>
+      TextOps.lengthHistogram(docs(s, dir), "text", width = 64)),
+
     "q_fingerprint" -> ((s, dir) =>
       // fp_ws = fingerprint of a whitespace-perturbed twin (leading space
       // + doubled internal spaces); equals fp by the normalization
@@ -1686,6 +1697,19 @@ object SparkEntry {
         |  length(w1 || ' ' || w2 || ' ' || w3) AS n_chars
         |FROM base""".stripMargin
     },
+
+    "q_corpus_report" ->
+      s"""SELECT coalesce(lang, 'und') AS lang2,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(${TextNorm.sqlTokenCount("text")}, 0)) AS BIGINT) AS total_tokens,
+        |  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+        |  CAST(max(coalesce(${TextNorm.sqlTokenCount("text")}, 0)) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_len_hist" ->
+      s"""SELECT CAST((coalesce(${TextNorm.sqlTokenCount("text")}, 0) // 64) * 64 AS BIGINT) AS bucket_lo,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // ltrim(x, ' ') — SPACE only: DuckDB's default trim set includes
     // NBSP, which is NOT canonical whitespace (the round-6 NBSP-only

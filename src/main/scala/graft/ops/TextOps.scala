@@ -386,6 +386,32 @@ object TextOps {
         lit(0L)).as("max_sentence_chars"))
   }
 
+  /** The mixture report a training pipeline prints before a run: per
+    * group (language, source, domain …) doc count, total/max canonical
+    * token counts, total codepoints. ONE map-side-combined aggregate —
+    * at 100 TB this is a single narrow pass; null groups report under
+    * 'und' (the langid convention), never as a silent null row. All
+    * integer outputs (oracle discipline). */
+  def corpusReport(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = TextNorm.tokenCountCol(col(textCol))
+    df.groupBy(coalesce(col(groupCol), lit("und")).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks).as("total_tokens"),
+        sum(coalesce(length(col(textCol)).cast("long"), lit(0L))).as("total_chars"),
+        max(toks).as("max_tokens"))
+  }
+
+  /** Token-length histogram with fixed integer bucket edges (bucket_lo
+    * = floor(tokens/width)·width) — the length-distribution check that
+    * decides packing budgets and truncation caps. Exact integers, one
+    * aggregate, no percentile sketch to hash-mismatch. */
+  def lengthHistogram(df: DataFrame, textCol: String, width: Long): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1: $width")
+    df.groupBy((floor(TextNorm.tokenCountCol(col(textCol)) / width) * width)
+        .cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graft.GraftSql
