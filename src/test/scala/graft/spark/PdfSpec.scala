@@ -164,4 +164,20 @@ endstream endobj
 %%EOF"""
     assert(PdfUdfs.text(b(astral)) == new String(Character.toChars(0x1D54F)))
   }
+
+  test("ToUnicode CMap: bracketed bfrange form maps one dst per code") {
+    val pdf = """%PDF-1.4
+1 0 obj<</Length 0>>stream
+BT <00200021 0022> Tj ET
+endstream endobj
+2 0 obj<</Length 0>>stream
+1 beginbfrange
+<0020> <0022> [<0058> <0059005A> <005A>]
+endbfrange
+endstream endobj
+%%EOF"""
+    // 0020→X, 0021→YZ (multi-unit dst), 0022→Z; whitespace inside the
+    // hex string is the PDF hex-string convention (ignored)
+    assert(PdfUdfs.text(b(pdf)) == "XYZZ")
+  }
 }
