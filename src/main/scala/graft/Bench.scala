@@ -264,15 +264,36 @@ object Bench {
     val eqRate = okDocs.toDouble / eqN
     eqSession.stop()
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // ---- the ONE JSON line, BUDGETED (VERDICT r6 #4): the driver reads a
+    // 2,000-char tail window; the r6 line (69 × %.3f sec + a full retry
+    // map + verbose telemetry keys) outgrew it and the round had NO
+    // parseable bench. Budget: per-query INTEGER MILLISECONDS, retries as
+    // a names-only array, short telemetry keys, sf basename. If still
+    // over, degrade by dropping telemetry, then the retry list — the
+    // contract fields (metric/value/unit/queries/sf) and the north-rule
+    // extract block are never dropped.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val retriesJson = retries.map { case (k, v) => "\"" + k + s"""\":$v""" }
-      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    val retriesJson = retries.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadavg1()
-    val telemetry =
-      f""""retries":$retriesJson,"telemetry":{"loadavg_mid":$loadMid%.2f,"loadavg_end":$loadEnd%.2f,"self_cpu_share_pipeline":$pipelineCpuShare%.3f,"self_cpu_share_queries":$queriesCpuShare%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$telemetry,"extract":{"docs":$benchDocs,"pipeline_docs_per_sec":$pipelineTp%.0f,"span_equality_rate":$eqRate%.4f,"steal_jiffies_per_sec":$stealRate%.1f,"low_cpus":$lowCpus,"high_cpus":$highCpus,"low_docs_per_sec":$tpLow%.0f,"high_docs_per_sec":$tpHigh%.0f,"scaling_rounds":$round,"scaling_efficiency":$efficiency%.3f}}""")
+    val tel =
+      f""","retries":$retriesJson,"tel":{"lm":$loadMid%.1f,"le":$loadEnd%.1f,"cp":$pipelineCpuShare%.2f,"cq":$queriesCpuShare%.2f}"""
+    val extractJson =
+      f""","extract":{"docs":$benchDocs,"pipe_dps":$pipelineTp%.0f,"span_eq":$eqRate%.4f,"steal":$stealRate%.1f,"lo_cpus":$lowCpus,"hi_cpus":$highCpus,"lo_dps":$tpLow%.0f,"hi_dps":$tpHigh%.0f,"rounds":$round,"eff":$efficiency%.3f}"""
+    def line(withTel: Boolean, withRetries: Boolean): String = {
+      val t = if (withTel) tel
+              else if (withRetries) s""","retries":$retriesJson"""
+              else s""","retries":${retries.size}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","query_unit":"ms","queries":$qs,"sf":"$sfName"$t$extractJson}"""
+    }
+    // sbt appends "[success] Total time: ..." (~63 chars) to stdout AFTER
+    // this line, inside the same tail window — budget for it.
+    val out = Seq(line(true, true), line(false, true), line(false, false))
+      .find(_.length < 1780)
+      .getOrElse(line(false, false))
+    require(out.length < 1900, s"bench line ${out.length} chars exceeds driver tail window")
+    println(out)
   }
 }
