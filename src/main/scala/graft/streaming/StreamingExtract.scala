@@ -67,7 +67,8 @@ object StreamingExtract {
     * order, which the caller makes equal to doc_id order), so the oracle
     * replay is a plain window over the batch input. */
   def dedupVerdictsDrain(batches: Seq[DataFrame],
-                         statePartitions: Int = 8): DataFrame = {
+                         statePartitions: Int = 8,
+                         stateTtlMs: Long = 0L): DataFrame = {
     val spark = batches.head.sparkSession
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
     val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
@@ -88,7 +89,7 @@ object StreamingExtract {
       StructField("doc_id", StringType), StructField("text", StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val verdicts = dedupVerdicts(stream.as[(String, String)])
+    val verdicts = dedupVerdicts(stream.as[(String, String)], stateTtlMs)
     val qname = "graft_stream_dedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     // state-store instance count is pinned by the FIRST run's shuffle
@@ -206,12 +207,33 @@ object StreamingExtract {
     * hash (the custom-state pattern the north-rule growth path needs;
     * built-in dropDuplicates can't expose the copy counts or the winning
     * doc id). State is hash-keyed, so the shuffle carries (hash, doc_id)
-    * only; update mode emits one verdict per input row per micro-batch. */
-  def dedupVerdicts(docs: org.apache.spark.sql.Dataset[(String, String)])
+    * only; update mode emits one verdict per input row per micro-batch.
+    *
+    * STATE LIFECYCLE (round 7, VERDICT r6 #4): with the default
+    * `stateTtlMs = 0` the state grows one row per distinct hash forever —
+    * fine for bounded drains and the oracle gate, unbounded over an
+    * infinite stream (the reference frees its token/tree pools per parse,
+    * mcobject_async.c:215; streaming state needs the same end of life).
+    * `stateTtlMs > 0` enables `ProcessingTimeTimeout`: a hash whose state
+    * has seen no copy for the TTL is dropped at the next trigger, so
+    * steady-state memory is one row per hash ACTIVE within the window,
+    * not per hash ever seen. Semantics under TTL are deliberately
+    * approximate at the boundary: a duplicate arriving AFTER its hash
+    * expired reads as a fresh first (dedup windows behave this way in
+    * every production CCNet-style pipeline); duplicates arriving while
+    * the state row is alive get verdicts IDENTICAL to the no-TTL path
+    * (StreamingSpec pins both properties). Timeout firing is lazy — a
+    * past-deadline group that receives data in the same trigger is still
+    * deduped against (TTL bounds memory, it is not a semantic clock). */
+  def dedupVerdicts(docs: org.apache.spark.sql.Dataset[(String, String)],
+                    stateTtlMs: Long = 0L)
       : org.apache.spark.sql.Dataset[DedupVerdict] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.toDF("doc_id", "text")
       // '' sentinel for null text (the Dedup.exact convention): a null
       // text row must still get a verdict, never a null groupByKey key
@@ -219,8 +241,14 @@ object StreamingExtract {
         graft.ops.TextNorm.trimCol(col("text")))), lit("")).cast("string").as("text_hash"))
       .as[(String, String)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (hash: String, rows: Iterator[(String, String)], state: GroupState[DedupState]) => {
+          if (state.hasTimedOut) {
+            // TTL expiry: no data for this hash within the window — free
+            // the row. A later copy starts a fresh first-arrival state.
+            state.remove()
+            Iterator.empty
+          } else
           // SINGLE FORWARD PASS, O(1) memory per group (VERDICT r4 #3:
           // the old toSeq.sortBy buffered every copy of a hash arriving
           // in one micro-batch — a boilerplate burst of 10^6 copies of
@@ -241,6 +269,10 @@ object StreamingExtract {
             val prev = state.getOption.getOrElse(DedupState(docId, 0L))
             val st = DedupState(prev.first_doc_id, prev.copies + 1)
             state.update(st)
+            // after update the state is defined, so the TTL reset is
+            // always legal; resetting per element keeps the deadline at
+            // "last copy seen + TTL" (an active hash never expires)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             DedupVerdict(docId, hash, st.copies == 1 && docId == st.first_doc_id,
               st.copies)
           }

@@ -94,6 +94,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state TTL: in-window duplicates get identical verdicts; expired hashes read as fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    // With ProcessingTimeTimeout, FlatMapGroupsWithStateExec.
+    // shouldRunAnotherBatch is always true, so the engine constructs
+    // batches continuously and processAllAvailable NEVER RETURNS (noNewData
+    // is never set — found the hard way in round 7, a 14-minute hang).
+    // TTL queries therefore use a real ProcessingTime trigger and the test
+    // POLLS the memory sink for the expected verdict count instead.
+    def awaitRows(table: String, n: Long, timeoutMs: Long = 30000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (spark.table(table).count() < n) {
+        if (System.nanoTime() > deadline)
+          fail(s"$table: expected $n rows, have ${spark.table(table).count()}")
+        Thread.sleep(50)
+      }
+    }
+    import org.apache.spark.sql.streaming.Trigger
+
+    // (a) TTL large vs the window: verdicts must be IDENTICAL to the
+    // NoTimeout path on the exact cross-batch scenario above (the TTL
+    // bounds memory, it must not change in-window semantics)
+    val inA = MemoryStream[(String, String)]
+    val qA = StreamingExtract.dedupVerdicts(inA.toDS(), stateTtlMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("dedup_ttl_window")
+      .outputMode("update").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      inA.addData(("d2", "same text"), ("d1", "same text"), ("d3", "other"))
+      awaitRows("dedup_ttl_window", 3)
+      inA.addData(("d9", "  SAME TEXT "), ("d4", "other"))
+      awaitRows("dedup_ttl_window", 5)
+      val got = spark.table("dedup_ttl_window")
+        .collect().map(r => r.getString(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+      assert(got("d2") == (true, 1L) && got("d1") == (false, 2L) &&
+        got("d3") == (true, 1L) && got("d9") == (false, 3L) &&
+        got("d4") == (false, 2L),
+        s"in-window verdicts under TTL must equal the NoTimeout path: $got")
+    } finally qA.stop()
+
+    // (b) expiry: a 1 ms TTL with real wall-clock between triggers — the
+    // hash's state row is dropped at the next timeout-firing batch, and a
+    // later copy starts a fresh first-arrival state (one row per ACTIVE
+    // hash, not per hash ever seen — the 100 TB memory bound)
+    val inB = MemoryStream[(String, String)]
+    val qB = StreamingExtract.dedupVerdicts(inB.toDS(), stateTtlMs = 1L)
+      .writeStream.format("memory").queryName("dedup_ttl_expire")
+      .outputMode("update").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      inB.addData(("a1", "dup text"))
+      awaitRows("dedup_ttl_expire", 1)
+      Thread.sleep(500) // deadline passes; background batches fire the timeout
+      inB.addData(("a2", "dup text"))
+      awaitRows("dedup_ttl_expire", 2)
+      val got = spark.table("dedup_ttl_expire")
+        .collect().map(r => r.getString(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+      assert(got("a1") == (true, 1L))
+      assert(got("a2") == (true, 1L),
+        s"post-expiry copy must read as a fresh first arrival: $got")
+    } finally qB.stop()
+  }
+
   test("clone burst: 10^5 copies of one hash in a single micro-batch stream through") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
