@@ -214,7 +214,9 @@ object Bench {
       "q_pack" -> 0.6, "q_sample" -> 0.25, "q_warc_extract" -> 0.55,
       "q_robots" -> 0.35, "q_url_filter" -> 0.55, "q_substr_dedup" -> 1.2,
       "q_clean_pipeline" -> 1.3, "q_terms" -> 0.9, "q_warc_charset" -> 0.45,
-      "q_ann_pqr" -> 1.0, "q_sentences" -> 0.4, "q_stream_warc" -> 3.0)
+      "q_ann_pqr" -> 1.0, "q_sentences" -> 0.4, "q_stream_warc" -> 3.0,
+      // round-7 queries
+      "q_quality_model" -> 0.5, "q_html_node_table" -> 0.5)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, TextNorm, TextOps, Multimodal, TopK, Pack, Sample, UrlOps}
+import graft.ops.{Dedup, Similarity, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -361,6 +361,21 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.subwordCount(col("text")).as("n_subwords"))),
+
+    // TRAINED quality classifier (round 7, VERDICT r6 #5): the
+    // 256-bucket hashed-bigram integer perceptron (graft.ops.
+    // QualityModel, trained at class load from the checked-in seeds —
+    // the Bpe pattern). Scored over the REAL documents text through the
+    // TextNorm canonical alphabet; the oracle replays the identical
+    // integer arithmetic (md5-bucket hash + embedded weight-list
+    // literal). One kernel pass per row, consumed by projection only.
+    "q_quality_model" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("graft_quality_model(coalesce(text, ''))").as("q"))
+        .select(col("doc_id"), col("q.score").as("score"),
+          col("q.n_bigrams").as("n_bigrams"),
+          (col("q.score") > 0).cast("int").as("keep"))),
 
     // Gopher-family repetition signals (round 5, VERDICT r4 next-#4;
     // made driver-robust in round 6): the text plants controlled
@@ -1626,6 +1641,22 @@ object SparkEntry {
         |        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
         |        coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS nt
         |      FROM documents)""".stripMargin,
+
+    // the generated weight-list replay of the trained perceptron:
+    // tokens CTE once, bigrams + md5-bucket lookup + integer sum
+    // (QualityModel.sqlGrams/sqlScoreFromGrams embed the trained
+    // weights — retraining regenerates this oracle automatically)
+    "q_quality_model" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("coalesce(text, '')"))} AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, ${QualityModel.sqlGrams("tk")} AS gs,
+        |  len(tk) AS nt FROM b),
+        |q AS (SELECT doc_id,
+        |  ${QualityModel.sqlScoreFromGrams("gs")} AS score,
+        |  CAST(greatest(nt - 1, 0) AS INTEGER) AS n_bigrams FROM g)
+        |SELECT doc_id, score, n_bigrams,
+        |  CAST(score > 0 AS INTEGER) AS keep FROM q""".stripMargin,
 
     // canonical-alphabet replay (TextNorm fragments); LEFT JOIN +
     // coalesce(0) for the top-gram CTEs so degenerate docs (<n tokens)

@@ -88,6 +88,29 @@ object TextKernels {
 
   def bpeCount(t: UTF8String): Int = graft.ops.Bpe.count(t.toString)
 
+  /** Trained hashed-bigram quality model (graft.ops.QualityModel):
+    * struct(score BIGINT, n_bigrams INT) in ONE tokenization pass. */
+  val qualityModelStructType: StructType = StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false)))
+
+  val qualityModelEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def qualityModel(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    qualityModelEvals.incrementAndGet()
+    val toks = graft.ops.TextNorm.tokens(
+      graft.ops.TextNorm.asciiLower(t.toString))
+    var s = graft.ops.QualityModel.bias
+    var i = 0
+    while (i + 1 < toks.length) {
+      s += graft.ops.QualityModel.weights(
+        graft.ops.QualityModel.bucket(toks(i) + " " + toks(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s, math.max(toks.length - 1, 0)))
+  }
+
   val ngramsEvals = new java.util.concurrent.atomic.AtomicLong
 
   /** Whitespace-token n-gram strings in ONE pass per row — bit-equal to
@@ -312,6 +335,24 @@ case class GraftBpeCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftBpeCount =
     copy(child = newChild)
   override def prettyName: String = "graft_bpe_count"
+}
+
+/** Trained quality classifier: `graft_quality_model(text)` → struct
+  * (score BIGINT, n_bigrams INT) — the 256-bucket hashed-bigram integer
+  * perceptron trained at class load (graft.ops.QualityModel), one
+  * tokenization pass per row inside codegen. Consume via PROJECTION
+  * only (the graft_repetition struct-filter lesson); gate with
+  * `score > 0` on the projected column. */
+case class GraftQualityModel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.qualityModelStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.qualityModel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.qualityModel($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftQualityModel =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quality_model"
 }
 
 /** Marker-heuristic language id: `graft_lang_id(text)`. */

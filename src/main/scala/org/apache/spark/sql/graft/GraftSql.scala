@@ -67,6 +67,8 @@ object GraftSql {
         args(3).eval().asInstanceOf[Int])),
     ("graft_bpe_count", "graft.spark.GraftBpeCount",
       args => GraftBpeCount(args.head)),
+    ("graft_quality_model", "graft.spark.GraftQualityModel",
+      args => GraftQualityModel(args.head)),
     ("graft_ngrams", "graft.spark.GraftNgrams",
       args => GraftNgrams(args.head, args(1).eval().asInstanceOf[Int])),
     ("graft_warc_records", "graft.spark.GraftWarcRecords",

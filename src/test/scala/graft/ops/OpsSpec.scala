@@ -336,6 +336,51 @@ class OpsSpec extends AnyFunSuite {
     assert(Bpe.count("THE") == 1)
   }
 
+  test("quality model: deterministic training, seed separation, held-out floor, kernel parity") {
+    import QualityModel._
+    // training pins: the seeds are checked in, so training is
+    // deterministic — drift here silently moves q_quality_model
+    assert(bias == 0L, s"bias drifted: $bias")
+    assert(weights.count(_ != 0) == 136, s"support drifted: ${weights.count(_ != 0)}")
+    assert(weights.take(8).toSeq == Seq(1L, 1L, -1L, 0L, 0L, 1L, 2L, 0L),
+      s"weight head drifted: ${weights.take(8).toSeq}")
+    // hash pins: the md5-bucket arithmetic must match the oracle's
+    // CAST('0x' || substr(md5(g), 1, 4) AS BIGINT) % 256 replay
+    assert(bucket("the city") == 50 && bucket("click here") == 234)
+    // 100% train separation (perceptron converged to a clean pass)
+    GoodSeed.foreach(t => assert(score(t) > 0, s"good seed misclassified: $t"))
+    BadSeed.foreach(t => assert(score(t) < 0, s"bad seed misclassified: $t"))
+    // held-out floor: unseen recombinations of seed vocabulary classify
+    // correctly (DETERMINISTIC pins, not statistics — a failure means
+    // the learned weights moved)
+    val heldGood = Seq(
+      "the committee approved the study of the region after a long debate",
+      "researchers tested the new design against historical records last spring",
+      "volunteers planted trees along the river through the old town")
+    val heldBad = Seq(
+      "click here to register now free bonus click here buy now",
+      "cheap deals casino bonus free spins buy now limited offer",
+      "share on facebook sign up login page 1 page 2 next page")
+    heldGood.foreach(t => assert(score(t) > 0, s"held-out good dropped: $t"))
+    heldBad.foreach(t => assert(score(t) < 0, s"held-out bad kept: $t"))
+    // retraining reproduces the model bit-for-bit
+    val (w2, b2) = train(GoodSeed, BadSeed)
+    assert(w2.toSeq == weights.toSeq && b2 == bias, "training is not deterministic")
+    // totality: < 2 tokens scores exactly bias, zero bigrams
+    assert(score("") == bias && score("   ") == bias && score("word") == bias)
+    assert(nBigrams("") == 0 && nBigrams("word") == 0 && nBigrams("a b c") == 2)
+    // kernel parity: the native expression replays score/nBigrams exactly
+    import spark.implicits._
+    graft.spark.GraftFunctions.registerAll(spark)
+    val probe = (GoodSeed.take(2) ++ BadSeed.take(2) ++ Seq("", "word")).toDF("t")
+      .select(col("t"), expr("graft_quality_model(t)").as("q"))
+      .select(col("t"), col("q.score"), col("q.n_bigrams")).collect()
+    probe.foreach { r =>
+      assert(r.getLong(1) == score(r.getString(0)) &&
+        r.getInt(2) == nBigrams(r.getString(0)), s"kernel diverges on '${r.getString(0)}'")
+    }
+  }
+
   test("pii detectors: counts, adjacency, unicode digits, redaction order") {
     import spark.implicits._
     def run(s: String): (Int, Int, Int, Int, Int, String) = {
