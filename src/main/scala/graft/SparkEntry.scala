@@ -276,6 +276,33 @@ object SparkEntry {
           col("n.text").as("ntext"), col("n.nattrs").as("nattrs"))
     }),
 
+    // Relational DOM node table (round 7, VERDICT r6 #6 — SURVEY §4's
+    // attr-match pushdown view): the reference's Q1-Q5 query surface
+    // (get_nodes_by_tag_name / _by_attribute_*, myhtml.c:435-1301) as a
+    // flat exploded table (doc_id, node_id, parent_id, depth, tag, ns,
+    // ntype, ntext, nattrs, offset) a Spark filter applies to
+    // relationally. ONE parse per row (PlanSpec nodeTableEvals pin)
+    // via the outer-explode + isNotNull discipline. The construction
+    // embeds an escaped attr value AND escaped body text, so the oracle
+    // replays decoded attrs (NUL→U+FFFD, the tokenizer view), decoded
+    // text (NUL dropped, the in-body view), and raw UTF-16 offsets
+    // (implied elements pin -1 — the Q8 convention).
+    "q_html_node_table" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = escAttr(coalesce(col("source"), lit("")))
+      val txt = escTxt(concat(lit("T"), substring(coalesce(col("text"), lit("")), 1, 8)))
+      val html = concat(lit("<p id=\"x\" class=\""), src, lit("\">"), txt,
+        lit("</p><a href=\"/l\">z</a>"))
+      d.select(col("doc_id"),
+          explode_outer(GraftFunctions.graft_node_table(html)).as("n"))
+        .filter(col("n").isNotNull)
+        .select(col("doc_id"), col("n.node_id").as("node_id"),
+          col("n.parent_id").as("parent_id"), col("n.depth").as("depth"),
+          col("n.tag").as("tag"), col("n.ns").as("ns"),
+          col("n.ntype").as("ntype"), col("n.text").as("ntext"),
+          col("n.attrs").as("nattrs"), col("n.offset").as("offset"))
+    }),
+
     // fragment algorithm (reference myhtml_parse_fragment, myhtml.c:240-262):
     // tr context exercises in-row mode + reset-insertion-mode; td context
     // exercises in-cell; textarea context pins the RCDATA content-model
@@ -1533,6 +1560,40 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 4, 'p', 3, 'element', '', 0 FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 5, '#text', 4, 'text', ${sqlBodyText("substr(text,1,5)")}, 0 FROM documents WHERE length(text) >= 5
         |UNION ALL SELECT doc_id, 6, 'br', 3, 'element', '', 0 FROM documents WHERE length(text) >= 5""".stripMargin,
+
+    // node-table replay: closed-form pre-order rows over the fixed
+    // construction. va = decoded attr view (NUL→U+FFFD), vt = decoded
+    // in-body text view ('T' prefix guarantees the text node exists, so
+    // node ids are constant), ua/ut = raw UTF-16 lengths of the escaped
+    // preprocessed fragments (the offset arithmetic; implied html/head/
+    // body pin -1). '<p id="x" class="' is 17 chars, '">' 2 → text at
+    // 19+ua; '</p>' 4 → a at 23+ua+ut; '<a href="/l">' 13 → z at
+    // 36+ua+ut.
+    "q_html_node_table" -> {
+      def u16(x: String) =
+        s"length($x) + len(regexp_extract_all($x, '[\\x{10000}-\\x{10FFFF}]'))"
+      def escAttrSql(e: String) =
+        s"replace(replace($e, '&', '&amp;'), '\"', '&quot;')"
+      s"""WITH b AS (SELECT doc_id, coalesce(source, '') AS s0,
+        |  'T' || substr(coalesce(text, ''), 1, 8) AS t0 FROM documents),
+        |e AS (SELECT doc_id,
+        |  ${sqlPrep(escAttrSql("s0"))} AS sa, ${sqlTokText("s0")} AS va,
+        |  ${sqlPrep(sqlEsc("t0"))} AS st, ${sqlBodyText("t0")} AS vt FROM b),
+        |u AS (SELECT doc_id, va, vt,
+        |  ${u16("sa")} AS ua, ${u16("st")} AS ut FROM e)
+        |SELECT doc_id, 0 AS node_id, -1 AS parent_id, 0 AS depth, 'html' AS tag,
+        |  'html' AS ns, 'element' AS ntype, '' AS ntext, '' AS nattrs, -1 AS offset FROM u
+        |UNION ALL SELECT doc_id, 1, 0, 1, 'head', 'html', 'element', '', '', -1 FROM u
+        |UNION ALL SELECT doc_id, 2, 0, 1, 'body', 'html', 'element', '', '', -1 FROM u
+        |UNION ALL SELECT doc_id, 3, 2, 2, 'p', 'html', 'element', '',
+        |  'id="x" class="' || va || '"', 0 FROM u
+        |UNION ALL SELECT doc_id, 4, 3, 3, '#text', 'html', 'text', vt, '',
+        |  CAST(19 + ua AS INT) FROM u
+        |UNION ALL SELECT doc_id, 5, 2, 2, 'a', 'html', 'element', '',
+        |  'href="/l"', CAST(23 + ua + ut AS INT) FROM u
+        |UNION ALL SELECT doc_id, 6, 5, 3, '#text', 'html', 'text', 'z', '',
+        |  CAST(36 + ua + ut AS INT) FROM u""".stripMargin
+    },
 
     // token offsets are UTF-16 positions over the PREPROCESSED stream
     // (the tokenizer walks a Java string after CRLF→LF): utf16len =

@@ -174,6 +174,73 @@ object HtmlUdfs {
     new GenericArrayData(rows.toArray)
   }
 
+  /** Relational DOM node table (round 7, VERDICT r6 #6 — the SURVEY §4
+    * attr-match pushdown view): pre-order rows with node identity,
+    * parentage, decoded attributes, and raw positions — the reference's
+    * Q1-Q5 query surface (`get_nodes_by_tag_name` / `_by_attribute_*`,
+    * myhtml.c:435-1301) as ONE scannable table a Spark filter pushes
+    * into. Conventions (probe-pinned): node_id = pre-order index over
+    * the document's children (html = 0); parent_id = -1 for top-level;
+    * offset = rawBegin (UTF-16 units over the preprocessed stream,
+    * -1 for implied elements — the Q8 offsets-axis convention); attrs =
+    * space-joined k="v" with DECODED values in verbatim chain order
+    * (duplicates kept — the reference dup-attr semantics). */
+  val nodeTableStructType: StructType = StructType(Seq(
+    StructField("node_id", IntegerType, nullable = false),
+    StructField("parent_id", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("ns", StringType, nullable = false),
+    StructField("ntype", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("attrs", StringType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)
+  ))
+  val nodeTableArrayType: ArrayType = ArrayType(nodeTableStructType, containsNull = false)
+
+  val nodeTableEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def nodeTable(html: UTF8String): ArrayData = {
+    nodeTableEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](32)
+      var nextId = 0
+      def walk(n: Node, parentId: Int, depth: Int): Unit = {
+        val id = nextId
+        nextId += 1
+        val (ntype, tag, text) = n.kind match {
+          case NodeKind.Element => ("element", n.name, "")
+          case NodeKind.Text => ("text", "#text", n.text)
+          case NodeKind.Comment => ("comment", "#comment", n.text)
+          case NodeKind.Doctype => ("doctype", n.name, "")
+          case _ => ("document", "#document", "")
+        }
+        val attrs =
+          if (n.attrs == null || n.attrs.isEmpty) ""
+          else {
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < n.attrs.length) {
+              if (i > 0) sb.append(' ')
+              sb.append(n.attrs(i).name).append("=\"")
+                .append(n.attrs(i).value).append('"')
+              i += 1
+            }
+            sb.toString
+          }
+        rows += InternalRow(id, parentId, depth,
+          UTF8String.fromString(tag), UTF8String.fromString(Ns.names(n.ns)),
+          UTF8String.fromString(ntype), UTF8String.fromString(text),
+          UTF8String.fromString(attrs), n.rawBegin)
+        var c = n.firstChild
+        while (c != null) { walk(c, id, depth + 1); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c, -1, 0); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** Full interleaved-document kernel over a spans ArrayData — the
     * columnar fast path: no Dataset object codec on either side
     * (DocKernel semantics; text/media spans pass through without even
@@ -567,6 +634,24 @@ case class ParseHtmlNodes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ParseHtmlNodes =
     copy(child = newChild)
   override def prettyName: String = "parse_html_nodes"
+}
+
+/** Relational DOM node table: `graft_node_table(html)` → array<struct<
+  * node_id,parent_id,depth,tag,ns,ntype,text,attrs,offset>> — ONE parse
+  * per row (counter-pinned); explode with the outer+isNotNull
+  * discipline (plain explode triple-evals the kernel via
+  * InferFiltersFromGenerate). */
+case class GraftNodeTable(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.nodeTableArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.nodeTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.nodeTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftNodeTable =
+    copy(child = newChild)
+  override def prettyName: String = "graft_node_table"
 }
 
 /** The whole per-document kernel as one codegen-friendly expression:
@@ -981,6 +1066,7 @@ object GraftFunctions {
   def html_quirks_mode(c: Column): Column = call_function("html_quirks_mode", c)
   def tokenize_html(c: Column): Column = call_function("tokenize_html", c)
   def parse_html_nodes(c: Column): Column = call_function("parse_html_nodes", c)
+  def graft_node_table(c: Column): Column = call_function("graft_node_table", c)
   def extract_interleaved_spans(c: Column): Column =
     call_function("extract_interleaved_spans", c)
   def parse_fragment_text(html: Column, context: Column): Column =

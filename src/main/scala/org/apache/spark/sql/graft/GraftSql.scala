@@ -22,6 +22,7 @@ object GraftSql {
     ("html_quirks_mode", "graft.spark.HtmlQuirksMode", args => HtmlQuirksMode(args.head)),
     ("tokenize_html", "graft.spark.TokenizeHtml", args => TokenizeHtml(args.head)),
     ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head)),
+    ("graft_node_table", "graft.spark.GraftNodeTable", args => GraftNodeTable(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",

@@ -211,6 +211,24 @@ class PlanSpec extends AnyFunSuite {
       s"q_html_attrs must parse once per row: $attrEvals evals for $nAll rows")
   }
 
+  test("node table parses once per row under a tag+attr relational filter") {
+    // The reference's Q1-Q5 relational shape (round 7): a tag+attr
+    // filter over the exploded node table must parse each document
+    // exactly once — the outer-explode + isNotNull discipline keeps
+    // InferFiltersFromGenerate from substituting the kernel into
+    // size>0/isnotnull predicates, and post-explode filters operate on
+    // materialized rows, never the kernel.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    HtmlUdfs.nodeTableEvals.set(0)
+    graft.SparkEntry.queries("q_html_node_table")(spark, sf)
+      .filter(col("tag") === "a" && col("nattrs").contains("href=\"/l\""))
+      .write.format("noop").mode("overwrite").save()
+    val evals = HtmlUdfs.nodeTableEvals.get
+    assert(evals == n,
+      s"node-table filter must parse once per row: $evals evals for $n rows")
+  }
+
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
     val df = graft.SparkEntry.queries("q_multimodal_real")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
