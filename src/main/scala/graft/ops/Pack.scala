@@ -44,6 +44,13 @@ object Pack {
     val p =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // the pass-1 collect is p rows and the pass-2 broadcast is a p-entry
+    // map — the design assumes p stays O(10^3..10^4) (VERDICT r6 scale
+    // note). A caller inheriting a million-partition session should size
+    // `partitions` explicitly rather than silently shipping a giant map.
+    require(p <= 100000,
+      s"concatChunk collects one row per partition ($p); pass a smaller " +
+        "`partitions` — the range shuffle does not need scan parallelism")
     val sorted0 = df
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(tokensCol).cast("long"), lit(0L)).as("n"))
