@@ -280,7 +280,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text",
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
-      "graft_robots_allows", "graft_repetition_ok")
+      "graft_robots_allows", "graft_repetition_ok",
+      "graft_quality_model", "graft_node_table")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
