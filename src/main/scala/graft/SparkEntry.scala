@@ -824,6 +824,25 @@ object SparkEntry {
           col("copies_so_far"))
     }),
 
+    // TTL-enabled state lifecycle path through the SAME driver gate
+    // (round 7): identical corpus/batches, stateTtlMs = 10 min >> the
+    // drain window, so every verdict must equal the no-TTL replay — the
+    // in-window-equivalence contract behind a DuckDB hash, exercising
+    // ProcessingTimeTimeout + setTimeoutDuration + the bounded
+    // poll-and-stop drain protocol (AvailableNow never terminates under
+    // ProcessingTimeTimeout — shouldRunAnotherBatch is always true).
+    "q_stream_dedup_ttl" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+        .select(lpad(col("doc_id").cast("string"), 6, "0").as("doc_id"),
+          coalesce(col("source"), lit("")).as("text"))
+      val b1 = d.filter(col("doc_id") < "000150")
+      val b2 = d.filter(col("doc_id") >= "000150")
+      graft.streaming.StreamingExtract.dedupVerdictsDrain(Seq(b1, b2),
+          stateTtlMs = 10 * 60 * 1000L)
+        .select(col("doc_id"), col("text_hash"), col("is_first"),
+          col("copies_so_far"))
+    }),
+
     // REAL multimodal decode (VERDICT r3 #1): valid PNG / JPEG / GIF
     // payloads are constructed IN-QUERY from documents columns (the
     // tables carry no binary column), with per-doc dimensions, a
@@ -2128,6 +2147,20 @@ object SparkEntry {
     // batch-1 ids all below batch-2 ids), so one window replays the
     // stateful verdicts exactly
     "q_stream_dedup" -> {
+      val h = s"md5(${TextNorm.sqlLower(TextNorm.sqlTrim("coalesce(source, '')"))})"
+      s"""SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+        |       $h AS text_hash,
+        |       rn = 1 AS is_first, CAST(rn AS BIGINT) AS copies_so_far
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY $h
+        |                           ORDER BY doc_id) AS rn
+        |      FROM documents WHERE doc_id < 300)""".stripMargin
+    },
+
+    // TTL >> window ⇒ bit-identical to the no-TTL replay (the
+    // in-window-equivalence contract; StreamingSpec pins the expiry
+    // side, which no bounded drain can oracle)
+    "q_stream_dedup_ttl" -> {
       val h = s"md5(${TextNorm.sqlLower(TextNorm.sqlTrim("coalesce(source, '')"))})"
       s"""SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
         |       $h AS text_hash,

@@ -102,11 +102,28 @@ object StreamingExtract {
     try {
       if (statePartitions > 0)
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      val q = verdicts.writeStream.format("memory").queryName(qname)
+      val writer = verdicts.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      if (stateTtlMs <= 0) {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } else {
+        // ProcessingTimeTimeout makes shouldRunAnotherBatch always true:
+        // an AvailableNow drain NEVER terminates (measured — it keeps
+        // constructing timeout-check batches), and processAllAvailable
+        // never returns either. Bounded-drain protocol for TTL queries:
+        // every input row emits exactly ONE verdict in update mode, so
+        // poll the sink to the known row count, then stop.
+        val expected = batches.map(_.count()).sum
+        val q = writer.trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (spark.table(qname).count() < expected &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        q.stop()
+        require(spark.table(qname).count() == expected,
+          s"TTL drain incomplete: ${spark.table(qname).count()} of $expected verdicts")
+      }
       // localCheckpoint materializes the result so the memory-sink table
       // and the temp dir can be torn down (repeated Verify/Bench/test
       // invocations must not accumulate driver memory + disk)
