@@ -454,6 +454,19 @@ object SparkEntry {
         length(col("t")).as("n_chars"))
     }),
 
+    // the TOKEN SEQUENCE itself (round 7) — what packing consumes; the
+    // oracle replays the merge walk per word and joins the streams
+    "q_token_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val arr = array(bpeWords.map(lit): _*)
+      def pick(e: Column) = element_at(arr, (pmod(e, lit(8)) + 1).cast("int"))
+      val t = concat_ws(" ", pick(col("doc_id")),
+        pick(col("doc_id") * 3 + 1), pick(col("doc_id") * 5 + 2))
+      d.withColumn("t", t).select(col("doc_id"),
+        expr("graft_bpe_tokens(t)").as("tokens"),
+        expr("graft_bpe_count(t)").as("n_tokens"))
+    }),
+
     // Mixture report + token-length histogram (round 6): the two
     // pre-training corpus reports, each one map-side-combined
     // aggregate; null lang groups under 'und' on both sides.
@@ -1807,6 +1820,25 @@ object SparkEntry {
         |     + ${graft.ops.Bpe.duckdbCountExpr("w2")}
         |     + ${graft.ops.Bpe.duckdbCountExpr("w3")} AS INT) AS n_tokens,
         |  length(w1 || ' ' || w2 || ' ' || w3) AS n_chars
+        |FROM base""".stripMargin
+    },
+
+    "q_token_ids" -> {
+      def caseSql(e: String) = "CASE " + e + " % 8 " +
+        bpeWords.zipWithIndex.map { case (w, i) => s"WHEN $i THEN '$w'" }
+          .mkString(" ") + " END"
+      s"""WITH base AS (SELECT doc_id,
+        |  ${caseSql("doc_id")} AS w1,
+        |  ${caseSql("(doc_id*3+1)")} AS w2,
+        |  ${caseSql("(doc_id*5+2)")} AS w3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ${graft.ops.Bpe.duckdbTokensExpr("w1")} || ' ' ||
+        |  ${graft.ops.Bpe.duckdbTokensExpr("w2")} || ' ' ||
+        |  ${graft.ops.Bpe.duckdbTokensExpr("w3")} AS tokens,
+        |  CAST(${graft.ops.Bpe.duckdbCountExpr("w1")}
+        |     + ${graft.ops.Bpe.duckdbCountExpr("w2")}
+        |     + ${graft.ops.Bpe.duckdbCountExpr("w3")} AS INT) AS n_tokens
         |FROM base""".stripMargin
     },
 

@@ -142,7 +142,13 @@ object Bpe {
     * expose an earlier-ranked pair in general); q_token_count's planted
     * word list is pinned against the real encoder by OpsSpec, and the
     * SQL-vs-kernel equality is exactly what the oracle hash gates. */
-  def duckdbCountExpr(wordExpr: String, passes: Int = 3): String = {
+  def duckdbCountExpr(wordExpr: String, passes: Int = 3): String =
+    s"len(string_split(${duckdbTokensExpr(wordExpr, passes)}, ' '))"
+
+  /** The merge-walk chain itself: the word's TOKEN STRING (tokens
+    * single-space separated) — same validity caveat as the count
+    * chain. */
+  def duckdbTokensExpr(wordExpr: String, passes: Int = 3): String = {
     var s = s"' ' || array_to_string(regexp_split_to_array($wordExpr, ''), ' ') || ' '"
     merges.foreach { case (a, b) =>
       var p = 0
@@ -151,6 +157,26 @@ object Bpe {
         p += 1
       }
     }
-    s"len(string_split(trim($s), ' '))"
+    s"trim($s)"
+  }
+
+  /** Full token-sequence encode of a text: canonical pre-tokenize,
+    * encode each word, flatten — one space-joined token stream (the
+    * surface a training pipeline feeds to packing). */
+  def encode(text: String): String = {
+    val words = TextNorm.tokens(TextNorm.asciiLower(text))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < words.length) {
+      val toks = encodeWord(words(i))
+      var j = 0
+      while (j < toks.length) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      i += 1
+    }
+    sb.toString
   }
 }

@@ -87,6 +87,8 @@ object TextKernels {
   }
 
   def bpeCount(t: UTF8String): Int = graft.ops.Bpe.count(t.toString)
+  def bpeTokens(t: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.Bpe.encode(t.toString))
 
   /** Trained hashed-bigram quality model (graft.ops.QualityModel):
     * struct(score BIGINT, n_bigrams INT) in ONE tokenization pass. */
@@ -335,6 +337,21 @@ case class GraftBpeCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftBpeCount =
     copy(child = newChild)
   override def prettyName: String = "graft_bpe_count"
+}
+
+/** BPE token sequence: `graft_bpe_tokens(text)` — the space-joined
+  * token stream (true iterative BPE, same trained table as the count),
+  * the surface a training pipeline feeds to packing. */
+case class GraftBpeTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.bpeTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftBpeTokens =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_tokens"
 }
 
 /** Trained quality classifier: `graft_quality_model(text)` → struct

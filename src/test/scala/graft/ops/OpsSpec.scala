@@ -323,10 +323,26 @@ class OpsSpec extends AnyFunSuite {
         s = s.replace(s" $a $b ", s" $a$b ")
       s.trim.split(" ").length
     }
+    def sqlChainTokens(w: String): String = {
+      var s = " " + w.map(_.toString).mkString(" ") + " "
+      for ((a, b) <- Bpe.merges; _ <- 0 until 3)
+        s = s.replace(s" $a $b ", s" $a$b ")
+      s.trim
+    }
     for (w <- Seq("the", "training", "data", "tokens", "documents",
-        "extraction", "attention", "information"))
+        "extraction", "attention", "information")) {
       assert(Bpe.encodeWord(w).length == sqlChainCount(w),
         s"oracle chain diverges from true BPE on '$w'")
+      // the q_token_ids oracle replays the SEQUENCE, not just the count
+      assert(Bpe.encodeWord(w).mkString(" ") == sqlChainTokens(w),
+        s"oracle token string diverges on '$w'")
+    }
+    // full-text encode: flattened per-word streams, space-joined
+    assert(Bpe.encode("the training data") ==
+      (Bpe.encodeWord("the") ++ Bpe.encodeWord("training") ++
+        Bpe.encodeWord("data")).mkString(" "))
+    assert(Bpe.encode("THE") == "the") // canonical lower first
+    assert(Bpe.encode("") == "" && Bpe.encode("   ") == "")
     // token/char ratio floors: trained text compresses, noise does not
     assert(Bpe.count("the training data") == 7) // 1 + 4 + 2
     assert(Bpe.count("the training data").toDouble / "the training data".length < 0.5)

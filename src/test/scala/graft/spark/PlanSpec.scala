@@ -281,7 +281,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
       "graft_robots_allows", "graft_repetition_ok",
-      "graft_quality_model", "graft_node_table")
+      "graft_quality_model", "graft_node_table", "graft_bpe_tokens")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
