@@ -113,6 +113,14 @@ object TextKernels {
       Array[Any](s, math.max(toks.length - 1, 0)))
   }
 
+  /** Scalar score for FILTER use (one eval in the predicate; the
+    * struct variant in a filter would re-eval per collapsed getField —
+    * the graft_repetition_ok lesson). */
+  def qualityScore(t: UTF8String): Long = {
+    qualityModelEvals.incrementAndGet()
+    graft.ops.QualityModel.score(t.toString)
+  }
+
   val ngramsEvals = new java.util.concurrent.atomic.AtomicLong
 
   /** Whitespace-token n-gram strings in ONE pass per row — bit-equal to
@@ -337,6 +345,21 @@ case class GraftBpeCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftBpeCount =
     copy(child = newChild)
   override def prettyName: String = "graft_bpe_count"
+}
+
+/** Scalar trained-model score: `graft_quality_score(text)` → BIGINT —
+  * the FILTER-side twin of graft_quality_model (single predicate eval;
+  * never filter on the struct's getFields). */
+case class GraftQualityScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.qualityScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.qualityScore($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftQualityScore =
+    copy(child = newChild)
+  override def prettyName: String = "graft_quality_score"
 }
 
 /** BPE token sequence: `graft_bpe_tokens(text)` — the space-joined

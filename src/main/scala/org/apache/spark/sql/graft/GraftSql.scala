@@ -72,6 +72,8 @@ object GraftSql {
       args => GraftQualityModel(args.head)),
     ("graft_bpe_tokens", "graft.spark.GraftBpeTokens",
       args => GraftBpeTokens(args.head)),
+    ("graft_quality_score", "graft.spark.GraftQualityScore",
+      args => GraftQualityScore(args.head)),
     ("graft_ngrams", "graft.spark.GraftNgrams",
       args => GraftNgrams(args.head, args(1).eval().asInstanceOf[Int])),
     ("graft_warc_records", "graft.spark.GraftWarcRecords",

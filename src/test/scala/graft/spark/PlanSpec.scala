@@ -146,6 +146,20 @@ class PlanSpec extends AnyFunSuite {
     val projEvals = graft.spark.TextKernels.repetitionEvals.get
     assert(projEvals == nAll,
       s"q_repetition must run once per row: $projEvals evals for $nAll rows")
+    // v2: the trained-model gate (scalar graft_quality_score in the
+    // predicate) obeys the same discipline — at most one eval per
+    // lang-passed row, at least one per survivor
+    graft.spark.TextKernels.qualityModelEvals.set(0)
+    graft.spark.TextKernels.repetitionEvals.set(0)
+    val v2 = graft.SparkEntry.queries("q_clean_pipeline_v2")(spark, sf)
+    v2.write.format("noop").mode("overwrite").save()
+    val v2Rows = v2.count()
+    val mEvals = graft.spark.TextKernels.qualityModelEvals.get
+    val rEvals = graft.spark.TextKernels.repetitionEvals.get
+    assert(mEvals <= langRows && mEvals >= v2Rows,
+      s"v2 model gate must run at most once per lang row: $mEvals for $langRows/$v2Rows")
+    assert(rEvals <= langRows && rEvals >= v2Rows,
+      s"v2 repetition gate must run at most once per lang row: $rEvals for $langRows/$v2Rows")
   }
 
   test("ngram kernel runs once per row through explode (no inferred-filter re-eval)") {
@@ -281,7 +295,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
       "graft_robots_allows", "graft_repetition_ok",
-      "graft_quality_model", "graft_node_table", "graft_bpe_tokens")
+      "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
+      "graft_quality_score")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
