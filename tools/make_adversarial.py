@@ -53,6 +53,15 @@ MUT = {
     137: ("a <b>bold</b> c <div x", KEEP, KEEP),             # markup in text
     139: ("end </script> alive --> ok", KEEP, KEEP),         # rawtext/comment breakers
     149: (KEEP, "sr\"c<&13", KEEP),                          # quote/lt/amp in source
+    # round-7 targets: the trained quality model must see strongly
+    # negative AND strongly positive learned bigrams on the gate (not
+    # just unknown-bucket zeros), and the node-table/attr path must see
+    # seed-vocab words adjacent to markup-ish source content
+    151: ("click here to subscribe now buy now free spins casino bonus",
+          KEEP, KEEP),                                       # bad-seed phrase
+    157: ("the city council approved the new transit plan after a long public debate",
+          KEEP, KEEP),                                       # good-seed phrase
+    163: ("click here the city council approved buy now", KEEP, KEEP),  # mixed signals
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
