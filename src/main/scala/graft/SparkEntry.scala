@@ -303,6 +303,24 @@ object SparkEntry {
           col("n.attrs").as("nattrs"), col("n.offset").as("offset"))
     }),
 
+    // Link extraction (round 7): attribute_by_key (FIRST match,
+    // api.h:1240) + descendant-text aggregation per <a> — the
+    // reference's classic extraction composition. The href rides the
+    // attr decode view (NUL→U+FFFD), the anchor the in-body view (NUL
+    // dropped); the href-less second <a> pins the by-key miss path.
+    "q_html_links" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = escAttr(coalesce(col("source"), lit("")))
+      val txt = escTxt(substring(coalesce(col("text"), lit("")), 1, 6))
+      val html = concat(lit("<p>x</p><a href=\"/u/"), src, lit("\">L"), txt,
+        lit("</a><a name=\"n\">skip</a>"))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+        .select(col("doc_id"), col("l.node_id").as("node_id"),
+          col("l.href").as("href"), col("l.anchor").as("anchor"))
+    }),
+
     // fragment algorithm (reference myhtml_parse_fragment, myhtml.c:240-262):
     // tr context exercises in-row mode + reset-insertion-mode; td context
     // exercises in-cell; textarea context pins the RCDATA content-model
@@ -1671,6 +1689,16 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 6, 5, 3, '#text', 'html', 'text', 'z', '',
         |  CAST(36 + ua + ut AS INT) FROM u""".stripMargin
     },
+
+    // one link row per doc: the a-with-href is pre-order node 5 by
+    // construction ('L' guarantees the anchor text node exists, so ids
+    // never shift); href replays the attr decode view, anchor the
+    // in-body view
+    "q_html_links" ->
+      s"""SELECT doc_id, 5 AS node_id,
+        |  '/u/' || ${sqlTokText("coalesce(source, '')")} AS href,
+        |  'L' || ${sqlBodyText("substr(coalesce(text, ''), 1, 6)")} AS anchor
+        |FROM documents""".stripMargin,
 
     // token offsets are UTF-16 positions over the PREPROCESSED stream
     // (the tokenizer walks a Java string after CRLF→LF): utf16len =

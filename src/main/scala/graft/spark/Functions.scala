@@ -241,6 +241,58 @@ object HtmlUdfs {
     }
   }
 
+  /** Link table: every HTML-namespace `<a>` carrying an href, with its
+    * node id (nodeTable numbering), the DECODED href (attribute_by_key
+    * semantics — FIRST match on the verbatim chain, reference
+    * myhtml_attribute_by_key api.h:1240) and the concatenated
+    * descendant text (document order, Q7 node_text semantics) — the
+    * reference's classic extraction composition as one kernel pass. */
+  val linkStructType: StructType = StructType(Seq(
+    StructField("node_id", IntegerType, nullable = false),
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false)
+  ))
+  val linkArrayType: ArrayType = ArrayType(linkStructType, containsNull = false)
+
+  val linkTableEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def linkTable(html: UTF8String): ArrayData = {
+    linkTableEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var nextId = 0
+      def descText(n: Node, sb: java.lang.StringBuilder): Unit = {
+        if (n.kind == NodeKind.Text) sb.append(n.text)
+        var c = n.firstChild
+        while (c != null) { descText(c, sb); c = c.next }
+      }
+      def walk(n: Node): Unit = {
+        val id = nextId
+        nextId += 1
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML && n.name == "a" &&
+            n.attrs != null) {
+          var i = 0
+          var href: String = null
+          while (href == null && i < n.attrs.length) {
+            if (n.attrs(i).name == "href") href = n.attrs(i).value
+            i += 1
+          }
+          if (href != null) {
+            val sb = new java.lang.StringBuilder
+            descText(n, sb)
+            rows += InternalRow(id, UTF8String.fromString(href),
+              UTF8String.fromString(sb.toString))
+          }
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** Full interleaved-document kernel over a spans ArrayData — the
     * columnar fast path: no Dataset object codec on either side
     * (DocKernel semantics; text/media spans pass through without even
@@ -652,6 +704,21 @@ case class GraftNodeTable(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftNodeTable =
     copy(child = newChild)
   override def prettyName: String = "graft_node_table"
+}
+
+/** Link extraction: `graft_link_table(html)` → array<struct<node_id,
+  * href,anchor>> — one parse per row; explode with outer+isNotNull. */
+case class GraftLinkTable(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.linkArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.linkTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.linkTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftLinkTable =
+    copy(child = newChild)
+  override def prettyName: String = "graft_link_table"
 }
 
 /** The whole per-document kernel as one codegen-friendly expression:

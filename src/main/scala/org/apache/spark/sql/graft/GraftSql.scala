@@ -23,6 +23,7 @@ object GraftSql {
     ("tokenize_html", "graft.spark.TokenizeHtml", args => TokenizeHtml(args.head)),
     ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head)),
     ("graft_node_table", "graft.spark.GraftNodeTable", args => GraftNodeTable(args.head)),
+    ("graft_link_table", "graft.spark.GraftLinkTable", args => GraftLinkTable(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",
