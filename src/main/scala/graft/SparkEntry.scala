@@ -321,6 +321,59 @@ object SparkEntry {
           col("l.href").as("href"), col("l.anchor").as("anchor"))
     }),
 
+    // Page metadata extraction (round 7 cont.): title / html@lang /
+    // base / link rel=canonical / meta description|robots / og:title in
+    // ONE parse — every field FIRST-match in pre-order, attr lookup
+    // first-on-the-verbatim-chain (api.h:1240). The uppercase NAME= and
+    // rel="Canonical" pin ASCII-case-insensitive matching (TextNorm
+    // canon); the duplicate description meta pins first-wins; the
+    // second <title> pins pre-order-first. Attr values ride the attr
+    // decode view, title the RCDATA view (both NUL→U+FFFD).
+    "q_html_meta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lng = escAttr(coalesce(col("lang"), lit("")))
+      val ttl = escTxt(substring(coalesce(col("text"), lit("")), 1, 12))
+      val dsc = escAttr(substring(coalesce(col("text"), lit("")), 13, 10))
+      val src = escAttr(coalesce(col("source"), lit("")))
+      val html = concat(
+        lit("<html lang=\""), lng,
+        lit("\"><head><title>T"), ttl,
+        lit("</title><meta name=\"description\" content=\"D"), dsc,
+        lit("\"><meta NAME=\"Description\" content=\"dup\">"),
+        lit("<meta property=\"og:title\" content=\"O"), lng,
+        lit("\"><meta name=\"robots\" content=\"noindex, follow\">"),
+        lit("<base href=\"/b/\"><link rel=\"Canonical\" href=\"/c/"), src,
+        lit("\"><title>second</title></head><body>x</body></html>"))
+      d.select(col("doc_id"), call_function("graft_page_meta", html).as("m"))
+        .select(col("doc_id"),
+          col("m.title").as("title"), col("m.lang").as("lang"),
+          col("m.base").as("base"), col("m.canonical").as("canonical"),
+          col("m.description").as("description"), col("m.robots").as("robots"),
+          col("m.og_title").as("og_title"), col("m.meta_count").as("meta_count"))
+    }),
+
+    // Table extraction (round 7 cont.): cells → (table_id, row_id,
+    // col_id, is_header, text) relational rows. The colspan-2 A-cell
+    // puts B at grid column 2; the nested table pins nearest-ancestor
+    // row assignment + its own pre-order table_id; 'XY' pins
+    // descendant-text inclusion across the nested table.
+    "q_html_tables" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = escTxt(substring(coalesce(col("text"), lit("")), 1, 6))
+      val b = escTxt(coalesce(col("source"), lit("")))
+      val html = concat(
+        lit("<table><tr><th>H</th><th>I</th></tr><tr><td colspan=\"2\">A"), a,
+        lit("</td><td>B"), b,
+        lit("</td></tr></table><p>gap</p>"),
+        lit("<table><tr><td>X<table><tr><td>Y</td></tr></table></td></tr></table>"))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_table_cells", html)).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), col("c.table_id").as("table_id"),
+          col("c.row_id").as("row_id"), col("c.col_id").as("col_id"),
+          col("c.is_header").as("is_header"), col("c.text").as("cell_text"))
+    }),
+
     // fragment algorithm (reference myhtml_parse_fragment, myhtml.c:240-262):
     // tr context exercises in-row mode + reset-insertion-mode; td context
     // exercises in-cell; textarea context pins the RCDATA content-model
@@ -1699,6 +1752,36 @@ object SparkEntry {
         |  '/u/' || ${sqlTokText("coalesce(source, '')")} AS href,
         |  'L' || ${sqlBodyText("substr(coalesce(text, ''), 1, 6)")} AS anchor
         |FROM documents""".stripMargin,
+
+    // every field replays the construction through the parser-visible
+    // views: attr values + RCDATA title both decode NUL→U+FFFD
+    // (sqlTokText); the static metas/base are constants; meta_count = 4
+    "q_html_meta" ->
+      s"""SELECT doc_id,
+        |  'T' || ${sqlTokText("substr(coalesce(text,''),1,12)")} AS title,
+        |  ${sqlTokText("coalesce(lang,'')")} AS lang,
+        |  '/b/' AS base,
+        |  '/c/' || ${sqlTokText("coalesce(source,'')")} AS canonical,
+        |  'D' || ${sqlTokText("substr(coalesce(text,''),13,10)")} AS description,
+        |  'noindex, follow' AS robots,
+        |  'O' || ${sqlTokText("coalesce(lang,'')")} AS og_title,
+        |  4 AS meta_count
+        |FROM documents""".stripMargin,
+
+    // six construction rows per doc: header row, colspan row (B at grid
+    // col 2), the two nested-table rows; cell text rides the in-body
+    // view (NUL dropped)
+    "q_html_tables" -> {
+      val a = sqlBodyText("substr(coalesce(text,''),1,6)")
+      val b = sqlBodyText("coalesce(source,'')")
+      s"""SELECT doc_id, 0 AS table_id, 0 AS row_id, 0 AS col_id, 1 AS is_header,
+        |  'H' AS cell_text FROM documents
+        |UNION ALL SELECT doc_id, 0, 0, 1, 1, 'I' FROM documents
+        |UNION ALL SELECT doc_id, 0, 1, 0, 0, 'A' || $a FROM documents
+        |UNION ALL SELECT doc_id, 0, 1, 2, 0, 'B' || $b FROM documents
+        |UNION ALL SELECT doc_id, 1, 0, 0, 0, 'XY' FROM documents
+        |UNION ALL SELECT doc_id, 2, 0, 0, 0, 'Y' FROM documents""".stripMargin
+    },
 
     // token offsets are UTF-16 positions over the PREPROCESSED stream
     // (the tokenizer walks a Java string after CRLF→LF): utf16len =

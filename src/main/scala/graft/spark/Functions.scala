@@ -293,6 +293,199 @@ object HtmlUdfs {
     }
   }
 
+  /** First attribute value on the verbatim chain (the reference's
+    * myhtml_attribute_by_key FIRST-match semantics, api.h:1240), or
+    * null when the key is absent. */
+  private def firstAttrVal(n: Node, key: String): String = {
+    if (n.attrs == null) return null
+    var i = 0
+    while (i < n.attrs.length) {
+      if (n.attrs(i).name == key) return n.attrs(i).value
+      i += 1
+    }
+    null
+  }
+
+  private def descTextOf(n: Node, sb: java.lang.StringBuilder): Unit = {
+    if (n.kind == NodeKind.Text) sb.append(n.text)
+    var c = n.firstChild
+    while (c != null) { descTextOf(c, sb); c = c.next }
+  }
+
+  /** Page metadata: `graft_page_meta(html)` → struct(title, lang, base,
+    * canonical, description, robots, og_title, meta_count) — the crawl
+    * pipeline's standard per-page header extraction (title / html@lang /
+    * base@href / link rel=canonical / meta description / meta robots /
+    * og:title) in ONE parse. Semantics (each a reference composition):
+    *  - every field is FIRST match in document pre-order; attribute
+    *    lookup is first-on-the-verbatim-chain (api.h:1240);
+    *  - title = concatenated descendant text of the first HTML-ns
+    *    `<title>` (RCDATA content — entities decoded, NUL → U+FFFD);
+    *  - meta name / link rel matching is ASCII-case-insensitive
+    *    (TextNorm canon — never Java toLowerCase); rel is a
+    *    whitespace-separated token list per the HTML spec;
+    *  - canonical requires BOTH a rel containing the `canonical` token
+    *    AND an href — a rel-only link does not consume the slot;
+    *  - absent fields are '' (total function); meta_count counts
+    *    HTML-ns `<meta>` elements.
+    */
+  val pageMetaStructType: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("base", StringType, nullable = false),
+    StructField("canonical", StringType, nullable = false),
+    StructField("description", StringType, nullable = false),
+    StructField("robots", StringType, nullable = false),
+    StructField("og_title", StringType, nullable = false),
+    StructField("meta_count", IntegerType, nullable = false)
+  ))
+
+  val pageMetaEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def pageMeta(html: UTF8String): InternalRow = {
+    pageMetaEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      var title: String = null; var lang: String = null
+      var base: String = null; var canonical: String = null
+      var descr: String = null; var robots: String = null
+      var og: String = null; var metaCount = 0
+      def relHasToken(rel: String, tok: String): Boolean = {
+        val toks = graft.ops.TextNorm.tokens(graft.ops.TextNorm.asciiLower(rel))
+        var i = 0
+        while (i < toks.length) { if (toks(i) == tok) return true; i += 1 }
+        false
+      }
+      def walk(n: Node): Unit = {
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
+          n.name match {
+            case "html" =>
+              if (lang == null) lang = firstAttrVal(n, "lang")
+            case "title" =>
+              if (title == null) {
+                val sb = new java.lang.StringBuilder
+                descTextOf(n, sb)
+                title = sb.toString
+              }
+            case "base" =>
+              if (base == null) base = firstAttrVal(n, "href")
+            case "link" =>
+              if (canonical == null) {
+                val rel = firstAttrVal(n, "rel")
+                if (rel != null && relHasToken(rel, "canonical"))
+                  canonical = firstAttrVal(n, "href")
+              }
+            case "meta" =>
+              metaCount += 1
+              val content = firstAttrVal(n, "content")
+              if (content != null) {
+                val nm = firstAttrVal(n, "name")
+                if (nm != null) {
+                  val ln = graft.ops.TextNorm.asciiLower(nm)
+                  if (ln == "description" && descr == null) descr = content
+                  else if (ln == "robots" && robots == null) robots = content
+                }
+                val prop = firstAttrVal(n, "property")
+                if (prop != null && og == null &&
+                    graft.ops.TextNorm.asciiLower(prop) == "og:title")
+                  og = content
+              }
+            case _ =>
+          }
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      @inline def s(x: String) = UTF8String.fromString(if (x == null) "" else x)
+      InternalRow(s(title), s(lang), s(base), s(canonical), s(descr),
+        s(robots), s(og), metaCount)
+    }
+  }
+
+  /** HTML tables → relational cell rows: `graft_table_cells(html)` →
+    * array<struct<table_id,row_id,col_id,is_header,text>> — the data
+    * extraction counterpart of the node table. Conventions:
+    *  - table_id = pre-order ordinal over HTML-ns `<table>` elements
+    *    (nested tables get their own id);
+    *  - a `<tr>` belongs to its NEAREST ancestor table (the tree
+    *    builder has already normalized sections/fostering, so rows
+    *    assigned here match the reference's post-parse tree); row_id is
+    *    the ordinal within that table;
+    *  - cells are direct `<td>`/`<th>` children of the row (in-cell
+    *    tree construction guarantees this shape); col_id advances by
+    *    the preceding cells' colspan (leading-digits parse, default 1,
+    *    clamped to [1,1000] — the HTML spec bound); rowspan occupancy
+    *    is NOT simulated (documented: col_id is the source-order grid
+    *    column of this row alone);
+    *  - text = concatenated descendant text (Q7 node_text semantics;
+    *    nested-table text included — the cell's full visible content).
+    */
+  val tableCellStructType: StructType = StructType(Seq(
+    StructField("table_id", IntegerType, nullable = false),
+    StructField("row_id", IntegerType, nullable = false),
+    StructField("col_id", IntegerType, nullable = false),
+    StructField("is_header", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)
+  ))
+  val tableCellArrayType: ArrayType = ArrayType(tableCellStructType, containsNull = false)
+
+  val tableCellsEvals = new java.util.concurrent.atomic.AtomicLong
+
+  private def colspanOf(cell: Node): Int = {
+    val v = firstAttrVal(cell, "colspan")
+    if (v == null) return 1
+    var i = 0
+    while (i < v.length && (v.charAt(i) == ' ' || v.charAt(i) == '\t' ||
+      v.charAt(i) == '\n' || v.charAt(i) == '\f' || v.charAt(i) == '\r')) i += 1
+    var x = 0; var any = false
+    while (i < v.length && v.charAt(i) >= '0' && v.charAt(i) <= '9' && x <= 1000) {
+      x = x * 10 + (v.charAt(i) - '0'); any = true; i += 1
+    }
+    if (!any || x < 1) 1 else math.min(x, 1000)
+  }
+
+  def tableCells(html: UTF8String): ArrayData = {
+    tableCellsEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var nextTableId = 0
+      // stack of (tableId, nextRowId) for nearest-ancestor assignment
+      val tStack = new scala.collection.mutable.ArrayBuffer[Array[Int]](4)
+      def walk(n: Node): Unit = {
+        var pushed = false
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
+          if (n.name == "table") {
+            tStack += Array(nextTableId, 0); nextTableId += 1; pushed = true
+          } else if (n.name == "tr" && tStack.nonEmpty) {
+            val top = tStack(tStack.length - 1)
+            val rowId = top(1); top(1) += 1
+            var col = 0
+            var c = n.firstChild
+            while (c != null) {
+              if (c.kind == NodeKind.Element && c.ns == Ns.HTML &&
+                  (c.name == "td" || c.name == "th")) {
+                val sb = new java.lang.StringBuilder
+                descTextOf(c, sb)
+                rows += InternalRow(top(0), rowId, col,
+                  if (c.name == "th") 1 else 0,
+                  UTF8String.fromString(sb.toString))
+                col += colspanOf(c)
+              }
+              c = c.next
+            }
+          }
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+        if (pushed) tStack.remove(tStack.length - 1)
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** Full interleaved-document kernel over a spans ArrayData — the
     * columnar fast path: no Dataset object codec on either side
     * (DocKernel semantics; text/media spans pass through without even
@@ -721,6 +914,41 @@ case class GraftLinkTable(child: Expression)
   override def prettyName: String = "graft_link_table"
 }
 
+/** Page metadata: `graft_page_meta(html)` → struct(title, lang, base,
+  * canonical, description, robots, og_title, meta_count) — one parse
+  * per row (counter-pinned). Access fields by projection; to FILTER on
+  * a field, project it first (the struct-getField predicate collapse
+  * re-evals the kernel — the graft_repetition lesson). */
+case class GraftPageMeta(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.pageMetaStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.pageMeta(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.pageMeta($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftPageMeta =
+    copy(child = newChild)
+  override def prettyName: String = "graft_page_meta"
+}
+
+/** Table extraction: `graft_table_cells(html)` → array<struct<table_id,
+  * row_id,col_id,is_header,text>> — one parse per row; explode with the
+  * outer+isNotNull discipline (plain explode triple-evals the kernel
+  * via InferFiltersFromGenerate). */
+case class GraftTableCells(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.tableCellArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.tableCells(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.tableCells($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftTableCells =
+    copy(child = newChild)
+  override def prettyName: String = "graft_table_cells"
+}
+
 /** The whole per-document kernel as one codegen-friendly expression:
   * array<struct<kind,text,media_ref,offset>> -> same type, extracted.
   * Columnar in/out — the scan's UnsafeArrayData flows straight in, no
@@ -1134,6 +1362,8 @@ object GraftFunctions {
   def tokenize_html(c: Column): Column = call_function("tokenize_html", c)
   def parse_html_nodes(c: Column): Column = call_function("parse_html_nodes", c)
   def graft_node_table(c: Column): Column = call_function("graft_node_table", c)
+  def graft_page_meta(c: Column): Column = call_function("graft_page_meta", c)
+  def graft_table_cells(c: Column): Column = call_function("graft_table_cells", c)
   def extract_interleaved_spans(c: Column): Column =
     call_function("extract_interleaved_spans", c)
   def parse_fragment_text(html: Column, context: Column): Column =

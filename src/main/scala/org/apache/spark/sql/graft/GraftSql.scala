@@ -24,6 +24,8 @@ object GraftSql {
     ("parse_html_nodes", "graft.spark.ParseHtmlNodes", args => ParseHtmlNodes(args.head)),
     ("graft_node_table", "graft.spark.GraftNodeTable", args => GraftNodeTable(args.head)),
     ("graft_link_table", "graft.spark.GraftLinkTable", args => GraftLinkTable(args.head)),
+    ("graft_page_meta", "graft.spark.GraftPageMeta", args => GraftPageMeta(args.head)),
+    ("graft_table_cells", "graft.spark.GraftTableCells", args => GraftTableCells(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",

@@ -296,7 +296,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
       "graft_robots_allows", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
-      "graft_quality_score", "graft_link_table")
+      "graft_quality_score", "graft_link_table",
+      "graft_page_meta", "graft_table_cells")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
