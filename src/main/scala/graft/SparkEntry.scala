@@ -1176,6 +1176,31 @@ object SparkEntry {
     // The DuckDB oracle reconstructs every expected record directly
     // from the same construction arithmetic — any drift in framing,
     // header parse, HTTP split, or charset extraction breaks the hash.
+    // WARC COMPOSITION (round 7 cont.) — the WRITE path: compose a
+    // deterministic WARC/1.0 response record per document and round-trip
+    // it through the Content-Length-framed reader in the same query.
+    // Determinism is the point: octet_length framing, md5 block digest,
+    // md5-derived urn:uuid record id (a random UUID would break task
+    // retries AND the oracle). The 'B' prefix keeps the body from ever
+    // starting with a BOM (which would override the charset on re-decode
+    // and strip itself — breaking round-trip equality).
+    "q_warc_compose" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uri = concat(lit("https://ex.com/"), coalesce(col("source"), lit("")))
+      val date = lit("2026-01-01T00:00:00Z")
+      val body = concat(lit("B"), coalesce(col("text"), lit("")))
+      val rec = call_function("graft_warc_compose", uri, date, body)
+      val parsed = call_function("graft_warc_records", encode(rec, "UTF-8"))
+      val r0 = element_at(parsed, 1)
+      d.select(col("doc_id"), rec.as("record"),
+        r0.getField("uri").as("rt_uri"),
+        r0.getField("status").as("rt_status"),
+        r0.getField("mime").as("rt_mime"),
+        r0.getField("charset").as("rt_charset"),
+        r0.getField("body").as("rt_body"),
+        r0.getField("ok").cast("int").as("rt_ok"))
+    }),
+
     "q_warc" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
@@ -2515,6 +2540,41 @@ object SparkEntry {
     // construction arithmetic (family routing, header/HTTP framing,
     // mime/charset split, truncation prefix) — the kernel must recover
     // them from the bytes; see the query doc for the family map
+    // the oracle REBUILDS the record from the construction arithmetic
+    // (strlen = UTF-8 octets; DuckDB md5 hashes the same bytes the JVM
+    // digest does) and replays the round-trip fields directly from the
+    // construction — the reader side is already gated by q_warc/_extract
+    "q_warc_compose" -> {
+      val cr = "chr(13) || chr(10)"
+      val cleanSrc = "replace(replace(replace(replace(coalesce(source, ''), " +
+        "chr(13), ''), chr(10), ''), chr(0), ''), ' ', '')"
+      s"""WITH b AS (SELECT doc_id,
+        |  'https://ex.com/' || $cleanSrc AS uri,
+        |  'B' || coalesce(text, '') AS body FROM documents),
+        |p AS (SELECT doc_id, uri, body,
+        |  'HTTP/1.1 200 OK' || $cr ||
+        |  'Content-Type: text/html; charset=utf-8' || $cr ||
+        |  'Content-Length: ' || strlen(body) || $cr || $cr || body AS payload
+        |  FROM b),
+        |m AS (SELECT doc_id, uri, body, payload,
+        |  md5(uri || ' ' || '2026-01-01T00:00:00Z') AS idh FROM p)
+        |SELECT doc_id,
+        |  'WARC/1.0' || $cr ||
+        |  'WARC-Type: response' || $cr ||
+        |  'WARC-Record-ID: <urn:uuid:' || substr(idh, 1, 8) || '-' ||
+        |    substr(idh, 9, 4) || '-' || substr(idh, 13, 4) || '-' ||
+        |    substr(idh, 17, 4) || '-' || substr(idh, 21, 12) || '>' || $cr ||
+        |  'WARC-Date: 2026-01-01T00:00:00Z' || $cr ||
+        |  'WARC-Target-URI: ' || uri || $cr ||
+        |  'WARC-Block-Digest: md5:' || md5(payload) || $cr ||
+        |  'Content-Type: application/http; msgtype=response' || $cr ||
+        |  'Content-Length: ' || strlen(payload) || $cr || $cr ||
+        |  payload || $cr || $cr AS record,
+        |  uri AS rt_uri, 200 AS rt_status, 'text/html' AS rt_mime,
+        |  'utf-8' AS rt_charset, body AS rt_body, 1 AS rt_ok
+        |FROM m""".stripMargin
+    },
+
     "q_warc" ->
       """WITH b AS (SELECT doc_id, md5(coalesce(text, '')) AS h,
         |  md5(coalesce(text, '') || 'x') AS h2,

@@ -325,6 +325,68 @@ object WarcUdfs {
     } catch {
       case _: Throwable => new GenericArrayData(Array.empty[Any])
     }
+
+  private def md5HexStr(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes(Utf8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** WARC record COMPOSITION — the write path that round-trips through
+    * `splitRecords`. Emits one `WARC/1.0` response record wrapping the
+    * body in an HTTP/1.1 200 message (Content-Type text/html;
+    * charset=utf-8), with:
+    *  - Content-Length = OCTET length of the payload (UTF-8 bytes — the
+    *    q_warc_extract lesson: codepoint length misframes non-ASCII);
+    *  - WARC-Block-Digest = md5 of the payload bytes;
+    *  - a DETERMINISTIC WARC-Record-ID: urn:uuid formatted from
+    *    md5(uri + ' ' + date) — retry-stable at scale (a random UUID
+    *    would break task-retry idempotence AND the DuckDB oracle);
+    *  - uri/date sanitized of CR/LF/NUL (header injection — a crawl URL
+    *    must not be able to forge headers) and of SPACE (invalid in a
+    *    URI, and it keeps the record-ID hash input `uri + ' ' + date`
+    *    unambiguous); the body needs NO sanitization because framing is
+    *    byte-count, never content scan.
+    * All strings; callers needing bytes wrap in encode(..., 'UTF-8')
+    * (which is exactly how the round-trip query feeds splitRecords). */
+  def compose(uri0: UTF8String, date0: UTF8String, body: UTF8String): UTF8String = {
+    def clean(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c != '\r' && c != '\n' && c != '\u0000' && c != ' ') sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    val uri = clean(uri0.toString)
+    val date = clean(date0.toString)
+    val bodyStr = body.toString
+    val crlf = "\r\n"
+    val payload = "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=utf-8" + crlf +
+      "Content-Length: " + bodyStr.getBytes(Utf8).length + crlf + crlf + bodyStr
+    val h = md5HexStr(uri + " " + date)
+    val uuid = h.substring(0, 8) + "-" + h.substring(8, 12) + "-" +
+      h.substring(12, 16) + "-" + h.substring(16, 20) + "-" + h.substring(20, 32)
+    val rec = "WARC/1.0" + crlf +
+      "WARC-Type: response" + crlf +
+      "WARC-Record-ID: <urn:uuid:" + uuid + ">" + crlf +
+      "WARC-Date: " + date + crlf +
+      "WARC-Target-URI: " + uri + crlf +
+      "WARC-Block-Digest: md5:" + md5HexStr(payload) + crlf +
+      "Content-Type: application/http; msgtype=response" + crlf +
+      "Content-Length: " + payload.getBytes(Utf8).length + crlf + crlf +
+      payload + crlf + crlf
+    UTF8String.fromString(rec)
+  }
 }
 
 /** `graft_robots_allows(robots_txt, agent, path)` → may the agent
@@ -377,4 +439,24 @@ case class GraftWarcIndex(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftWarcIndex =
     copy(child = newChild)
   override def prettyName: String = "graft_warc_index"
+}
+
+/** `graft_warc_compose(uri, date, body)` → one WARC/1.0 response record
+  * as a string — see [[WarcUdfs.compose]] for the framing/digest/
+  * deterministic-record-id contract. Round-trips through
+  * `graft_warc_records(encode(..., 'UTF-8'))`. */
+case class GraftWarcCompose(first: Expression, second: Expression,
+                            third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(u: Any, d: Any, b: Any): Any =
+    WarcUdfs.compose(u.asInstanceOf[UTF8String], d.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, d, b) => s"graft.spark.WarcUdfs.compose($u, $d, $b)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): GraftWarcCompose =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "graft_warc_compose"
 }

@@ -83,6 +83,8 @@ object GraftSql {
       args => GraftWarcRecords(args.head)),
     ("graft_warc_index", "graft.spark.GraftWarcIndex",
       args => GraftWarcIndex(args.head)),
+    ("graft_warc_compose", "graft.spark.GraftWarcCompose",
+      args => GraftWarcCompose(args(0), args(1), args(2))),
     ("graft_robots_allows", "graft.spark.GraftRobotsAllows",
       args => GraftRobotsAllows(args(0), args(1), args(2))),
     // multimodal: real image-container header decode (round 4)

@@ -297,7 +297,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_robots_allows", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
-      "graft_page_meta", "graft_table_cells")
+      "graft_page_meta", "graft_table_cells", "graft_warc_compose")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 

@@ -187,4 +187,51 @@ class WarcSpec extends AnyFunSuite {
     // totality: every prefix indexes without throwing
     (0 until r1.length).foreach(n => index(r1.getBytes(Utf8).take(n)))
   }
+
+  private def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  test("compose round-trips through splitRecords") {
+    // non-ASCII body: framing must count UTF-8 octets, not codepoints —
+    // a codepoint count would truncate the payload and fail the parse
+    val body = "Bcafé 中文  end"
+    val rec = WarcUdfs.compose(u("https://e.com/a"), u("2026-01-01T00:00:00Z"),
+      u(body)).toString
+    val rs = split(rec.getBytes(Utf8))
+    assert(rs.size == 1)
+    val r = rs.head
+    assert(r.ok && r.warcType == "response" && r.uri == "https://e.com/a")
+    assert(r.status == 200 && r.mime == "text/html" && r.charset == "utf-8")
+    assert(r.body == body)
+    // two composed records concatenated stay framed (the WARC-file shape)
+    val two = rec + WarcUdfs.compose(u("https://e.com/b"),
+      u("2026-01-01T00:00:00Z"), u("Bsecond WARC/1.0 inside")).toString
+    val both = split(two.getBytes(Utf8))
+    assert(both.size == 2 && both.forall(_.ok) &&
+      both(1).body == "Bsecond WARC/1.0 inside")
+  }
+
+  test("compose: deterministic id, digest, header sanitization") {
+    val a = WarcUdfs.compose(u("https://e.com/x"), u("2026-01-01T00:00:00Z"), u("Bb")).toString
+    val b = WarcUdfs.compose(u("https://e.com/x"), u("2026-01-01T00:00:00Z"), u("Bb")).toString
+    assert(a == b) // retry-stable
+    assert(a.contains("WARC-Record-ID: <urn:uuid:") &&
+      "urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}".r
+        .findFirstIn(a).isDefined)
+    // header-injection attempt: CR/LF/NUL/space are stripped from the URI,
+    // so the forged header never becomes a header line
+    val evil = WarcUdfs.compose(
+      u("https://e.com/\r\nWARC-Type: forged  x"),
+      u("2026-01-01T00:00:00Z"), u("Bb")).toString
+    assert(evil.contains("WARC-Target-URI: https://e.com/WARC-Type:forgedx\r\n"))
+    val parsed = split(evil.getBytes(Utf8))
+    assert(parsed.size == 1 && parsed.head.ok &&
+      parsed.head.warcType == "response")
+    // block digest matches an independent md5 of the payload octets
+    val rec = a
+    val payloadStart = rec.indexOf("\r\n\r\n") + 4
+    val payload = rec.substring(payloadStart, rec.length - 4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes(Utf8)).map("%02x".format(_)).mkString
+    assert(rec.contains(s"WARC-Block-Digest: md5:$md"))
+  }
 }
