@@ -2546,8 +2546,13 @@ object SparkEntry {
     // construction — the reader side is already gated by q_warc/_extract
     "q_warc_compose" -> {
       val cr = "chr(13) || chr(10)"
-      val cleanSrc = "replace(replace(replace(replace(coalesce(source, ''), " +
-        "chr(13), ''), chr(10), ''), chr(0), ''), ' ', '')"
+      // compose sanitizes uri of EVERY char <= U+0020 (C0 controls +
+      // space) — the explicit class, never \s (TextNorm canon): a VT
+      // surviving into the header made the round-trip rt_uri diverge
+      // from this replay on the adversarial corpus (Java-trim class vs
+      // oracle replace set)
+      val cleanSrc =
+        "regexp_replace(coalesce(source, ''), '[\\x00-\\x20]', '', 'g')"
       s"""WITH b AS (SELECT doc_id,
         |  'https://ex.com/' || $cleanSrc AS uri,
         |  'B' || coalesce(text, '') AS body FROM documents),

@@ -96,6 +96,21 @@ object WarcUdfs {
     InternalRow(u(warcType), u(uri), u(recordId), length, status,
       u(mime), u(charset), u(body), ok)
 
+  /** RFC 7230 OWS trim: strip SP/HTAB only. NEVER String.trim here —
+    * it strips every char <= U+0020 (VT, FF, ...), which is the
+    * TextNorm-canon trap: a control char inside a header value would
+    * round-trip differently through write/parse than through an
+    * oracle's replay (the adversarial-corpus VT catch on
+    * q_warc_compose). Within a CRLF-split line SP/HTAB are the only
+    * legal whitespace anyway. */
+  private def owsTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && (s.charAt(a) == ' ' || s.charAt(a) == '\t')) a += 1
+    while (b > a && (s.charAt(b - 1) == ' ' || s.charAt(b - 1) == '\t')) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   /** Header lines (after the version line) → lowercase-name map; the
     * last occurrence of a repeated name wins (WARC headers are unique in
     * practice; verbatim-chain semantics are an HTML-attr concern, not a
@@ -111,8 +126,8 @@ object WarcUdfs {
       val line = text.substring(start, eol)
       val c = line.indexOf(':')
       if (c > 0) {
-        m += (line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-          -> line.substring(c + 1).trim)
+        m += (owsTrim(line.substring(0, c)).toLowerCase(java.util.Locale.ROOT)
+          -> owsTrim(line.substring(c + 1)))
       }
       start = eol + 2
     }
@@ -170,13 +185,13 @@ object WarcUdfs {
       if (eol + 2 <= headText.length) headText.substring(eol + 2) else "")
     val ct = headers.getOrElse("content-type", "")
     val semi = ct.indexOf(';')
-    val mime = (if (semi < 0) ct else ct.substring(0, semi)).trim
+    val mime = owsTrim(if (semi < 0) ct else ct.substring(0, semi))
     val charset = {
       val lower = ct.toLowerCase(java.util.Locale.ROOT)
       val at = lower.indexOf("charset=")
       if (at < 0) ""
       else {
-        val rest = lower.substring(at + 8).trim.stripPrefix("\"")
+        val rest = owsTrim(lower.substring(at + 8)).stripPrefix("\"")
         val end = rest.indexWhere(c => c == ';' || c == ' ' || c == '"')
         if (end < 0) rest else rest.substring(0, end)
       }
@@ -348,11 +363,16 @@ object WarcUdfs {
     *  - a DETERMINISTIC WARC-Record-ID: urn:uuid formatted from
     *    md5(uri + ' ' + date) — retry-stable at scale (a random UUID
     *    would break task-retry idempotence AND the DuckDB oracle);
-    *  - uri/date sanitized of CR/LF/NUL (header injection — a crawl URL
-    *    must not be able to forge headers) and of SPACE (invalid in a
-    *    URI, and it keeps the record-ID hash input `uri + ' ' + date`
-    *    unambiguous); the body needs NO sanitization because framing is
-    *    byte-count, never content scan.
+    *  - uri/date sanitized of EVERY char <= U+0020 — CR/LF/NUL are
+    *    header injection (a crawl URL must not be able to forge
+    *    headers), SPACE is invalid in a URI and keeps the record-ID
+    *    hash input `uri + ' ' + date` unambiguous, and the remaining
+    *    C0 controls (TAB/VT/FF/...) are both URI-invalid and the
+    *    round-trip hazard: a control char surviving into a header
+    *    value makes the written record disagree with any re-parse
+    *    that trims it (the adversarial-corpus VT catch). The body
+    *    needs NO sanitization because framing is byte-count, never
+    *    content scan.
     * All strings; callers needing bytes wrap in encode(..., 'UTF-8')
     * (which is exactly how the round-trip query feeds splitRecords). */
   def compose(uri0: UTF8String, date0: UTF8String, body: UTF8String): UTF8String = {
@@ -361,7 +381,7 @@ object WarcUdfs {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c != '\r' && c != '\n' && c != '\u0000' && c != ' ') sb.append(c)
+        if (c > ' ') sb.append(c)
         i += 1
       }
       sb.toString

@@ -217,10 +217,12 @@ class WarcSpec extends AnyFunSuite {
     assert(a.contains("WARC-Record-ID: <urn:uuid:") &&
       "urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}".r
         .findFirstIn(a).isDefined)
-    // header-injection attempt: CR/LF/NUL/space are stripped from the URI,
-    // so the forged header never becomes a header line
+    // header-injection attempt: every char <= U+0020 is stripped from
+    // the URI (CR/LF = injection; NUL/space/TAB/VT/FF = URI-invalid AND
+    // the round-trip trap: a control char in a header value re-parses
+    // differently than an oracle replays it — the adversarial VT catch)
     val evil = WarcUdfs.compose(
-      u("https://e.com/\r\nWARC-Type: forged  x"),
+      u("https://e.com/\r\nWARC-Type: forged \t\u000b\f x"),
       u("2026-01-01T00:00:00Z"), u("Bb")).toString
     assert(evil.contains("WARC-Target-URI: https://e.com/WARC-Type:forgedx\r\n"))
     val parsed = split(evil.getBytes(Utf8))
