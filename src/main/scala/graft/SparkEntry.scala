@@ -1550,6 +1550,37 @@ object SparkEntry {
         .select(col("doc_id"), col("url"))
     }),
 
+    // PSL registrable domain (round 7 cont.): suffix-rule resolution
+    // over the checked-in public-suffix snapshot (ops.Psl). Six rotated
+    // suffix families over the corpus hit exact gTLD, wildcard (*.ck /
+    // *.np), registry second-level (co.uk) and private-section
+    // (github.io) rules; the planted rows pin the exception rule
+    // (!www.ck beats *.ck), longest-match (blogspot.com over com),
+    // host==public-suffix totality, normalization (case + trailing
+    // dot), and 3-label private suffixes (s3.amazonaws.com). The
+    // oracle replays PSL matching INDEPENDENTLY from the generated rule
+    // VALUES table (suffix enumeration + exception-first longest-match
+    // via QUALIFY row_number — the QualityModel generated-literal
+    // pattern, so the two sides cannot drift).
+    "q_url_psl" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val bases = Seq("example.com", "foo.ck", "co.uk", "github.io", "org", "x.np")
+      val base = element_at(array(bases.map(lit): _*),
+        pmod(col("doc_id"), lit(bases.length)).cast("int") + 1)
+      val host = concat(lit("h"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+        lit("."), base)
+      val fromDocs = d.select(col("doc_id"), host.as("host"))
+      val planted = Seq(
+        (-1L, "www.ck"), (-2L, "x.www.ck"), (-3L, "a.b.co.uk"), (-4L, "uk"),
+        (-5L, "blogspot.com"), (-6L, "Sub.Example.COM."),
+        (-7L, "deep.x.y.ck"), (-8L, "s3.amazonaws.com"),
+        (-9L, "b.s3.amazonaws.com")).toDF("doc_id", "host")
+      fromDocs.union(planted).select(col("doc_id"), col("host"),
+        call_function("graft_registrable_domain", col("host")).as("registrable"))
+    }),
+
     // robots.txt evaluation (round 5): RFC 9309 longest-match with
     // wildcards/$-anchors and specific-agent-over-* group selection;
     // six path families × two agents hit every decision branch, and the
@@ -2905,6 +2936,53 @@ object SparkEntry {
         |    WHEN 2 THEN 'good.org' WHEN 3 THEN 'sub.bad.co.uk'
         |    ELSE 'ok.net' END || '/p/' || CAST(doc_id AS VARCHAR) AS url
         |FROM documents WHERE doc_id % 5 IN (2, 4)""".stripMargin,
+
+    // independent PSL replay: enumerate every label-suffix of the
+    // normalized host, join the generated rule table (exact/exception
+    // match the suffix; a wildcard with nlab base labels matches
+    // (nlab+1)-label suffixes by their tail), prevail exception-first
+    // then longest (QUALIFY row_number — never ordered-first), default
+    // to the implicit '*' rule (ps=1), registrable = last
+    // min(ps+1, n) labels
+    "q_url_psl" -> {
+      val lower = graft.ops.TextNorm.sqlLower("host")
+      s"""WITH hsrc AS (
+        |  SELECT doc_id, 'h' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |    || '.' || CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 0 THEN 'example.com' WHEN 1 THEN 'foo.ck'
+        |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'github.io'
+        |      WHEN 4 THEN 'org' ELSE 'x.np' END AS host
+        |  FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), 'www.ck'), (-2, 'x.www.ck'),
+        |    (-3, 'a.b.co.uk'), (-4, 'uk'), (-5, 'blogspot.com'),
+        |    (-6, 'Sub.Example.COM.'), (-7, 'deep.x.y.ck'),
+        |    (-8, 's3.amazonaws.com'), (-9, 'b.s3.amazonaws.com'))
+        |    v(doc_id, host)),
+        |l AS (SELECT doc_id, host,
+        |  string_split(rtrim($lower, '.'), '.') AS L,
+        |  len(string_split(rtrim($lower, '.'), '.')) AS n FROM hsrc),
+        |s AS (SELECT doc_id, i,
+        |  array_to_string(list_slice(L, n - i + 1, n), '.') AS sfx,
+        |  CASE WHEN i >= 2
+        |    THEN array_to_string(list_slice(L, n - i + 2, n), '.') END AS tl
+        |  FROM l, (SELECT unnest(range(1, 64)) AS i) r WHERE i <= n),
+        |m AS (SELECT s.doc_id,
+        |  CASE WHEN r.kind = 'e' THEN s.i - 1 ELSE s.i END AS ps,
+        |  CASE WHEN r.kind = 'e' THEN 1 ELSE 0 END AS exc
+        |  FROM s JOIN (VALUES ${graft.ops.Psl.duckdbRulesValues})
+        |    r(kind, name, nlab)
+        |  ON ((r.kind = 'x' OR r.kind = 'e') AND r.name = s.sfx)
+        |     OR (r.kind = 'w' AND s.i = r.nlab + 1 AND r.name = s.tl)),
+        |best AS (SELECT doc_id, ps FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY exc DESC, ps DESC) = 1)
+        |SELECT l.doc_id, l.host,
+        |  array_to_string(list_slice(l.L,
+        |    l.n - least(coalesce(b.ps, 1) + 1, l.n) + 1, l.n), '.')
+        |    AS registrable
+        |FROM l LEFT JOIN best b ON l.doc_id = b.doc_id""".stripMargin
+    },
 
     // the RFC 9309 decision table stated directly: graftbot (ids with
     // doc_id%12<6) is blocked only on its specific-group /gb-private

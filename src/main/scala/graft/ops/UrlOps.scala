@@ -79,6 +79,16 @@ object UrlOps {
       .otherwise(hostCol)
   }
 
+  /** PSL-backed registrable domain — precise suffix-rule resolution
+    * over the checked-in public-suffix snapshot ([[Psl]]): a native
+    * per-row lookup, no join/shuffle. Requires
+    * GraftFunctions.registerAll (the native-expression contract). Use
+    * this where heuristic misses matter (per-site dedup keys,
+    * blocklists over hosted platforms like *.github.io). */
+  def registrableDomainPsl(hostCol: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_registrable_domain", hostCol)
+
   /** Dedup key over the canonical form (md5 — replayable by the oracle;
     * switch to xxhash64 in production, same pattern as ngram blocking). */
   def urlKey(u: Column, oracleHash: Boolean = false): Column =
@@ -93,11 +103,16 @@ object UrlOps {
     * (each domain held once), same discipline as
     * `Dedup.decontaminate`'s contamination side. */
   def blocklistFilter(df: DataFrame, urlCol: String,
-                      blocked: DataFrame, blockedDomainCol: String): DataFrame =
+                      blocked: DataFrame, blockedDomainCol: String,
+                      psl: Boolean = false): DataFrame = {
+    val dom =
+      if (psl) registrableDomainPsl(host(col(urlCol)))
+      else registrableDomain(host(col(urlCol)))
     df.join(
       broadcast(blocked
         .select(lower(trim(col(blockedDomainCol))).as("__blocked_domain"))
         .filter(col("__blocked_domain") =!= "").distinct()),
-      registrableDomain(host(col(urlCol))) === col("__blocked_domain"),
+      dom === col("__blocked_domain"),
       "left_anti")
+  }
 }

@@ -949,6 +949,23 @@ case class GraftTableCells(child: Expression)
   override def prettyName: String = "graft_table_cells"
 }
 
+/** PSL registrable domain: `graft_registrable_domain(host)` — the
+  * public-suffix-rule resolution of [[graft.ops.Psl]] as a per-row
+  * codegen'd lookup (never a join; the rule table is a static JVM
+  * structure loaded once per executor). */
+case class GraftRegistrableDomain(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Psl.registrableU8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Psl.registrableU8($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftRegistrableDomain =
+    copy(child = newChild)
+  override def prettyName: String = "graft_registrable_domain"
+}
+
 /** The whole per-document kernel as one codegen-friendly expression:
   * array<struct<kind,text,media_ref,offset>> -> same type, extracted.
   * Columnar in/out — the scan's UnsafeArrayData flows straight in, no

@@ -431,4 +431,48 @@ class OpsSpec extends AnyFunSuite {
     // redaction leaves clean text untouched
     assert(run("no pii here 1234")._6 == "no pii here 1234")
   }
+
+  test("psl: rule classes, prevailing order, normalization, totality") {
+    def r(h: String) = Psl.registrable(h)
+    // exact gTLD / registry second-level / private section
+    assert(r("a.example.com") == "example.com")
+    assert(r("x.y.co.uk") == "y.co.uk")
+    assert(r("user.github.io") == "user.github.io")
+    assert(r("d.b.s3.amazonaws.com") == "b.s3.amazonaws.com")
+    // longest rule wins over shorter (blogspot.com over com)
+    assert(r("me.blogspot.com") == "me.blogspot.com")
+    // wildcard: every 2-label .ck suffix is public
+    assert(r("deep.x.y.ck") == "x.y.ck")
+    // exception beats the wildcard
+    assert(r("www.ck") == "www.ck")
+    assert(r("sub.www.ck") == "www.ck")
+    // host IS a public suffix → itself (total, blocklist-join friendly)
+    assert(r("co.uk") == "co.uk")
+    assert(r("uk") == "uk")
+    // implicit '*' rule for unlisted TLDs
+    assert(r("a.b.invalid") == "b.invalid")
+    // normalization: ASCII case + trailing dot(s)
+    assert(r("Sub.Example.COM.") == "example.com")
+    assert(r("A.B.github.IO..") == "b.github.io")
+    // totality: empty, bare label, IP-ish, degenerate dots — no throw
+    assert(r("") == "")
+    assert(r("localhost") == "localhost")
+    assert(r("10.1.2.3") == "2.3")
+    assert(r("...") == "")
+    assert(r(".com") == ".com")
+    // rules table generator stays in sync with the parsed sets
+    val v = Psl.duckdbRulesValues
+    assert(v.contains("('e','www.ck',2)") && v.contains("('w','ck',1)") &&
+      v.contains("('x','co.uk',2)"))
+  }
+
+  test("psl: column surface matches the JVM kernel") {
+    import spark.implicits._
+    graft.spark.GraftFunctions.registerAll(spark)
+    val hosts = Seq("a.example.com", "www.ck", "deep.x.y.ck", "USER.GitHub.io",
+      "co.uk", "weird..host.org", "").toDF("host")
+    val got = hosts.select(UrlOps.registrableDomainPsl(col("host")))
+      .as[String].collect().toSeq
+    assert(got == hosts.as[String].collect().toSeq.map(Psl.registrable))
+  }
 }

@@ -243,6 +243,26 @@ class PlanSpec extends AnyFunSuite {
       s"node-table filter must parse once per row: $evals evals for $n rows")
   }
 
+  test("page-meta and table-cells kernels eval once per row") {
+    // pageMeta: an 8-field struct projection must collapse to ONE kernel
+    // eval (subexpression elimination in Project — the projection-access
+    // side of the graft_repetition lesson); tableCells: outer-explode +
+    // isNotNull + a post-explode row filter must stay at one parse/row.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    HtmlUdfs.pageMetaEvals.set(0)
+    graft.SparkEntry.queries("q_html_meta")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    assert(HtmlUdfs.pageMetaEvals.get == n,
+      s"page-meta must parse once per row: ${HtmlUdfs.pageMetaEvals.get} for $n rows")
+    HtmlUdfs.tableCellsEvals.set(0)
+    graft.SparkEntry.queries("q_html_tables")(spark, sf)
+      .filter(col("is_header") === 0)
+      .write.format("noop").mode("overwrite").save()
+    assert(HtmlUdfs.tableCellsEvals.get == n,
+      s"table-cells must parse once per row: ${HtmlUdfs.tableCellsEvals.get} for $n rows")
+  }
+
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
     val df = graft.SparkEntry.queries("q_multimodal_real")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -297,7 +317,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_robots_allows", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
-      "graft_page_meta", "graft_table_cells", "graft_warc_compose")
+      "graft_page_meta", "graft_table_cells", "graft_warc_compose",
+      "graft_registrable_domain")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
