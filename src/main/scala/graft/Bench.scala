@@ -272,12 +272,26 @@ object Bench {
     // 2,000-char tail window; the r6 line (69 × %.3f sec + a full retry
     // map + verbose telemetry keys) outgrew it and the round had NO
     // parseable bench. Budget: per-query INTEGER MILLISECONDS, retries as
-    // a names-only array, short telemetry keys, sf basename. If still
-    // over, degrade by dropping telemetry, then the retry list — the
-    // contract fields (metric/value/unit/queries/sf) and the north-rule
-    // extract block are never dropped.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+    // a names-only array, short telemetry keys, sf basename, and (at 80
+    // query rows the suite crossed 1,800 even at the last tier) per-query
+    // KEYS WITHOUT the uniform "q_" PREFIX — "ann_self":123 means
+    // q_ann_self took 123 ms. If still over, degrade by dropping
+    // telemetry, then the retry list, then the fastest query rows
+    // (keeping the slowest 48 + "q_dropped":n — the slow rows are the
+    // ones a bench reader acts on) — the contract fields
+    // (metric/value/unit/queries/sf) and the north-rule extract block
+    // are never dropped.
+    def qsJson(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) =>
+        "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
+    val qs = qsJson(results)
+    val qsSlow = {
+      val keep = results.sortBy(-_._2).take(48).map(_._1).toSet
+      val kept = results.filter(r => keep(r._1))
+      qsJson(kept).dropRight(1) +
+        s""","q_dropped":${results.size - kept.size}}"""
+    }
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     val retriesJson = retries.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -286,18 +300,20 @@ object Bench {
       f""","retries":$retriesJson,"tel":{"lm":$loadMid%.1f,"le":$loadEnd%.1f,"cp":$pipelineCpuShare%.2f,"cq":$queriesCpuShare%.2f}"""
     val extractJson =
       f""","extract":{"docs":$benchDocs,"pipe_dps":$pipelineTp%.0f,"span_eq":$eqRate%.4f,"steal":$stealRate%.1f,"lo_cpus":$lowCpus,"hi_cpus":$highCpus,"lo_dps":$tpLow%.0f,"hi_dps":$tpHigh%.0f,"rounds":$round,"eff":$efficiency%.3f}"""
-    def line(withTel: Boolean, withRetries: Boolean): String = {
+    def line(withTel: Boolean, withRetries: Boolean,
+             queries: String = qs): String = {
       val t = if (withTel) tel
               else if (withRetries) s""","retries":$retriesJson"""
               else s""","retries":${retries.size}"""
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","query_unit":"ms","queries":$qs,"sf":"$sfName"$t$extractJson}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","query_unit":"ms","queries":$queries,"sf":"$sfName"$t$extractJson}"""
     }
     // sbt appends "[success] Total time: ..." (~63 chars) to stdout AFTER
     // this line, inside the same tail window — 1,800 + 63 + newlines
     // stays ~135 chars inside the driver's 2,000-char tail.
-    val out = Seq(line(true, true), line(false, true), line(false, false))
+    val out = Seq(line(true, true), line(false, true), line(false, false),
+        line(false, false, qsSlow))
       .find(_.length < 1800)
-      .getOrElse(line(false, false))
+      .getOrElse(line(false, false, qsSlow))
     require(out.length < 1900, s"bench line ${out.length} chars exceeds driver tail window")
     println(out)
   }
