@@ -374,6 +374,41 @@ object SparkEntry {
           col("c.is_header").as("is_header"), col("c.text").as("cell_text"))
     }),
 
+    // HTML → Markdown (round 7 cont.): structure-preserving extraction
+    // (graft_markdown) — one block per feature family: heading,
+    // paragraph with strong/em/code, nested ul + ol numbering,
+    // blockquote with two paragraphs (line-prefix semantics), fenced
+    // pre, hr, link/br/img/anchor-less-a inline, table with all-th
+    // header separator + pipe escaping, a skipped script, and a div
+    // implicit paragraph. The oracle replays the expected markdown by
+    // construction arithmetic: document text rides the in-body view
+    // then the documented extraction-ws collapse; attr values the attr
+    // decode view.
+    "q_html_markdown" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idStr = col("doc_id").cast("string")
+      val toka = substring(md5(idStr.cast("binary")), 1, 6)
+      val tokb = substring(md5(concat(idStr, lit("b")).cast("binary")), 1, 6)
+      val t12 = escTxt(substring(coalesce(col("text"), lit("")), 1, 12))
+      val src = escAttr(coalesce(col("source"), lit("")))
+      val html = concat(
+        lit("<h1>H"), toka, lit("</h1><p>P"), t12,
+        lit(" <strong>S"), tokb, lit("</strong> <em>E</em> <code>C"), toka,
+        lit("</code></p><ul><li>U1"), toka,
+        lit("</li><li>U2<ul><li>N"), tokb, lit("</li></ul></li></ul>"),
+        lit("<ol><li>O1</li><li>O2"), toka, lit("</li></ol>"),
+        lit("<blockquote><p>Q"), tokb, lit("</p><p>R</p></blockquote>"),
+        lit("<pre>PRE_"), toka, lit("</pre><hr>"),
+        lit("<p><a href=\"/u/"), src, lit("\">L"), toka,
+        lit("</a><br>tail <img src=\"/i.png\" alt=\"A"), tokb,
+        lit("\"> <a name=\"n\">plain</a></p>"),
+        lit("<table><tr><th>h1</th><th>h2</th></tr><tr><td>c|1</td><td>c2"),
+        toka, lit("</td></tr></table>"),
+        lit("<script>skip()</script><div>tail "), toka, lit("</div>"))
+      d.select(col("doc_id"),
+        call_function("graft_markdown", html).as("md"))
+    }),
+
     // fragment algorithm (reference myhtml_parse_fragment, myhtml.c:240-262):
     // tr context exercises in-row mode + reset-insertion-mode; td context
     // exercises in-cell; textarea context pins the RCDATA content-model
@@ -1837,6 +1872,44 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 0, 1, 2, 0, 'B' || $b FROM documents
         |UNION ALL SELECT doc_id, 1, 0, 0, 0, 'XY' FROM documents
         |UNION ALL SELECT doc_id, 2, 0, 0, 0, 'Y' FROM documents""".stripMargin
+    },
+
+    // markdown replay by construction arithmetic: tokens a/b are the
+    // same md5 prefixes both sides; document text rides the in-body
+    // view then the documented extraction-ws run-collapse (the rc
+    // blocks both start and end on fixed non-ws chars, so run-collapse
+    // alone == mdCollapse — no edge trim can fire); the href the attr
+    // decode view (NUL→U+FFFD, collapsed inside the link like any
+    // inline text); every other block is a fixed string of the hex
+    // tokens. The br renders between the two rc'd halves (no ws
+    // adjacent to the sentinel by construction).
+    "q_html_markdown" -> {
+      def rc(e: String) =
+        s"regexp_replace($e, '[\\t\\n\\f\\r\\x0b ]+', ' ', 'g')"
+      val vt = sqlBodyText("substr(coalesce(text,''),1,12)")
+      val vs = sqlTokText("coalesce(source,'')")
+      s"""WITH v AS (SELECT doc_id,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS a,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || 'b'), 1, 6) AS b,
+        |  $vt AS vt, $vs AS vs FROM documents)
+        |SELECT doc_id,
+        |  '# H' || a || chr(10) || chr(10) ||
+        |  ${rc("'P' || vt || ' **S' || b || '** *E* `C' || a || '`'")} ||
+        |  chr(10) || chr(10) ||
+        |  '- U1' || a || chr(10) || '- U2' || chr(10) || '  - N' || b ||
+        |  chr(10) || chr(10) ||
+        |  '1. O1' || chr(10) || '2. O2' || a || chr(10) || chr(10) ||
+        |  '> Q' || b || chr(10) || '> ' || chr(10) || '> R' ||
+        |  chr(10) || chr(10) ||
+        |  '```' || chr(10) || 'PRE_' || a || chr(10) || '```' ||
+        |  chr(10) || chr(10) ||
+        |  '---' || chr(10) || chr(10) ||
+        |  ${rc("'[L' || a || '](/u/' || vs || ')'")} || chr(10) ||
+        |  'tail ![A' || b || '](/i.png) plain' || chr(10) || chr(10) ||
+        |  '| h1 | h2 |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |  '| c\\|1 | c2' || a || ' |' || chr(10) || chr(10) ||
+        |  'tail ' || a AS md
+        |FROM v""".stripMargin
     },
 
     // token offsets are UTF-16 positions over the PREPROCESSED stream

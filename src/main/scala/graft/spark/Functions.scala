@@ -486,6 +486,255 @@ object HtmlUdfs {
     }
   }
 
+  /** HTML → Markdown: `graft_markdown(html)` → one markdown string —
+    * the standard pretraining-corpus extraction step that keeps
+    * document STRUCTURE (headings, lists, links, emphasis, code,
+    * tables) which plain clear-text extraction flattens away. One
+    * parse per row, pure per-row codegen'd compute, no shuffle.
+    *
+    * Deterministic conventions (each SQL-replayable — the oracle
+    * replays expected markdown by construction arithmetic):
+    *  - blocks: h1-h6 (`#`×n), p, ul/ol li (`- ` / `1. `; nested lists
+    *    indent two spaces per level, non-li children of a list are
+    *    ignored), blockquote (every rendered line prefixed `> `), pre
+    *    (fenced ``` block, text verbatim), hr (`---`), table (`| a |
+    *    b |` rows; an all-`th` first row gets a `| --- |` separator;
+    *    `|` in cell text escaped as `\|`; nested tables contribute
+    *    their TEXT to the containing cell, Q7 descendant-text
+    *    semantics, and are not re-rendered as rows), and an implicit
+    *    paragraph for stray inline content; blocks join with a blank
+    *    line. Block containers (div/section/article/...) are
+    *    block-transparent.
+    *  - inline: strong/b → `**`, em/i → `*`, code → backticks,
+    *    a[href] → `[text](href)` (href = FIRST match on the verbatim
+    *    attr chain, api.h:1240; an href-less `<a>` renders its text),
+    *    img → `![alt](src)`, br → a hard line break; everything else
+    *    is inline-transparent. Text is NOT markdown-escaped
+    *    (extraction output, not re-renderable authoring).
+    *  - whitespace: each block's assembled inline string collapses
+    *    runs of extraction-ws (HTML5 ws + VT — the explicit TextPrep
+    *    class, never Java \s) to one space, then trims spaces. br
+    *    survives collapse via a NUL sentinel (in-body text can never
+    *    contain NUL — the tree builder drops it, rules.c:1160).
+    *  - skipped subtrees: head/title/script/style/template/textarea/
+    *    noscript/iframe (the clear-text skip set plus head chrome).
+    */
+  val markdownEvals = new java.util.concurrent.atomic.AtomicLong
+
+  private val mdSkip: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("head", "title", "script", "style", "template", "textarea",
+      "noscript", "iframe").foreach(s.add)
+    s
+  }
+  private val mdBlockContainer: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("html", "body", "div", "section", "article", "main", "aside",
+      "header", "footer", "nav", "form", "figure", "center", "details",
+      "address").foreach(s.add)
+    s
+  }
+
+  private def isMdWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == '\u000b'
+
+  /** collapse extraction-ws runs to one space, drop leading/trailing
+    * ws, then turn the br sentinel (NUL) into a newline. */
+  private def mdCollapse(s: java.lang.StringBuilder): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingWs = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isMdWs(c)) pendingWs = sb.length > 0
+      else {
+        if (pendingWs) sb.append(' ')
+        pendingWs = false
+        sb.append(if (c == '\u0000') '\n' else c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def mdInline(n: Node, sb: java.lang.StringBuilder): Unit = {
+    if (n.kind == NodeKind.Text) { sb.append(n.text); return }
+    if (n.kind != NodeKind.Element) return
+    val htmlNs = n.ns == Ns.HTML
+    if (htmlNs && mdSkip.contains(n.name)) return
+    def children(): Unit = {
+      var c = n.firstChild
+      while (c != null) { mdInline(c, sb); c = c.next }
+    }
+    if (!htmlNs) { children(); return }
+    n.name match {
+      case "strong" | "b" => sb.append("**"); children(); sb.append("**")
+      case "em" | "i"     => sb.append('*'); children(); sb.append('*')
+      case "code"         => sb.append('`'); children(); sb.append('`')
+      case "a" =>
+        val href = firstAttrVal(n, "href")
+        if (href == null) children()
+        else { sb.append('['); children(); sb.append("](").append(href).append(')') }
+      case "img" =>
+        val alt = firstAttrVal(n, "alt")
+        val src = firstAttrVal(n, "src")
+        sb.append("![").append(if (alt == null) "" else alt)
+          .append("](").append(if (src == null) "" else src).append(')')
+      case "br" => sb.append('\u0000')
+      case _    => children()
+    }
+  }
+
+  private def mdInlineOf(n: Node): String = {
+    val sb = new java.lang.StringBuilder
+    var c = n.firstChild
+    while (c != null) { mdInline(c, sb); c = c.next }
+    mdCollapse(sb)
+  }
+
+  private def mdList(list: Node, depth: Int): String = {
+    val ordered = list.name == "ol"
+    val sb = new java.lang.StringBuilder
+    var idx = 0
+    var c = list.firstChild
+    while (c != null) {
+      if (c.kind == NodeKind.Element && c.ns == Ns.HTML && c.name == "li") {
+        idx += 1
+        val content = new java.lang.StringBuilder
+        val nested = new scala.collection.mutable.ArrayBuffer[Node](2)
+        var g = c.firstChild
+        while (g != null) {
+          if (g.kind == NodeKind.Element && g.ns == Ns.HTML &&
+              (g.name == "ul" || g.name == "ol")) nested += g
+          else mdInline(g, content)
+          g = g.next
+        }
+        if (sb.length > 0) sb.append('\n')
+        var d = 0
+        while (d < depth) { sb.append("  "); d += 1 }
+        sb.append(if (ordered) idx.toString + ". " else "- ")
+        sb.append(mdCollapse(content))
+        nested.foreach { nl =>
+          val s = mdList(nl, depth + 1)
+          if (s.nonEmpty) sb.append('\n').append(s)
+        }
+      }
+      c = c.next
+    }
+    sb.toString
+  }
+
+  private def mdTable(t: Node): String = {
+    val rows = new scala.collection.mutable.ArrayBuffer[(Boolean, Seq[String])](4)
+    def walk(n: Node): Unit = {
+      var c = n.firstChild
+      while (c != null) {
+        if (c.kind == NodeKind.Element && c.ns == Ns.HTML) {
+          if (c.name == "table") () // nested: text joins the containing cell
+          else if (c.name == "tr") {
+            val cells = new scala.collection.mutable.ArrayBuffer[String](4)
+            var allTh = true
+            var cell = c.firstChild
+            while (cell != null) {
+              if (cell.kind == NodeKind.Element && cell.ns == Ns.HTML &&
+                  (cell.name == "td" || cell.name == "th")) {
+                if (cell.name != "th") allTh = false
+                val sb = new java.lang.StringBuilder
+                descTextOf(cell, sb)
+                cells += mdCollapse(sb).replace("|", "\\|")
+              }
+              cell = cell.next
+            }
+            rows += ((allTh && cells.nonEmpty, cells.toSeq))
+          } else walk(c)
+        }
+        c = c.next
+      }
+    }
+    walk(t)
+    if (rows.isEmpty) return ""
+    val sb = new java.lang.StringBuilder
+    def emit(cells: Seq[String]): Unit =
+      sb.append("| ").append(cells.mkString(" | ")).append(" |")
+    emit(rows.head._2)
+    if (rows.head._1) {
+      sb.append('\n')
+      emit(rows.head._2.map(_ => "---"))
+    }
+    rows.tail.foreach { r => sb.append('\n'); emit(r._2) }
+    sb.toString
+  }
+
+  private def mdBlocks(root: Node,
+      blocks: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val inline = new java.lang.StringBuilder
+    def flush(): Unit = {
+      val s = mdCollapse(inline)
+      if (s.nonEmpty) blocks += s
+      inline.setLength(0)
+    }
+    def walk(n: Node): Unit = {
+      if (n.kind == NodeKind.Text) { inline.append(n.text); return }
+      if (n.kind != NodeKind.Element) return
+      if (n.ns != Ns.HTML) { mdInline(n, inline); return }
+      n.name match {
+        case _ if mdSkip.contains(n.name) => ()
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+          flush()
+          val k = n.name.charAt(1) - '0'
+          val content = mdInlineOf(n)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < k) { sb.append('#'); i += 1 }
+          if (content.nonEmpty) sb.append(' ').append(content)
+          blocks += sb.toString
+        case "p" =>
+          flush()
+          val s = mdInlineOf(n)
+          if (s.nonEmpty) blocks += s
+        case "ul" | "ol" =>
+          flush()
+          val s = mdList(n, 0)
+          if (s.nonEmpty) blocks += s
+        case "blockquote" =>
+          flush()
+          val sub = new scala.collection.mutable.ArrayBuffer[String](4)
+          mdBlocks(n, sub)
+          if (sub.nonEmpty)
+            blocks += sub.mkString("\n\n").split("\n", -1)
+              .map("> " + _).mkString("\n")
+        case "pre" =>
+          flush()
+          val sb = new java.lang.StringBuilder
+          descTextOf(n, sb)
+          blocks += "```\n" + sb.toString + "\n```"
+        case "hr" =>
+          flush()
+          blocks += "---"
+        case "table" =>
+          flush()
+          val s = mdTable(n)
+          if (s.nonEmpty) blocks += s
+        case _ if mdBlockContainer.contains(n.name) =>
+          flush()
+          mdBlocks(n, blocks)
+        case _ => mdInline(n, inline)
+      }
+    }
+    var c = root.firstChild
+    while (c != null) { walk(c); c = c.next }
+    flush()
+  }
+
+  def markdown(html: UTF8String): UTF8String = {
+    markdownEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val blocks = new scala.collection.mutable.ArrayBuffer[String](8)
+      mdBlocks(doc, blocks)
+      UTF8String.fromString(blocks.mkString("\n\n"))
+    }
+  }
+
   /** Full interleaved-document kernel over a spans ArrayData — the
     * columnar fast path: no Dataset object codec on either side
     * (DocKernel semantics; text/media spans pass through without even
@@ -947,6 +1196,21 @@ case class GraftTableCells(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftTableCells =
     copy(child = newChild)
   override def prettyName: String = "graft_table_cells"
+}
+
+/** HTML → Markdown: `graft_markdown(html)` — see [[HtmlUdfs.markdown]]
+  * for the block/inline/whitespace conventions. */
+case class GraftMarkdown(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.markdown(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.markdown($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftMarkdown =
+    copy(child = newChild)
+  override def prettyName: String = "graft_markdown"
 }
 
 /** PSL registrable domain: `graft_registrable_domain(host)` — the

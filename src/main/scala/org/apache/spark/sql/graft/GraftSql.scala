@@ -87,6 +87,8 @@ object GraftSql {
       args => GraftWarcCompose(args(0), args(1), args(2))),
     ("graft_registrable_domain", "graft.spark.GraftRegistrableDomain",
       args => GraftRegistrableDomain(args.head)),
+    ("graft_markdown", "graft.spark.GraftMarkdown",
+      args => GraftMarkdown(args.head)),
     ("graft_robots_allows", "graft.spark.GraftRobotsAllows",
       args => GraftRobotsAllows(args(0), args(1), args(2))),
     // multimodal: real image-container header decode (round 4)
