@@ -223,6 +223,12 @@ class PlanSpec extends AnyFunSuite {
     val attrEvals = HtmlUdfs.attrEvals.get
     assert(attrEvals == nAll,
       s"q_html_attrs must parse once per row: $attrEvals evals for $nAll rows")
+    // markdown extraction: same once-per-row discipline
+    HtmlUdfs.markdownEvals.set(0)
+    graft.SparkEntry.queries("q_html_markdown")(spark, sf).collect()
+    val mdEvals = HtmlUdfs.markdownEvals.get
+    assert(mdEvals == nAll,
+      s"q_html_markdown must parse once per row: $mdEvals evals for $nAll rows")
   }
 
   test("node table parses once per row under a tag+attr relational filter") {
