@@ -1678,6 +1678,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // target-mixture resampling (round 7 cont.): derive per-stratum
+    // keep thresholds from observed counts toward a 60/25/15 en/de/fr
+    // target — integer-exact arithmetic end to end, so the oracle
+    // replays count → feasible-total → threshold → hash filter. The
+    // binding stratum keeps ~all rows, the others downsample, es/zh
+    // (outside the target) drop.
+    "q_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        col("doc_id").cast("string").as("k"), col("lang"))
+      Sample.toMixture(d, "lang", "k",
+          weights = Map("en" -> 60L, "de" -> 25L, "fr" -> 15L),
+          oracleHash = true)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // self-contained flagship: seeded corpus → full pipeline → compare
       // with constructive expected (BASELINE.json correctness invariant)
@@ -3112,6 +3127,22 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
         |  < CASE lang WHEN 'en' THEN 15099494 WHEN 'de' THEN 8388608
         |              WHEN 'ja' THEN 4194304 ELSE 2097152 END""".stripMargin,
+
+    // replay of Sample.toMixture's integer threshold derivation: counts
+    // over target strata only → T = min(n*W // w) → thr = min(2^24,
+    // T*w*2^24 // (W*n)) → the q_sample hash-fraction filter. Floor
+    // division on both sides (BigInt / and DuckDB //); W = 100.
+    "q_mixture" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 60), ('de', 25), ('fr', 15)),
+        |c AS (SELECT lang, count(*) AS n FROM documents JOIN w USING (lang)
+        |      GROUP BY lang),
+        |t AS (SELECT min(n * 100 // wt) AS t FROM c JOIN w USING (lang)),
+        |r AS (SELECT c.lang,
+        |        least(t.t * wt * 16777216 // (100 * n), 16777216) AS thr
+        |      FROM c JOIN w ON c.lang = w.lang CROSS JOIN t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |  < r.thr""".stripMargin,
 
     "q_pipeline_e2e" ->
       "SELECT CAST(300 AS BIGINT) AS docs, CAST(300 AS BIGINT) AS ok_docs"

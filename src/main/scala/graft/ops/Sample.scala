@@ -41,4 +41,54 @@ object Sample {
     }
     df.filter(hashBucket(col(keyCol), oracleHash) < thr)
   }
+
+  /** Resample toward a TARGET mixture — the corpus-rebalance step of a
+    * training pipeline ("60% en, 25% de, 15% fr"): derive per-stratum
+    * keep rates from observed counts so the largest achievable sample
+    * matches the target proportions WITHOUT upsampling, then apply the
+    * same deterministic hash-fraction filter as [[stratified]].
+    *
+    * Rate derivation is pure INTEGER arithmetic (floor division all the
+    * way), so a SQL oracle replays it exactly — no float rounding to
+    * diverge on:
+    *   W     = sum of weights
+    *   T     = min over PRESENT target strata of (n_d * W) // w_d
+    *           (the feasible total in weight-normalized units; a
+    *           target stratum absent from the data is excluded — you
+    *           cannot sample what is not there)
+    *   thr_d = min(2^24, (T * w_d * 2^24) // (W * n_d))
+    * The binding stratum (the min) keeps ~all its rows; others
+    * downsample toward the target; strata OUTSIDE the target drop.
+    * Thresholds are computed driver-side in BigInt (at 10^12 rows the
+    * product T*w*2^24 overflows Long) from a collected count map of at
+    * most |weights| rows — the only driver collect, bounded by the
+    * target spec itself, never by the data.
+    *
+    * Scale shape: one map-side-combined count aggregate over the
+    * target strata only (filter BEFORE the groupBy — non-target rows
+    * never shuffle), then a per-row broadcast-CASE filter: no second
+    * shuffle, no sampling pass, retry-deterministic (the property that
+    * makes checkpoint-resume exact).
+    */
+  def toMixture(df: DataFrame, stratumCol: String, keyCol: String,
+                weights: Map[String, Long],
+                oracleHash: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    weights.values.foreach(w => require(w > 0, s"mixture weight must be > 0: $w"))
+    val bigW = BigInt(weights.values.sum)
+    val targets = weights.keys.toSeq
+    val counts: Map[String, Long] = df
+      .filter(col(stratumCol).isin(targets: _*))
+      .groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.filter(lit(false))
+    val t: BigInt = counts.map { case (d, n) => BigInt(n) * bigW / weights(d) }.min
+    val thr: Map[String, Long] = counts.map { case (d, n) =>
+      d -> (t * weights(d) * Denom / (bigW * n)).min(BigInt(Denom)).toLong
+    }
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (d, v)) =>
+      when(col(stratumCol) === d, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), oracleHash) < thrCol)
+  }
 }

@@ -517,6 +517,42 @@ class ScaleGuardSpec extends AnyFunSuite {
       .count() == 4000)
   }
 
+  test("toMixture: integer thresholds hit the target; binding stratum keeps all") {
+    import spark.implicits._
+    // en 3000 / de 2000 / fr 1000 / zz 500 toward 50/30/20: T =
+    // min(6000, 6666, 5000) = 5000 (fr binds) → expected 2500/1500/1000
+    val rows = (0 until 6500).map { i =>
+      val lang = if (i >= 6000) "zz"
+        else (i % 6) match { case 0 | 1 | 2 => "en"; case 3 | 4 => "de"; case _ => "fr" }
+      (i.toLong, i.toString, lang)
+    }
+    val df = rows.toDF("id", "k", "lang")
+    val target = Map("en" -> 50L, "de" -> 30L, "fr" -> 20L)
+    def run(p: Int, oracle: Boolean, w: Map[String, Long] = target): Map[String, Set[Long]] =
+      Sample.toMixture(df.repartition(p), "lang", "k", w, oracleHash = oracle)
+        .collect().groupBy(_.getString(2)).map { case (l, rs) =>
+          l -> rs.map(_.getLong(0)).toSet }
+    Seq(true, false).foreach { oracle =>
+      val got = run(4, oracle)
+      assert(run(32, oracle) == got, "selection must not depend on partitioning")
+      // the binding stratum's threshold is exactly 2^24 here: all kept
+      assert(got("fr").size == 1000, s"fr must keep all (oracle=$oracle): ${got("fr").size}")
+      assert(!got.contains("zz"), "strata outside the target must drop")
+      val total = got.values.map(_.size).sum.toDouble
+      for ((l, w) <- target) {
+        val frac = got(l).size / total
+        assert(math.abs(frac - w / 100.0) < 0.03,
+          f"$l mixture $frac%.3f (want ${w / 100.0}%.2f, oracle=$oracle)")
+      }
+      // an ABSENT target stratum scales W and T together — the present
+      // strata's selection is unchanged (W cancels in the threshold)
+      assert(run(4, oracle, target + ("xx" -> 10L)) == got,
+        "absent target stratum must not change the selection")
+    }
+    // no target stratum present → empty, not a throw
+    assert(Sample.toMixture(df, "lang", "k", Map("nope" -> 1L)).count() == 0)
+  }
+
   test("duplicatedNgramSpans: exact runs on a known corpus; hot n-gram stays linear") {
     import spark.implicits._
     // hand-computable micro-corpus, n=2: doc 10 and 11 share "a b c d"
