@@ -1655,6 +1655,35 @@ object SparkEntry {
         "doc_id", "n", budget = 128)
     }),
 
+    // Interleaved multimodal packing (round 7 cont.): the engine's
+    // span schema (kind/text/media_ref) priced into an effective token
+    // count — text spans at the canonical TextNorm count, image 576 /
+    // audio 300 fixed costs, the unpriced 'video' kind counts 0 — then
+    // the same two-pass concatChunk. The oracle replays the per-term
+    // pricing + the naive window cumsum.
+    "q_pack_interleaved" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t1 = struct(lit("text").as("kind"),
+        substring(coalesce(col("text"), lit("")), 1, 40).as("text"),
+        lit("").as("media_ref"))
+      val img = when(col("doc_id") % 3 === 0,
+        struct(lit("image").as("kind"), lit("").as("text"),
+          concat(lit("img://"), col("doc_id").cast("string")).as("media_ref")))
+      val aud = when(col("doc_id") % 5 === 0,
+        struct(lit("audio").as("kind"), lit("").as("text"),
+          concat(lit("aud://"), col("doc_id").cast("string")).as("media_ref")))
+      val vid = when(col("doc_id") % 7 === 0,
+        struct(lit("video").as("kind"), lit("").as("text"),
+          concat(lit("vid://"), col("doc_id").cast("string")).as("media_ref")))
+      val t2 = struct(lit("text").as("kind"),
+        coalesce(col("source"), lit("")).as("text"), lit("").as("media_ref"))
+      val spans = filter(array(t1, img, aud, vid, t2), x => x.isNotNull)
+      val n = Pack.interleavedTokenCount(spans,
+        Map("image" -> 576L, "audio" -> 300L))
+      Pack.concatChunk(d.select(col("doc_id"), n.as("n")),
+        "doc_id", "n", budget = 1024)
+    }),
+
     // The packing WRITER view (round 6): per (chunk, doc) token slices
     // — what a fixed-length-example writer actually consumes. The
     // oracle replays the naive window cumsum + the same slice
@@ -3103,6 +3132,23 @@ object SparkEntry {
         |SELECT doc_id, n AS n_tokens, st AS start_offset,
         |  st // 128 AS chunk_start,
         |  CASE WHEN n > 0 THEN (st + n - 1) // 128 ELSE st // 128 END AS chunk_end
+        |FROM c""".stripMargin,
+
+    // per-term pricing replay (two canonical token counts + fixed
+    // media costs on the same doc_id residues; video unpriced → 0),
+    // then the naive window cumsum at budget 1024
+    "q_pack_interleaved" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  coalesce(${TextNorm.sqlTokenCount("substr(coalesce(text,''),1,40)")}, 0)
+        |  + coalesce(${TextNorm.sqlTokenCount("coalesce(source,'')")}, 0)
+        |  + CASE WHEN doc_id % 3 = 0 THEN 576 ELSE 0 END
+        |  + CASE WHEN doc_id % 5 = 0 THEN 300 ELSE 0 END AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM t)
+        |SELECT doc_id, n AS n_tokens, st AS start_offset,
+        |  st // 1024 AS chunk_start,
+        |  CASE WHEN n > 0 THEN (st + n - 1) // 1024 ELSE st // 1024 END AS chunk_end
         |FROM c""".stripMargin,
 
     // naive-cumsum replay of the writer view; doc_offset/take from the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Concat-and-chunk sequence packing — the GPT-style training-example
@@ -36,6 +36,29 @@ import org.apache.spark.sql.functions._
   * `budget` span multiple chunks.
   */
 object Pack {
+
+  /** Effective token length of an INTERLEAVED spans array (the
+    * engine's output schema: kind/text/media_ref) — what a multimodal
+    * training pipeline actually budgets by: text spans cost their
+    * canonical token count (TextNorm — total, null text counts 0),
+    * media spans a fixed per-kind token cost (e.g. image → 576 vision
+    * tokens, audio → 300 frames), kinds outside the cost map count 0
+    * (a new span kind must not change packing until it is priced).
+    * Pure per-row column arithmetic over a small array — no shuffle,
+    * codegen-friendly, and SQL-replayable term by term, so the packing
+    * oracle extends to interleaved docs unchanged. Feed the result to
+    * [[concatChunk]]/[[examples]]. */
+  def interleavedTokenCount(spans: Column, mediaCosts: Map[String, Long]): Column = {
+    mediaCosts.values.foreach(c => require(c >= 0, s"media token cost must be >= 0: $c"))
+    aggregate(spans, lit(0L), (acc, s) => {
+      val mediaCost = mediaCosts.foldLeft(lit(0L)) { case (a, (k, v)) =>
+        when(s("kind") === k, lit(v)).otherwise(a)
+      }
+      acc + when(s("kind") === "text", TextNorm.tokenCountCol(s("text")))
+        .otherwise(mediaCost)
+    })
+  }
+
   def concatChunk(df: DataFrame, idCol: String, tokensCol: String,
                   budget: Long, partitions: Int = 0): DataFrame = {
     require(budget >= 1, s"chunk budget must be >= 1: $budget")

@@ -4,6 +4,10 @@ import graft.spark.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Interleaved span row for the pricing test (top-level: local case
+  * classes have no Encoder). */
+case class ILSpan(kind: String, text: String, media_ref: String)
+
 /** Round-2 scale-defect regression tests (VERDICT r1 "What's wrong"):
   * banding recall contracts, degenerate-bucket guards, bounded top-k. */
 class ScaleGuardSpec extends AnyFunSuite {
@@ -491,6 +495,24 @@ class ScaleGuardSpec extends AnyFunSuite {
     val p32 = Pack.examples(docs, "id", "n", budget = 16, partitions = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(p7 == p32)
+  }
+
+  test("interleavedTokenCount: text=canon tokens, media=fixed cost, unknown=0") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(ILSpan("text", "a b  c", ""), ILSpan("image", "", "img://1"))),
+      (2L, Seq(ILSpan("audio", "", "a"), ILSpan("text", "  ", ""), ILSpan("text", null, ""))),
+      (3L, Seq(ILSpan("video", "", "v"), ILSpan("hologram", "", "h"))),
+      (4L, Seq.empty[ILSpan]),
+      (5L, Seq(ILSpan("image", "ignored words here", "i")))
+    ).toDF("id", "spans")
+    val costs = Map("image" -> 576L, "audio" -> 300L)
+    val got = rows.select(col("id"),
+        Pack.interleavedTokenCount(col("spans"), costs).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ws-only and null text spans count 0; a media span's text never counts
+    assert(got == Map(1L -> 579L, 2L -> 300L, 3L -> 0L, 4L -> 0L, 5L -> 576L),
+      s"got $got")
   }
 
   test("sample: deterministic across partitioning; rates land within tolerance") {
