@@ -22,6 +22,7 @@ object ScaleProbe {
     "q_dedup_exact", "q_dedup_flags", "q_dedup_clusters", "q_dedup_keep_best",
     "q_line_dedup", "q_decontam", "q_pack", "q_pack_examples",
     "q_quality_model", "q_token_count", "q_repetition", "q_html_node_table",
+    "q_mixture", "q_pack_interleaved", "q_html_markdown",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup",
@@ -33,6 +34,10 @@ object ScaleProbe {
     val dirA = args(0)
     val dirB = args(1)
     val rowFactor = if (args.length > 2) args(2).toDouble else 10.0
+    // optional 4th arg: comma-separated subset (probe only new queries)
+    val chosen =
+      if (args.length > 3) suite.filter(args(3).split(',').toSet)
+      else suite
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scale-probe")
@@ -53,9 +58,9 @@ object ScaleProbe {
     }
 
     // JVM/codegen warm-up on the small dir, untimed
-    suite.take(3).foreach(time(_, dirA))
+    chosen.take(3).foreach(time(_, dirA))
 
-    val rows = suite.map { name =>
+    val rows = chosen.map { name =>
       var a = Double.MaxValue
       var b = Double.MaxValue
       var r = 0
