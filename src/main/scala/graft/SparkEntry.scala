@@ -520,6 +520,32 @@ object SparkEntry {
     // hazard; callers reconstruct fractions from the ints). Nullable
     // inputs are coalesced identically on both sides so concat_ws-
     // vs-|| null semantics cannot diverge.
+    // C4/Gopher filter battery (round 7 cont.): the published
+    // page-cleaning rules over the RAW corpus text — counters from one
+    // graft_c4_rules pass (projection access only; booleans derived by
+    // integer cross-multiplication in the projection). The oracle
+    // replays every counter through the canonical alphabet.
+    "q_c4_gopher" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = call_function("graft_c4_rules", coalesce(col("text"), lit("")))
+      d.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.lines").as("lines"), col("r.kept_lines").as("kept_lines"),
+          col("r.bullet_lines").as("bullet_lines"),
+          col("r.ellipsis_lines").as("ellipsis_lines"),
+          col("r.words").as("words"), col("r.alpha_words").as("alpha_words"),
+          col("r.stop_hits").as("stop_hits"),
+          col("r.lorem").as("lorem"), col("r.brace").as("brace"))
+        .withColumn("c4_ok",
+          col("lorem") === 0 && col("brace") === 0 &&
+            col("kept_lines") * 10 >= col("lines") * 3)
+        .withColumn("gopher_ok",
+          col("bullet_lines") * 10 <= col("lines") * 9 &&
+            col("ellipsis_lines") * 10 <= col("lines") * 3 &&
+            col("alpha_words") * 10 >= col("words") * 8 &&
+            col("stop_hits") >= 2)
+    }),
+
     "q_repetition" -> ((s, dir) => {
       val d = docs(s, dir)
       val promo = lit("promo alpha beta alpha beta gamma")
@@ -2083,6 +2109,37 @@ object SparkEntry {
     // canonical-alphabet replay (TextNorm fragments); LEFT JOIN +
     // coalesce(0) for the top-gram CTEs so degenerate docs (<n tokens)
     // keep the kernel's total-function row instead of dropping
+    // canonical-alphabet replay of every battery counter on the raw
+    // text: lines = LF split + canon trim, tokens = canon split, lower
+    // = ASCII translate; first/last-char tests are codepoint-safe (the
+    // targets are BMP; a surrogate half never equals one)
+    "q_c4_gopher" -> {
+      val lines = "list_filter(list_transform(string_split(t, chr(10)), " +
+        s"x -> ${graft.ops.TextNorm.sqlTrim("x")}), x -> x <> '')"
+      val toks = graft.ops.TextNorm.sqlTokens("t")
+      val lowX = graft.ops.TextNorm.sqlLower("x")
+      val lowT = graft.ops.TextNorm.sqlLower("t")
+      s"""WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |l AS (SELECT doc_id, t, $lines AS ls, $toks AS ts FROM b),
+        |c AS (SELECT doc_id,
+        |  CAST(len(ls) AS INT) AS lines,
+        |  CAST(len(list_filter(ls, x -> right(x, 1) IN ('.', '!', '?', '"'))) AS INT) AS kept_lines,
+        |  CAST(len(list_filter(ls, x -> left(x, 1) IN ('-', '*', '•'))) AS INT) AS bullet_lines,
+        |  CAST(len(list_filter(ls, x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS INT) AS ellipsis_lines,
+        |  CAST(len(ts) AS INT) AS words,
+        |  CAST(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS INT) AS alpha_words,
+        |  CAST(len(list_filter(ts, x -> $lowX IN
+        |    ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
+        |  CASE WHEN contains($lowT, 'lorem ipsum') THEN 1 ELSE 0 END AS lorem,
+        |  CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS brace
+        |  FROM l)
+        |SELECT *,
+        |  (lorem = 0 AND brace = 0 AND kept_lines * 10 >= lines * 3) AS c4_ok,
+        |  (bullet_lines * 10 <= lines * 9 AND ellipsis_lines * 10 <= lines * 3
+        |   AND alpha_words * 10 >= words * 8 AND stop_hits >= 2) AS gopher_ok
+        |FROM c""".stripMargin
+    },
+
     "q_repetition" ->
       s"""WITH base AS (SELECT doc_id,
         |  'nav ' || coalesce(source, '') || chr(10) || 'nav ' || coalesce(source, '') || chr(10) ||

@@ -339,6 +339,65 @@ object TextOps {
     Array(ln, dln, lch, dlch, pn, dpn, tokenChars, topN(2), topN(3), topN(4))
   }
 
+  private val gopherStop: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "be", "to", "of", "and", "that", "have", "with").foreach(s.add)
+    s
+  }
+
+  /** C4 + Gopher filter-battery counters — the published page-cleaning
+    * rules (C4: Raffel et al. 2020 §2.2 terminal-punctuation lines,
+    * lorem-ipsum and curly-brace page flags; Gopher: Rae et al. 2021
+    * §A1.1.2 bullet/ellipsis line ratios, alpha-word ratio, stop-word
+    * presence) as ONE text pass of pure INTEGER outputs; callers derive
+    * the drop booleans by integer cross-multiplication (the oracle
+    * discipline). Canonical alphabet throughout (TextNorm): lines split
+    * on LF then canon-trimmed (CR trims off — CRLF needs no prenorm),
+    * tokens the canon split, lower the ASCII-only lower. Last/first
+    * char tests are UTF-16 unit vs codepoint SAFE: the targets are BMP,
+    * and a surrogate half never equals one.
+    *
+    *   0 lines           non-empty canon-trimmed lines
+    *   1 kept_lines      lines ending in . ! ? or " (C4 keeps these)
+    *   2 bullet_lines    lines starting with - * or U+2022 (Gopher)
+    *   3 ellipsis_lines  lines ending with "..." or U+2026 (Gopher)
+    *   4 words           canonical tokens
+    *   5 alpha_words     tokens containing an ASCII letter (Gopher)
+    *   6 stop_hits       lowered tokens in the 8-word Gopher stop set
+    *   7 lorem           1 if lowered text contains "lorem ipsum" (C4)
+    *   8 brace           1 if text contains '{' (C4)
+    */
+  def c4Rules(text: String): Array[Int] = {
+    var lines = 0; var kept = 0; var bullet = 0; var ellipsis = 0
+    text.split("\n", -1).foreach { raw =>
+      val l = TextNorm.trimWs(raw)
+      if (l.nonEmpty) {
+        lines += 1
+        val last = l.charAt(l.length - 1)
+        if (last == '.' || last == '!' || last == '?' || last == '"') kept += 1
+        val first = l.charAt(0)
+        if (first == '-' || first == '*' || first == '•') bullet += 1
+        if (l.endsWith("...") || last == '…') ellipsis += 1
+      }
+    }
+    val toks = TextNorm.tokens(text)
+    var alpha = 0; var stopHits = 0
+    toks.foreach { t =>
+      var hasA = false
+      var i = 0
+      while (i < t.length && !hasA) {
+        val c = t.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasA = true
+        i += 1
+      }
+      if (hasA) alpha += 1
+      if (gopherStop.contains(TextNorm.asciiLower(t))) stopHits += 1
+    }
+    val lorem = if (TextNorm.asciiLower(text).contains("lorem ipsum")) 1 else 0
+    val brace = if (text.indexOf('{') >= 0) 1 else 0
+    Array(lines, kept, bullet, ellipsis, toks.length, alpha, stopHits, lorem, brace)
+  }
+
   /** The graft_* SQL names above are native Catalyst expressions since
     * round 3 (graft.spark.TextExprs — one static call per row inside
     * whole-stage codegen, replacing the Scala-UDF registrations that

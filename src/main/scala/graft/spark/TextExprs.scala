@@ -70,6 +70,20 @@ object TextKernels {
       "top2_chars", "top3_chars", "top4_chars")
       .map(n => StructField(n, IntegerType, nullable = false)))
 
+  /** Integer C4/Gopher filter-battery struct (TextOps.c4Rules order). */
+  val c4RulesStructType: StructType = StructType(
+    Seq("lines", "kept_lines", "bullet_lines", "ellipsis_lines",
+      "words", "alpha_words", "stop_hits", "lorem", "brace")
+      .map(n => StructField(n, IntegerType, nullable = false)))
+
+  val c4RulesEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def c4Rules(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    c4RulesEvals.incrementAndGet()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      TextOps.c4Rules(t.toString).map(_.asInstanceOf[Any]))
+  }
+
   val repetitionEvals = new java.util.concurrent.atomic.AtomicLong
 
   def repetition(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
@@ -330,6 +344,25 @@ case class GraftRepetitionOk(child: Expression, a: Int, b: Int, c: Int)
   override protected def withNewChildInternal(newChild: Expression): GraftRepetitionOk =
     copy(child = newChild)
   override def prettyName: String = "graft_repetition_ok"
+}
+
+/** C4/Gopher filter battery: `graft_c4_rules(text)` → struct of 9
+  * ints (terminal-punctuation / bullet / ellipsis line counts,
+  * alpha-word and stop-word token counts, lorem/brace page flags) —
+  * ONE text pass per row; callers derive the published drop rules by
+  * integer cross-multiplication in the PROJECTION (filtering on the
+  * struct's getFields would re-eval the kernel — the
+  * graft_repetition_ok lesson). Definitions: TextOps.c4Rules. */
+case class GraftC4Rules(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.c4RulesStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.c4Rules(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.c4Rules($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftC4Rules =
+    copy(child = newChild)
+  override def prettyName: String = "graft_c4_rules"
 }
 
 /** Real BPE token count: `graft_bpe_count(text)` — true iterative

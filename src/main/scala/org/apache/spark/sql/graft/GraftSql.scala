@@ -65,6 +65,8 @@ object GraftSql {
       args => GraftLangId(args.head)),
     ("graft_repetition", "graft.spark.GraftRepetition",
       args => GraftRepetition(args.head)),
+    ("graft_c4_rules", "graft.spark.GraftC4Rules",
+      args => GraftC4Rules(args.head)),
     ("graft_repetition_ok", "graft.spark.GraftRepetitionOk",
       args => GraftRepetitionOk(args.head,
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],

@@ -302,6 +302,28 @@ class OpsSpec extends AnyFunSuite {
       Seq(1, 0, 4, 0, 1, 0, 4, 0, 0, 0))
   }
 
+  test("c4/gopher battery: hand-computed pins, char-class edges, totality") {
+    // lines: "Good line." kept; "- bullet" bullet; "trails off..."
+    // ellipsis AND kept (it ends in '.'); "• dot bullet" bullet;
+    // the last line neither. 13 tokens, 10 with an ASCII letter
+    // ('-', '•', '42' without); stop hits: with, the.
+    val t = "Good line.\n- bullet\ntrails off...\n• dot bullet\nplain with the 42"
+    val r = TextOps.c4Rules(t)
+    assert(r.toSeq == Seq(5, 2, 2, 1, 13, 10, 2, 0, 0), s"got ${r.toSeq}")
+    // C4 page flags: lowered lorem-ipsum match; brace anywhere
+    assert(TextOps.c4Rules("LoReM IpSuM dolor").toSeq(7) == 1)
+    assert(TextOps.c4Rules("code { }").toSeq(8) == 1)
+    // quote and ? and ! terminal lines kept; U+2026 is an ellipsis end;
+    // a CRLF line end trims its CR before the last-char test (6 lines)
+    assert(TextOps.c4Rules("He said \"hi.\"\nReally?\nYes!\nwait…\nmid.\r\nline").toSeq.take(4)
+      == Seq(6, 4, 0, 1))
+    // astral last char is not terminal (surrogate half never equals BMP)
+    assert(TextOps.c4Rules("ends astral 𝕏").toSeq.take(2) == Seq(1, 0))
+    // totality
+    assert(TextOps.c4Rules("").toSeq == Seq(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(TextOps.c4Rules(" \n \n ").toSeq == Seq(0, 0, 0, 0, 0, 0, 0, 0, 0))
+  }
+
   test("bpe: trained merges pinned, true-BPE encodes, oracle-chain equivalence, ratios") {
     // merge-table head pin: the seed corpus is checked in, so training
     // is deterministic — a drift here silently moves q_token_count

@@ -229,6 +229,13 @@ class PlanSpec extends AnyFunSuite {
     val mdEvals = HtmlUdfs.markdownEvals.get
     assert(mdEvals == nAll,
       s"q_html_markdown must parse once per row: $mdEvals evals for $nAll rows")
+    // c4/gopher battery: eleven struct-getField consumers in one
+    // projection (incl. the two derived booleans) still one kernel pass
+    graft.spark.TextKernels.c4RulesEvals.set(0)
+    graft.SparkEntry.queries("q_c4_gopher")(spark, sf).collect()
+    val c4Evals = graft.spark.TextKernels.c4RulesEvals.get
+    assert(c4Evals == nAll,
+      s"q_c4_gopher must run once per row: $c4Evals evals for $nAll rows")
   }
 
   test("node table parses once per row under a tag+attr relational filter") {
@@ -324,7 +331,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
       "graft_page_meta", "graft_table_cells", "graft_warc_compose",
-      "graft_registrable_domain", "graft_markdown")
+      "graft_registrable_domain", "graft_markdown", "graft_c4_rules")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
