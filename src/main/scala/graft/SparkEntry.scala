@@ -520,6 +520,19 @@ object SparkEntry {
     // hazard; callers reconstruct fractions from the ints). Nullable
     // inputs are coalesced identically on both sides so concat_ws-
     // vs-|| null semantics cannot diverge.
+    // CCNet-style LM familiarity filter (round 7 cont.): in-domain
+    // char-trigram count model over the RAW corpus text, one kernel
+    // pass per row; the drop rule (mean level >= 2) derives by integer
+    // cross-multiplication in the projection.
+    "q_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = call_function("graft_lm_score", coalesce(col("text"), lit("")))
+      d.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"), col("r.lm_score").as("lm_score"),
+          col("r.n_trigrams").as("n_trigrams"))
+        .withColumn("lm_ok", col("lm_score") >= col("n_trigrams") * 2)
+    }),
+
     // C4/Gopher filter battery (round 7 cont.): the published
     // page-cleaning rules over the RAW corpus text — counters from one
     // graft_c4_rules pass (projection access only; booleans derived by
@@ -2109,6 +2122,20 @@ object SparkEntry {
     // canonical-alphabet replay (TextNorm fragments); LEFT JOIN +
     // coalesce(0) for the top-gram CTEs so degenerate docs (<n tokens)
     // keep the kernel's total-function row instead of dropping
+    // generated replay of the trained level table: canonical stream →
+    // codepoint trigram windows → md5 bucket → embedded level-list
+    // literal → CAST AS BIGINT sum (LmModel.sqlScoreFromStream)
+    "q_lm_score" -> {
+      import graft.ops.LmModel
+      s"""WITH s AS (SELECT doc_id, ${LmModel.sqlStream("coalesce(text, '')")} AS st
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  ${LmModel.sqlScoreFromStream("st")} AS lm_score,
+        |  ${LmModel.sqlNTrigrams("st")} AS n_trigrams FROM s)
+        |SELECT doc_id, lm_score, n_trigrams,
+        |  lm_score >= n_trigrams * 2 AS lm_ok FROM c""".stripMargin
+    },
+
     // canonical-alphabet replay of every battery counter on the raw
     // text: lines = LF split + canon trim, tokens = canon split, lower
     // = ASCII translate; first/last-char tests are codepoint-safe (the

@@ -70,6 +70,21 @@ object TextKernels {
       "top2_chars", "top3_chars", "top4_chars")
       .map(n => StructField(n, IntegerType, nullable = false)))
 
+  /** LM familiarity struct (graft.ops.LmModel): score + support. */
+  val lmScoreStructType: StructType = StructType(Seq(
+    StructField("lm_score", LongType, nullable = false),
+    StructField("n_trigrams", IntegerType, nullable = false)))
+
+  val lmScoreEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def lmScore(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    lmScoreEvals.incrementAndGet()
+    val s = graft.ops.LmModel.stream(t.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](graft.ops.LmModel.scoreOfStream(s),
+        graft.ops.LmModel.nTrigramsOfStream(s)))
+  }
+
   /** Integer C4/Gopher filter-battery struct (TextOps.c4Rules order). */
   val c4RulesStructType: StructType = StructType(
     Seq("lines", "kept_lines", "bullet_lines", "ellipsis_lines",
@@ -344,6 +359,23 @@ case class GraftRepetitionOk(child: Expression, a: Int, b: Int, c: Int)
   override protected def withNewChildInternal(newChild: Expression): GraftRepetitionOk =
     copy(child = newChild)
   override def prettyName: String = "graft_repetition_ok"
+}
+
+/** CCNet-style LM familiarity: `graft_lm_score(text)` →
+  * struct(lm_score BIGINT, n_trigrams INT) — the in-domain char-trigram
+  * count model of graft.ops.LmModel in ONE stream pass per row; callers
+  * derive the drop rule (mean level) by integer cross-multiplication
+  * in the projection. */
+case class GraftLmScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.lmScoreStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.lmScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.lmScore($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftLmScore =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lm_score"
 }
 
 /** C4/Gopher filter battery: `graft_c4_rules(text)` → struct of 9

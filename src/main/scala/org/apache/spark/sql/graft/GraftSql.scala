@@ -67,6 +67,8 @@ object GraftSql {
       args => GraftRepetition(args.head)),
     ("graft_c4_rules", "graft.spark.GraftC4Rules",
       args => GraftC4Rules(args.head)),
+    ("graft_lm_score", "graft.spark.GraftLmScore",
+      args => GraftLmScore(args.head)),
     ("graft_repetition_ok", "graft.spark.GraftRepetitionOk",
       args => GraftRepetitionOk(args.head,
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int],

@@ -302,6 +302,31 @@ class OpsSpec extends AnyFunSuite {
       Seq(1, 0, 4, 0, 1, 0, 4, 0, 0, 0))
   }
 
+  test("lm familiarity: trained table pinned, separation floor, codepoint windows") {
+    // the table trains at class load from QualityModel.GoodSeed — these
+    // pins move DELIBERATELY with any seed change
+    assert(LmModel.levels.max == 5, s"max level ${LmModel.levels.max}")
+    assert(LmModel.levels.count(_ > 0) == 358,
+      s"trained buckets ${LmModel.levels.count(_ > 0)}")
+    // the mean-level >= 2 gate separates held-out prose from junk
+    val good = Seq(
+      "the committee discussed the annual report and the public transit study",
+      "researchers observed the coastal region over the spring and summer")
+    val junk = Seq("xq zv qq kk vw jj zz xq zv qq",
+      "zzzz qqqq wwww kkkk jjjj xxxx")
+    good.foreach(t => assert(LmModel.score(t) >= 2L * LmModel.nTrigrams(t),
+      s"prose under the gate: $t"))
+    junk.foreach(t => assert(LmModel.score(t) < 2L * LmModel.nTrigrams(t),
+      s"junk over the gate: $t"))
+    // totality + canon stream (ws collapse, ASCII-lower fold)
+    assert(LmModel.score("") == 0 && LmModel.nTrigrams("") == 0)
+    assert(LmModel.score("ab") == 0)
+    assert(LmModel.score("  a  b  ") == LmModel.score("a b"))
+    assert(LmModel.score("The Committee") == LmModel.score("the committee"))
+    // astral char is ONE window position (DuckDB substr semantics)
+    assert(LmModel.nTrigrams("a🚀b") == 1)
+  }
+
   test("c4/gopher battery: hand-computed pins, char-class edges, totality") {
     // lines: "Good line." kept; "- bullet" bullet; "trails off..."
     // ellipsis AND kept (it ends in '.'); "• dot bullet" bullet;

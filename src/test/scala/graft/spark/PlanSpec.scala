@@ -236,6 +236,12 @@ class PlanSpec extends AnyFunSuite {
     val c4Evals = graft.spark.TextKernels.c4RulesEvals.get
     assert(c4Evals == nAll,
       s"q_c4_gopher must run once per row: $c4Evals evals for $nAll rows")
+    // lm familiarity: same discipline
+    graft.spark.TextKernels.lmScoreEvals.set(0)
+    graft.SparkEntry.queries("q_lm_score")(spark, sf).collect()
+    val lmEvals = graft.spark.TextKernels.lmScoreEvals.get
+    assert(lmEvals == nAll,
+      s"q_lm_score must run once per row: $lmEvals evals for $nAll rows")
   }
 
   test("node table parses once per row under a tag+attr relational filter") {
@@ -331,7 +337,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
       "graft_page_meta", "graft_table_cells", "graft_warc_compose",
-      "graft_registrable_domain", "graft_markdown", "graft_c4_rules")
+      "graft_registrable_domain", "graft_markdown", "graft_c4_rules",
+      "graft_lm_score")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
