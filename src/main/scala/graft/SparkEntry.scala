@@ -533,6 +533,12 @@ object SparkEntry {
         .withColumn("lm_ok", col("lm_score") >= col("n_trigrams") * 2)
     }),
 
+    // CCNet corpus-level perplexity tertiles (round 7 cont.): exact
+    // integer head/middle/tail thresholds from a bounded-domain
+    // histogram (<= 5,001 values), one snapshot kernel pass per row.
+    "q_lm_buckets" -> ((s, dir) =>
+      graft.ops.LmModel.ccnetBuckets(docs(s, dir), "text")),
+
     // C4/Gopher filter battery (round 7 cont.): the published
     // page-cleaning rules over the RAW corpus text — counters from one
     // graft_c4_rules pass (projection access only; booleans derived by
@@ -2134,6 +2140,31 @@ object SparkEntry {
         |  ${LmModel.sqlNTrigrams("st")} AS n_trigrams FROM s)
         |SELECT doc_id, lm_score, n_trigrams,
         |  lm_score >= n_trigrams * 2 AS lm_ok FROM c""".stripMargin
+    },
+
+    // replay of the exact-tertile walk: same score chain → bounded
+    // integer lm_q domain → descending-cumulative histogram → ceil
+    // thresholds (max q with F(q) >= ceil(N/3) / ceil(2N/3)) → CASE.
+    // Every sum/count is CAST AS BIGINT (the HUGEINT rule).
+    "q_lm_buckets" -> {
+      import graft.ops.LmModel
+      s"""WITH s AS (SELECT doc_id, ${LmModel.sqlStream("coalesce(text, '')")} AS st
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  ${LmModel.sqlScoreFromStream("st")} * 1000
+        |    // greatest(${LmModel.sqlNTrigrams("st")}, 1) AS lm_q FROM s),
+        |h AS (SELECT lm_q, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY lm_q),
+        |cum AS (SELECT lm_q, CAST(sum(c) OVER (ORDER BY lm_q DESC) AS BIGINT) AS f
+        |  FROM h),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |t AS (SELECT
+        |  (SELECT max(lm_q) FROM cum, n WHERE f >= (n + 2) // 3) AS t_head,
+        |  (SELECT max(lm_q) FROM cum, n WHERE f >= (2 * n + 2) // 3) AS t_mid)
+        |SELECT doc_id, lm_q,
+        |  CASE WHEN lm_q >= t_head THEN 'head'
+        |       WHEN lm_q >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS lm_bucket
+        |FROM q, t""".stripMargin
     },
 
     // canonical-alphabet replay of every battery counter on the raw

@@ -1,5 +1,8 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Count-based language-model familiarity scorer — the CCNet-style LM
   * filter stage (Wenzek et al. 2020 use a KenLM trained on Wikipedia
   * and drop the high-perplexity tail; this is that shape with
@@ -108,4 +111,60 @@ object LmModel {
 
   def sqlNTrigrams(streamExpr: String): String =
     s"CAST(greatest(length($streamExpr) - 2, 0) AS INT)"
+
+  /** CCNet's corpus-level perplexity bucketing (Wenzek et al. 2020 cut
+    * each language's corpus into head/middle/tail perplexity tertiles
+    * and train preferentially on the head): assign every document a
+    * bucket by EXACT integer tertiles of the mean-familiarity score
+    * `lm_q = (lm_score * 1000) div max(n_trigrams, 1)`.
+    *
+    * Exact-at-scale without a corpus sort: `lm_q` lives in the BOUNDED
+    * integer domain [0, 1000 * levels.max] (score ≤ levels.max per
+    * trigram — 5,001 values with the trained table), so exact tertile
+    * thresholds come from a map-side-combined histogram over that
+    * domain — a ≤5,001-row driver collect bounded by the DOMAIN, never
+    * the data (the [[Sample.toMixture]] discipline) — not from a
+    * global sort or an approx-percentile. Thresholds (ceil-count rule,
+    * ties keep the whole value class):
+    *   t_head = max q with |{lm_q >= q}| >= ceil(N/3)
+    *   t_mid  = max q with |{lm_q >= q}| >= ceil(2N/3)
+    *   bucket = head if lm_q >= t_head, middle if >= t_mid, else tail.
+    * All-integer → a SQL oracle replays the histogram walk exactly;
+    * exact counts → the assignment is retry- and partitioning-
+    * deterministic (the checkpoint-resume property).
+    *
+    * Scale shape: ONE kernel pass per row materialized into a compact
+    * (id, lm_q) [[Snapshot]] that feeds both the histogram and the
+    * labeled output (multi-consumer kernel discipline), one bounded
+    * aggregate, broadcast literal thresholds; no join, no window. */
+  def ccnetBuckets(docs: DataFrame, textCol: String,
+                   idCol: String = "doc_id"): DataFrame = {
+    val r = call_function("graft_lm_score",
+      coalesce(col(textCol), lit("")))
+    val scored = Snapshot(docs
+      .select(col(idCol), r.as("r"))
+      .select(col(idCol), col("r.lm_score").as("lm_score"),
+        col("r.n_trigrams").as("n_trigrams"))
+      .selectExpr(idCol,
+        "(lm_score * 1000) div greatest(n_trigrams, 1) AS lm_q"))
+    val hist = scored.groupBy("lm_q").count().collect()
+      .map(row => row.getLong(0) -> row.getLong(1))
+    require(hist.length <= 1000 * levels.max + 1,
+      s"lm_q domain escaped its bound: ${hist.length} distinct values")
+    val n = hist.map(_._2).sum
+    val hTarget = (n + 2) / 3
+    val mTarget = (2 * n + 2) / 3
+    var f = 0L
+    var tHead = Long.MinValue
+    var tMid = Long.MinValue
+    hist.sortBy(-_._1).foreach { case (q, c) =>
+      f += c
+      if (tHead == Long.MinValue && f >= hTarget) tHead = q
+      if (tMid == Long.MinValue && f >= mTarget) tMid = q
+    }
+    scored.withColumn("lm_bucket",
+      when(col("lm_q") >= tHead, "head")
+        .when(col("lm_q") >= tMid, "middle")
+        .otherwise("tail"))
+  }
 }

@@ -696,6 +696,55 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(c3.length == 3, s"expected all 3 distinct seeds, got ${c3.length}")
   }
 
+  test("ccnetBuckets: matches the definitional tertile rule, partition-invariant") {
+    import spark.implicits._
+    // graded familiarity: prose, prose+junk mixtures, junk — the test
+    // derives EXPECTED buckets from the raw threshold definition
+    // (max q with F(q) >= ceil targets), so distinctness is not assumed
+    val prose = "the committee discussed the annual report and the public transit study"
+    val junk = "xq zv qq kk vw jj zz"
+    val texts = (0 until 9).map { i =>
+      val id = f"d$i%02d"
+      id -> ((prose + " ") * (9 - i) + (junk + " ") * i).trim
+    }
+    def naive(qs: Seq[(String, Long)]): Map[String, String] = {
+      val n = qs.size
+      val hT = (n + 2) / 3
+      val mT = (2L * n + 2) / 3
+      def bigF(x: Long) = qs.count(_._2 >= x).toLong
+      val dom = qs.map(_._2).distinct
+      val tHead = dom.filter(bigF(_) >= hT).max
+      val tMid = dom.filter(bigF(_) >= mT).max
+      qs.map { case (id, q) =>
+        id -> (if (q >= tHead) "head" else if (q >= tMid) "middle" else "tail")
+      }.toMap
+    }
+    val jvmQ = texts.map { case (id, t) =>
+      id -> LmModel.score(t) * 1000 / math.max(LmModel.nTrigrams(t), 1)
+    }
+    val expected = naive(jvmQ)
+    for (p <- Seq(2, 7, 32)) {
+      val out = LmModel.ccnetBuckets(
+          texts.toDF("doc_id", "text").repartition(p), "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(out.map(t => t._1 -> t._2).toMap == jvmQ.toMap,
+        s"kernel lm_q must equal the JVM replay at p=$p")
+      assert(out.map(t => t._1 -> t._3).toMap == expected,
+        s"bucket assignment must match the definitional rule at p=$p")
+    }
+    // graded corpus: pure prose lands head, pure junk lands tail
+    assert(expected("d00") == "head" && expected("d08") == "tail")
+    // all-ties corpus: one value class → F(q)=N >= both targets → all head
+    val ties = (0 until 4).map(i => (s"t$i", prose)).toDF("doc_id", "text")
+    val tiesOut = LmModel.ccnetBuckets(ties, "text").collect()
+    assert(tiesOut.forall(_.getString(2) == "head"),
+      "a single value class must bucket together (head)")
+    // empty + null totality
+    val degenerate = Seq(("e", ""), ("n", null: String)).toDF("doc_id", "text")
+    val dOut = LmModel.ccnetBuckets(degenerate, "text").collect()
+    assert(dOut.length == 2 && dOut.forall(_.getLong(1) == 0L))
+  }
+
   test("decontaminate: short docs and empty contam set are total") {
     import spark.implicits._
     val corpus = Seq((1L, "only five tokens right here"),

@@ -242,6 +242,13 @@ class PlanSpec extends AnyFunSuite {
     val lmEvals = graft.spark.TextKernels.lmScoreEvals.get
     assert(lmEvals == nAll,
       s"q_lm_score must run once per row: $lmEvals evals for $nAll rows")
+    // ccnet buckets: the snapshot feeds BOTH the histogram and the
+    // labeled output — still one kernel pass per row total
+    graft.spark.TextKernels.lmScoreEvals.set(0)
+    graft.SparkEntry.queries("q_lm_buckets")(spark, sf).collect()
+    val lmbEvals = graft.spark.TextKernels.lmScoreEvals.get
+    assert(lmbEvals == nAll,
+      s"q_lm_buckets must run once per row: $lmbEvals evals for $nAll rows")
   }
 
   test("node table parses once per row under a tag+attr relational filter") {
