@@ -221,7 +221,8 @@ object Bench {
       "q_clean_pipeline_v2" -> 1.4, "q_html_links" -> 0.4,
       "q_html_markdown" -> 0.55, "q_mixture" -> 0.45,
       "q_pack_interleaved" -> 0.7, "q_c4_gopher" -> 0.5,
-      "q_lm_score" -> 0.5, "q_lm_buckets" -> 0.8)
+      "q_lm_score" -> 0.5, "q_lm_buckets" -> 0.8,
+      "q_link_graph" -> 0.5)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {

@@ -321,6 +321,41 @@ object SparkEntry {
           col("l.href").as("href"), col("l.anchor").as("anchor"))
     }),
 
+    // Corpus link graph (round 7 cont.): the CommonCrawl-style
+    // host-graph aggregate — extract links (one parse/row, outer
+    // explode discipline), keep absolute https, resolve the target's
+    // PSL registrable domain, then a TWO-PHASE exact aggregate
+    // (per-(domain,doc) count, then per-domain sum + count) so there is
+    // no count-distinct Expand on the 100 TB path. Construction: two
+    // links per doc to a www.example{k}.com hub (ICANN rule strips
+    // www → 7 hub rows with in_links = 2 * src_docs) + one to a
+    // s{xx}.github.io bucket (private suffix KEEPS the label →
+    // in_links ~ src_docs), plus a relative href and a name-only
+    // anchor that must not reach the graph.
+    "q_link_graph" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val bkt = concat(lit("s"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      val html = concat(
+        lit("<p>t</p><a href=\"https://www.example"), hub,
+        lit(".com/p/"), col("doc_id").cast("string"), lit("\">x</a>"),
+        lit("<a href=\"https://www.example"), hub, lit(".com/q\">y</a>"),
+        lit("<a href=\"https://"), bkt, lit(".github.io/x\">z</a>"),
+        lit("<a href=\"/rel\">r</a><a name=\"n\">skip</a>"))
+      val links = d.select(col("doc_id"),
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+        .select(col("doc_id"), col("l.href").as("href"))
+      val tgt = links.filter(UrlOps.scheme(col("href")) === "https")
+        .select(col("doc_id"),
+          UrlOps.registrableDomainPsl(UrlOps.host(col("href"))).as("domain"))
+      tgt.groupBy(col("domain"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("domain"))
+        .agg(sum(col("c")).as("in_links"), count(lit(1)).as("src_docs"))
+    }),
+
     // Page metadata extraction (round 7 cont.): title / html@lang /
     // base / link rel=canonical / meta description|robots / og:title in
     // ONE parse — every field FIRST-match in pre-order, attr lookup
@@ -1932,6 +1967,27 @@ object SparkEntry {
         |  '/u/' || ${sqlTokText("coalesce(source, '')")} AS href,
         |  'L' || ${sqlBodyText("substr(coalesce(text, ''), 1, 6)")} AS anchor
         |FROM documents""".stripMargin,
+
+    // replay by construction: the hub's ICANN com rule strips www
+    // (registrable example{k}.com), the github.io private suffix keeps
+    // its label (registrable s{xx}.github.io); the relative href and
+    // the name-only anchor never reach the graph. Two-phase aggregate
+    // replayed verbatim; counts CAST AS BIGINT (the HUGEINT rule).
+    "q_link_graph" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    's' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) || '.github.io'
+        |  FROM documents),
+        |per AS (SELECT domain, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM l GROUP BY domain, doc_id)
+        |SELECT domain, CAST(sum(c) AS BIGINT) AS in_links,
+        |  CAST(count(*) AS BIGINT) AS src_docs
+        |FROM per GROUP BY domain""".stripMargin,
 
     // every field replays the construction through the parser-visible
     // views: attr values + RCDATA title both decode NUL→U+FFFD

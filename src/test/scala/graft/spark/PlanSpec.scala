@@ -249,6 +249,13 @@ class PlanSpec extends AnyFunSuite {
     val lmbEvals = graft.spark.TextKernels.lmScoreEvals.get
     assert(lmbEvals == nAll,
       s"q_lm_buckets must run once per row: $lmbEvals evals for $nAll rows")
+    // link graph: the outer-explode discipline through the two-phase
+    // aggregate — one link-table parse per row
+    graft.spark.HtmlUdfs.linkTableEvals.set(0)
+    graft.SparkEntry.queries("q_link_graph")(spark, sf).collect()
+    val lgEvals = graft.spark.HtmlUdfs.linkTableEvals.get
+    assert(lgEvals == nAll,
+      s"q_link_graph must parse once per row: $lgEvals evals for $nAll rows")
   }
 
   test("node table parses once per row under a tag+attr relational filter") {
