@@ -222,7 +222,7 @@ object Bench {
       "q_html_markdown" -> 0.55, "q_mixture" -> 0.45,
       "q_pack_interleaved" -> 0.7, "q_c4_gopher" -> 0.5,
       "q_lm_score" -> 0.5, "q_lm_buckets" -> 0.8,
-      "q_link_graph" -> 0.5)
+      "q_link_graph" -> 0.5, "q_dedup_incremental" -> 0.5)
     val retries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def bestOf2(name: String)(run: () => Unit): (String, Double) = {
       def once(): Double = {

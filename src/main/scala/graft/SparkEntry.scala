@@ -502,6 +502,18 @@ object SparkEntry {
         .select(col("doc_id"), col("text_hash"), col("dup_count"),
           col("is_canonical"))),
 
+    // Incremental-ingest novelty (round 7 cont.): batch-vs-history
+    // dedup through the bloom prune + confirm anti-join; the history is
+    // every third doc's source, so corpus-level source dups are the
+    // planted victims. Result is anti-join-exact for ANY bloom sizing.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val seen = d.filter(pmod(col("doc_id"), lit(3L)) === 0)
+      Dedup.incrementalNovel(d, "doc_id", "source", seen, "source",
+          expectedItems = 4096, fpp = 0.01)
+        .select(col("doc_id"), col("text_hash"))
+    }),
+
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -2112,6 +2124,17 @@ object SparkEntry {
       s"""SELECT $h AS text_hash, min(doc_id) AS doc_id,
         |       CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin
+    },
+
+    // the bloom layer is a pure prune (no false negatives; positives
+    // confirmed by the anti-join), so the oracle IS the plain anti-join
+    // on the canonical hash — identical for any bloom sizing
+    "q_dedup_incremental" -> {
+      val h = s"coalesce(md5(${TextNorm.sqlLower(TextNorm.sqlTrim("source"))}), '')"
+      s"""WITH k AS (SELECT doc_id, $h AS text_hash FROM documents),
+        |seen AS (SELECT DISTINCT text_hash FROM k WHERE doc_id % 3 = 0)
+        |SELECT k.doc_id, k.text_hash FROM k
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text_hash = k.text_hash)""".stripMargin
     },
 
     "q_dedup_flags" -> {

@@ -103,6 +103,62 @@ object Dedup {
     df.groupBy(coalesce(md5(TextNorm.lowerCol(TextNorm.trimCol(col(textCol)))), lit("")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dup_count"))
 
+  /** Incremental-ingest novelty filter — the "new crawl batch vs
+    * corpus history" step of a continuously-fed pipeline: keep the
+    * batch rows whose canonical text hash (the [[exact]] convention:
+    * md5 of lower/trim, null → '') has never been seen. Semantics are
+    * EXACTLY a left-anti join against the distinct history keys; the
+    * Bloom filter is a pure PRUNE layer: rows the bloom rejects are
+    * provably novel (no false negatives) and skip the shuffle
+    * entirely, rows it accepts are CONFIRMED by the anti-join (false
+    * positives cannot leak a drop). Result is therefore identical for
+    * any (expectedItems, fpp) — the property the oracle pins.
+    *
+    * 100 TB shape: the history side collapses to DISTINCT keys once
+    * (the decontaminate discipline), aggregates into one bloom sketch
+    * (driver bytes bounded by numBits/8 — a CONFIG, never the data;
+    * ~1.2 MB at 10⁶ items / 1% fpp, embedded as a plan literal), and
+    * only the bloom-positive sliver of the batch — true dups + fpp of
+    * the novel mass — pays the anti-join shuffle. The batch is scanned
+    * twice (once per branch of the union); at scale that is a column-
+    * pruned parquet re-read, strictly cheaper than shuffling the full
+    * batch. Built on Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain (the runtime-filter machinery) via the
+    * GraftSql bridge. For histories past ~10⁸ keys, raise
+    * expectedItems (bloom bytes grow linearly) or fall back to
+    * [[exact]]-style anti-join; the conf caps
+    * (spark.sql.optimizer.runtime.bloomFilter.*) clamp oversized
+    * requests. */
+  def incrementalNovel(batch: DataFrame, idCol: String, textCol: String,
+                       seen: DataFrame, seenTextCol: String,
+                       expectedItems: Long = 1L << 22,
+                       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.GraftSql
+    def keyOf(c: Column): Column =
+      coalesce(md5(TextNorm.lowerCol(TextNorm.trimCol(c))), lit(""))
+    val batchKeyed = batch.withColumn("text_hash", keyOf(col(textCol)))
+    val seenKeys = seen.select(keyOf(col(seenTextCol)).as("text_hash")).distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = GraftSql.column(
+      new BloomFilterAggregate(
+        GraftSql.expressionOf(xxhash64(col("text_hash"))),
+        CatLit(expectedItems), CatLit(numBits)).toAggregateExpression())
+    val bloomRow = seenKeys.agg(bloomAgg.as("bf")).head()
+    if (bloomRow.isNullAt(0)) return batchKeyed // empty history: all novel
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    val mc = GraftSql.column(BloomFilterMightContain(
+      CatLit.create(bloom, org.apache.spark.sql.types.BinaryType),
+      GraftSql.expressionOf(xxhash64(col("text_hash")))))
+    batchKeyed.filter(not(mc))
+      .unionByName(batchKeyed.filter(mc)
+        .join(seenKeys, Seq("text_hash"), "left_anti")
+        .select(batchKeyed.columns.map(col): _*))
+  }
+
   /** Self-join `banded` on (band, bucket) with a skew guard: buckets
     * above `maxBucketSize` do NOT self-join (one shared all-identical
     * key, e.g. the signature of the empty document over a 1% garbage

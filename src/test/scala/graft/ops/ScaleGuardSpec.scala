@@ -745,6 +745,49 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(dOut.length == 2 && dOut.forall(_.getLong(1) == 0L))
   }
 
+  test("incrementalNovel: bloom prune is exactly the anti-join, FPs cannot leak") {
+    import spark.implicits._
+    // batch has within-batch dups (must SURVIVE: novelty is vs history
+    // only) and case/ws variants of history texts (canonical hash must
+    // kill them)
+    val batch = (0 until 200).map(i => (i.toLong, s"t${i % 120}")).toDF("doc_id", "text")
+    val seen = ((0 until 30).map(j => s"t${j * 2}") ++
+      Seq("  T8  ", "T13\t")).toDF("text") // canonical dups of t8/t13
+    val expectedNovel = (0 until 200).filter { i =>
+      val k = i % 120
+      !(k % 2 == 0 && k <= 58) && k != 13
+    }.map(_.toLong).toSet
+    for (p <- Seq(2, 7, 32); items <- Seq(4L, 4096L)) {
+      // items=4 deliberately saturates the bloom: heavy false positives
+      // must all be confirmed away by the anti-join
+      val got = Dedup.incrementalNovel(batch.repartition(p), "doc_id", "text",
+          seen, "text", expectedItems = items, fpp = 0.05)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expectedNovel,
+        s"p=$p items=$items: missing=${expectedNovel -- got} extra=${got -- expectedNovel}")
+    }
+    // the bloom path is LIVE in the plan (prune layer, not dead code).
+    // A LocalRelation batch hides it — PushDownPredicates moves the
+    // probe under Repartition and ConvertToLocalRelation pre-evaluates
+    // it into the relation (verified: branch counts stay exact) — so
+    // pin on a Range-based batch, which cannot fold
+    val rangeBatch = spark.range(50)
+      .selectExpr("id AS doc_id", "concat('t', id % 20) AS text")
+    val plan = Dedup.incrementalNovel(rangeBatch, "doc_id", "text",
+        seen, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prune missing from the plan")
+    // empty history: everything is novel, no bloom to probe
+    val none = Dedup.incrementalNovel(batch, "doc_id", "text",
+      Seq.empty[String].toDF("text"), "text")
+    assert(none.count() == 200)
+    // null text in batch and history: both canonicalize to '' and match
+    val nb = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text")
+    val ns = Seq((null: String)).toDF("text")
+    assert(Dedup.incrementalNovel(nb, "doc_id", "text", ns, "text")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("decontaminate: short docs and empty contam set are total") {
     import spark.implicits._
     val corpus = Seq((1L, "only five tokens right here"),
