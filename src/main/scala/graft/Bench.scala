@@ -290,8 +290,8 @@ object Bench {
         "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
     val qs = qsJson(results)
-    val qsSlow = {
-      val keep = results.sortBy(-_._2).take(48).map(_._1).toSet
+    def qsSlow(k: Int): String = {
+      val keep = results.sortBy(-_._2).take(k).map(_._1).toSet
       val kept = results.filter(r => keep(r._1))
       qsJson(kept).dropRight(1) +
         s""","q_dropped":${results.size - kept.size}}"""
@@ -314,10 +314,16 @@ object Bench {
     // sbt appends "[success] Total time: ..." (~63 chars) to stdout AFTER
     // this line, inside the same tail window — 1,800 + 63 + newlines
     // stays ~135 chars inside the driver's 2,000-char tail.
-    val out = Seq(line(true, true), line(false, true), line(false, false),
-        line(false, false, qsSlow))
+    // last tier is ADAPTIVE: keep the MOST slowest-query rows that fit
+    // the budget (a fixed keep-48 wasted ~650 chars at 88 rows)
+    val out = Seq(line(true, true), line(false, true), line(false, false))
       .find(_.length < 1800)
-      .getOrElse(line(false, false, qsSlow))
+      .getOrElse {
+        ((results.size - 1) to 8 by -1).iterator
+          .map(k => line(false, false, qsSlow(k)))
+          .find(_.length < 1800)
+          .getOrElse(line(false, false, qsSlow(8)))
+      }
     require(out.length < 1900, s"bench line ${out.length} chars exceeds driver tail window")
     println(out)
   }
