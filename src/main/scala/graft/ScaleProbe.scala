@@ -24,6 +24,7 @@ object ScaleProbe {
     "q_quality_model", "q_token_count", "q_repetition", "q_html_node_table",
     "q_mixture", "q_pack_interleaved", "q_html_markdown",
     "q_c4_gopher", "q_lm_score", "q_lm_buckets",
+    "q_link_graph", "q_dedup_incremental",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup",
