@@ -479,6 +479,22 @@ object SparkEntry {
         GraftFunctions.parse_html_text(html).as("full_text"))
     }),
 
+    // full density scoring (north star: text-density + tag-depth + link-
+    // density): the icon-menu div (1 codepoint / 4 elements) and the
+    // 29-deep text block fall to the two NEW axes — Boiler keeps both —
+    // and the real paragraph itself keeps only at ≥10 codepoints
+    "q_html_density" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val html = concat(lit("<article><p>"), escTxt(coalesce(col("text"), lit(""))),
+        lit("</p></article><div>x<i></i><i></i><i></i><i></i></div>" +
+          "<nav><a href=\"/a\">aa</a> <a href=\"/b\">bb</a></nav>" +
+          ("<div>" * 28) + "deepdeepdeepdeep" + ("</div>" * 28) +
+          "<p>keep me now</p>"))
+      d.select(col("doc_id"),
+        GraftFunctions.extract_dense_text(html).as("dense_text"),
+        GraftFunctions.extract_main_text(html).as("main_text"))
+    }),
+
     "q_charset_sniff" -> ((s, dir) => {
       val d = docs(s, dir)
       val bytes = when(pmod(col("doc_id"), lit(4)) === 0,
@@ -2107,6 +2123,21 @@ object SparkEntry {
         |  CASE WHEN ${sqlNotWsOnly("bt")} THEN bt ELSE '' END AS main_text,
         |  CASE WHEN ${sqlNotWsOnly("bt")} THEN bt || ' aa bb x'
         |       ELSE 'aa bb x' END AS full_text
+        |FROM (SELECT doc_id, $bt AS bt FROM documents)""".stripMargin
+    },
+
+    // the paragraph block has 0 descendant elements, so the text-density
+    // rule reduces to len(bt) >= 10 (codepoints — the JVM side counts
+    // codePointCount, matching DuckDB len); the menu/nav/deep victims are
+    // dropped by construction, 'keep me now' (11 cp, depth 2) always kept
+    "q_html_density" -> {
+      val bt = sqlBodyText("coalesce(text, '')")
+      s"""SELECT doc_id,
+        |  CASE WHEN ${sqlNotWsOnly("bt")} AND len(bt) >= 10
+        |       THEN bt || ' keep me now' ELSE 'keep me now' END AS dense_text,
+        |  CASE WHEN ${sqlNotWsOnly("bt")}
+        |       THEN bt || ' x deepdeepdeepdeep keep me now'
+        |       ELSE 'x deepdeepdeepdeep keep me now' END AS main_text
         |FROM (SELECT doc_id, $bt AS bt FROM documents)""".stripMargin
     },
 

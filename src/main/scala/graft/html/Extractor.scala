@@ -16,13 +16,25 @@ final case class Span(kind: String, text: String, media_ref: String, offset: Int
   * @param minBlockChars blocks shorter than this with high link density
   *        are dropped when boilerplate=true
   * @param maxLinkDensity link-density cutoff for boilerplate blocks
+  * @param minTextDensity text-density scoring (0 = off): a TEXT-BEARING
+  *        block is dropped when its codepoint count is below
+  *        minTextDensity × (descendant elements + 1) — markup-heavy
+  *        chrome (icon menus, widget shells) carries many tags per
+  *        character of prose. Text-less wrapper blocks are never
+  *        density-dropped (they hold the real content blocks).
+  * @param maxBlockDepth tag-depth scoring (0 = off): a text-bearing
+  *        block nested deeper than this is dropped — deep nests are
+  *        nav/widget chrome, real prose sits shallow (north_star's
+  *        tag-depth scoring axis).
   */
 final case class ExtractConfig(
     skipTags: Set[String] = Set("script", "style", "textarea", "template"),
     boilerplate: Boolean = false,
     minBlockChars: Int = 25,
     maxLinkDensity: Double = 0.5,
-    maxTagDepth: Int = 600 // > TreeBuilder's 512 open-element cap: never drops real content
+    maxTagDepth: Int = 600, // > TreeBuilder's 512 open-element cap: never drops real content
+    minTextDensity: Int = 0,
+    maxBlockDepth: Int = 0
 )
 
 /** DOM → ordered content spans.
@@ -41,6 +53,11 @@ object Extractor {
 
   val Strict: ExtractConfig = ExtractConfig()
   val Boiler: ExtractConfig = ExtractConfig(boilerplate = true)
+  /** All three north-star scoring axes on: link density (Boiler's rule)
+    * + text density (≥10 codepoints per descendant element) + tag depth
+    * (text blocks nested >24 deep are chrome). */
+  val Density: ExtractConfig =
+    ExtractConfig(boilerplate = true, minTextDensity = 10, maxBlockDepth = 24)
 
   private final val KindText = "text"
 
@@ -117,21 +134,35 @@ object Extractor {
 
   private def stripBoilerplate(doc: Node, spans: ArrayBuffer[Span],
                                cfg: ExtractConfig): Seq[Span] = {
-    // per-block stats: total text chars, text chars under <a>
+    val density = cfg.minTextDensity > 0 || cfg.maxBlockDepth > 0
+    // per-block stats: text CODEPOINTS (canonical length alphabet — the
+    // oracle's len() counts codepoints, UTF-16 units diverge on astral)
+    // and link codepoints. Stats are created only by text contributions:
+    // a text-less wrapper block is never scored (dropping it would kill
+    // the content blocks inside).
     final class Stat { var text = 0; var link = 0 }
     val stats = new java.util.IdentityHashMap[Node, Stat]()
+    // element counts accrue before we know whether the block ever bears
+    // text, so they live in their own map keyed by the same block node
+    val tagCounts = if (density) new java.util.IdentityHashMap[Node, Integer]() else null
     def collect(n: Node, block: Node, inLink: Boolean): Unit = {
       n.kind match {
         case NodeKind.Text =>
           if (block != null && !TextPrep.isWhitespaceOnly(n.text)) {
             var s = stats.get(block)
             if (s == null) { s = new Stat; stats.put(block, s) }
-            s.text += n.text.length
-            if (inLink) s.link += n.text.length
+            val cp = n.text.codePointCount(0, n.text.length)
+            s.text += cp
+            if (inLink) s.link += cp
           }
         case NodeKind.Element =>
           if (cfg.skipTags.contains(n.name)) return
-          val nb = if (n.ns == Ns.HTML && blockTags.contains(n.name)) n else block
+          if (density && block != null) {
+            val c0 = tagCounts.get(block)
+            tagCounts.put(block, if (c0 == null) 1 else c0 + 1)
+          }
+          val isBlock = n.ns == Ns.HTML && blockTags.contains(n.name)
+          val nb = if (isBlock) n else block
           val il = inLink || (n.ns == Ns.HTML && n.name == "a")
           var c = n.firstChild
           while (c != null) { collect(c, nb, il); c = c.next }
@@ -143,15 +174,33 @@ object Extractor {
     }
     collect(doc, null, inLink = false)
 
-    // decide keep/drop per block
+    // tag-depth of a block = its ancestor count (document excluded);
+    // blocks are few per doc, so the parent walk is cheaper than
+    // threading depth through every stat site
+    def nodeDepth(n: Node): Int = {
+      var d = 0; var p = n.parent
+      while (p != null && p.kind != NodeKind.Document) { d += 1; p = p.parent }
+      d
+    }
+
+    // decide keep/drop per text-bearing block
     val dropped = new java.util.IdentityHashMap[Node, java.lang.Boolean]()
     val it = stats.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val s = e.getValue
       val ld = if (s.text == 0) 1.0 else s.link.toDouble / s.text
-      if (s.text < cfg.minBlockChars && ld > cfg.maxLinkDensity)
-        dropped.put(e.getKey, java.lang.Boolean.TRUE)
+      var drop = s.text < cfg.minBlockChars && ld > cfg.maxLinkDensity
+      if (!drop && density) {
+        val tags = if (tagCounts == null) 0 else {
+          val t = tagCounts.get(e.getKey); if (t == null) 0 else t.intValue()
+        }
+        if (cfg.minTextDensity > 0 &&
+            s.text.toLong < cfg.minTextDensity.toLong * (tags + 1)) drop = true
+        if (!drop && cfg.maxBlockDepth > 0 &&
+            nodeDepth(e.getKey) > cfg.maxBlockDepth) drop = true
+      }
+      if (drop) dropped.put(e.getKey, java.lang.Boolean.TRUE)
     }
     if (dropped.isEmpty)
       return scala.collection.immutable.ArraySeq.unsafeWrapArray(spans.toArray)

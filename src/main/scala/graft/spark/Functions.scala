@@ -76,6 +76,12 @@ object HtmlUdfs {
   def mainText(html: UTF8String): UTF8String =
     joinSpanText(Extractor.extractHtml(html.toString, Extractor.Boiler))
 
+  /** parse + FULL density scoring (all three north-star axes: link
+    * density + text density + tag depth; Extractor.Density) → visible
+    * main-content text. */
+  def denseText(html: UTF8String): UTF8String =
+    joinSpanText(Extractor.extractHtml(html.toString, Extractor.Density))
+
   /** fragment-parse `html` with `context` as the context element
     * (reference myhtml_parse_fragment, myhtml.c:240-262) → visible text
     * of the fragment, spans joined by a single space. The context tag
@@ -1584,6 +1590,22 @@ case class ExtractMainText(child: Expression)
   override def prettyName: String = "extract_main_text"
 }
 
+/** Native density-scored extraction: `extract_dense_text(html)` — the
+  * north star's full scoring battery (text-density chars-per-tag,
+  * link-density, tag-depth) over text-bearing blocks. */
+case class ExtractDenseText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.denseText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.denseText($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractDenseText =
+    copy(child = newChild)
+  override def prettyName: String = "extract_dense_text"
+}
+
 case class TokenizeHtml(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = HtmlUdfs.tokenArrayType
@@ -1650,6 +1672,7 @@ object GraftFunctions {
   def parse_fragment_text(html: Column, context: Column): Column =
     call_function("parse_fragment_text", html, context)
   def extract_main_text(c: Column): Column = call_function("extract_main_text", c)
+  def extract_dense_text(c: Column): Column = call_function("extract_dense_text", c)
   def graft_image_header(c: Column): Column = call_function("graft_image_header", c)
   def graft_audio_header(c: Column): Column = call_function("graft_audio_header", c)
   def graft_video_header(c: Column): Column = call_function("graft_video_header", c)

@@ -41,6 +41,8 @@ object GraftSql {
       args => ParseFragmentText(args(0), args(1))),
     ("extract_main_text", "graft.spark.ExtractMainText",
       args => ExtractMainText(args.head)),
+    ("extract_dense_text", "graft.spark.ExtractDenseText",
+      args => ExtractDenseText(args.head)),
     // dedup signature kernels — native since round 3 (previously Scala
     // UDFs registered by TextOps.registerAll; same names, same bits)
     ("graft_simhash64", "graft.spark.GraftSimhash64",

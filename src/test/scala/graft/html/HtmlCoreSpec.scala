@@ -594,6 +594,31 @@ class ExtractorSpec extends AnyFunSuite {
     assert(!boiler.exists(_.text == "more"))
   }
 
+  test("density scoring: text-density, tag-depth, link-density axes") {
+    def dense(h: String) = Extractor.extractHtml(h, Extractor.Density).map(_.text)
+    val para = "<p>This is a long enough real paragraph here.</p>"
+    // tag-density: 1 codepoint over 4 descendant elements < 10*(4+1) → drop
+    // (Boiler keeps it: link density 0)
+    val menu = s"<body>$para<div>x<i></i><i></i><i></i><i></i></div></body>"
+    assert(dense(menu) == Seq("This is a long enough real paragraph here."))
+    assert(Extractor.extractHtml(menu, Extractor.Boiler).exists(_.text == "x"))
+    // tag-depth: a text block nested 29 deep (>24) is chrome
+    val deep = s"<body>$para${"<div>" * 28}deepdeepdeepdeep${"</div>" * 28}</body>"
+    assert(dense(deep) == Seq("This is a long enough real paragraph here."))
+    assert(Extractor.extractHtml(deep, Extractor.Boiler).exists(_.text == "deepdeepdeepdeep"))
+    // text-density on a pure-text block: <10 codepoints drops
+    assert(dense("<p>tiny</p><p>long enough here</p>") == Seq("long enough here"))
+    // text-less wrapper blocks are never density-dropped
+    assert(dense("<article><p>wrapped real content here</p></article>") ==
+      Seq("wrapped real content here"))
+    // codepoint counting: 5 astral chars are 5 codepoints (10 UTF-16
+    // units) — below the 10-codepoint floor
+    assert(dense("<p>😀😀😀😀😀</p>").isEmpty)
+    // link-density rule still active in Density mode
+    assert(dense(s"$para<nav><a href=/a>aa</a> <a href=/b>bb</a></nav>") ==
+      Seq("This is a long enough real paragraph here."))
+  }
+
   test("robustness: binary garbage never throws (Changes:33)") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
