@@ -833,6 +833,33 @@ object SparkEntry {
       Dedup.clusters(d.select(col("doc_id")), "doc_id", pairs, maxIterations = 8)
     }),
 
+    // The fuzzy-dedup USER STORY end to end: minhash-LSH candidates →
+    // connected components → quality-aware canonical per component →
+    // the kept corpus. Same planted corpus as q_minhash_dedup, so the
+    // component structure is fixed by construction: base doc d*10 links
+    // its identical twin (d%5==0) and its one-token tail twin (d%7==0,
+    // J=30/31 ≥ 0.9) and nothing crosses documents (md5 tokens are
+    // disjoint across docs) → cluster = (id div 10)*10 everywhere.
+    "q_fuzzy_dedup" -> ((s, dir) => {
+      val base = md5Corpus(docs(s, dir))
+      val corpus = base.select((col("doc_id") * 10).as("id"), col("t"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id"), col("t")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 10 + 2).as("id"),
+            concat(col("t"), lit(" "),
+              md5(concat(col("doc_id").cast("string"), lit("-x")))).as("t")))
+      val pairs = Dedup.minhashCandidates(corpus, "id", "t",
+        k = 32, bands = 8, jaccardThreshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      val cl = Dedup.clusters(corpus.select(col("id")), "id", pairs,
+        maxIterations = 8)
+      val scored = cl.select(col("id"), col("cluster"),
+        pmod(col("id"), lit(3)).cast("long").as("quality"))
+      Dedup.keepBest(scored, "id", "cluster", "quality")
+        .filter(col("keep")).select(col("id"), col("cluster"))
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -2548,6 +2575,22 @@ object SparkEntry {
         |k AS (SELECT *, min(CASE WHEN quality = mx THEN doc_id END)
         |  OVER (PARTITION BY cluster) AS kid FROM m)
         |SELECT doc_id, cluster, quality, doc_id = kid AS keep FROM k""".stripMargin,
+
+    // end-to-end replay off the construction: the component of id is
+    // (id div 10)*10 (twins/tails always pair with their base; md5
+    // tokens never cross documents), winner = min id among max-quality
+    // members — the same window form as q_dedup_keep_best
+    "q_fuzzy_dedup" ->
+      s"""WITH base AS ($md5CorpusSql),
+        |ids AS (
+        |  SELECT doc_id*10 AS id FROM base
+        |  UNION ALL SELECT doc_id*10+1 FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id*10+2 FROM base WHERE doc_id % 7 = 0),
+        |t AS (SELECT id, (id//10)*10 AS cluster, id % 3 AS quality FROM ids),
+        |m AS (SELECT *, max(quality) OVER (PARTITION BY cluster) AS mx FROM t),
+        |k AS (SELECT *, min(CASE WHEN quality = mx THEN id END)
+        |  OVER (PARTITION BY cluster) AS kid FROM m)
+        |SELECT id, cluster FROM k WHERE id = kid""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
