@@ -886,6 +886,33 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // SemDeDup (embedding-cluster semantic dedup): 8 semantic cells,
+    // each holding an axis subgroup (scales of e_2j) and a Pythagorean
+    // subgroup ([3,4]·2^i in plane (2j,2j+1)). Within-subgroup cosine is
+    // exactly 1.0 (power-of-two scalings), cross-subgroup exactly 3/5 —
+    // so threshold 0.9 keeps exactly the min id of each subgroup and the
+    // verdict is safely far from the boundary on both sides. Centroids
+    // are the plan-literal unit axes, so cell = j by argmax-cosine.
+    "q_semdedup" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      import s.implicits._
+      def vec(j: Int, sub: Int, i: Int): Array[Float] = {
+        val v = new Array[Float](16)
+        if (sub == 0) v(2 * j) = ((j + 1) * (1 << i)).toFloat
+        else { v(2 * j) = 3f * (1 << i); v(2 * j + 1) = 4f * (1 << i) }
+        v
+      }
+      val corpus = (for (j <- 0 until 8; sub <- 0 to 1; i <- 0 until 3)
+        yield ((j * 100 + sub * 10 + i).toLong, vec(j, sub, i)))
+        .toDF("vec_id", "embedding")
+      val centroids = Array.tabulate(8) { j =>
+        val c = new Array[Float](16); c(2 * j) = 1f; c
+      }
+      Dedup.semanticDedup(corpus, "vec_id", "embedding", centroids,
+          threshold = 0.9)
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       // planted near-dups: identical twins (vec_id<10 → +10000) and
       // half-scaled twins (10..19 → +20000, cosine exactly 1.0); the max
@@ -2610,6 +2637,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT vec_id, vec_id + 100000, CAST(2 AS INT)
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // independent replay: DuckDB rebuilds the 48-vector corpus from the
+    // same (j, sub, i) arithmetic, recomputes every same-cell cosine
+    // itself, and derives kept = "not the larger member of any ≥0.9
+    // pair" — cell equals j by the argmax-cosine construction
+    "q_semdedup" ->
+      """WITH ids AS (SELECT j, sub, i
+        |  FROM range(0,8) tj(j), (SELECT unnest([0,1]) AS sub), range(0,3) ti(i)),
+        |corpus AS (SELECT CAST(j*100 + sub*10 + i AS BIGINT) AS vec_id, j,
+        |  list_transform(range(0,16), d ->
+        |    CASE WHEN sub = 0 AND d = 2*j THEN CAST((j+1) * (1<<i) AS DOUBLE)
+        |         WHEN sub = 1 AND d = 2*j THEN CAST(3 * (1<<i) AS DOUBLE)
+        |         WHEN sub = 1 AND d = 2*j+1 THEN CAST(4 * (1<<i) AS DOUBLE)
+        |         ELSE 0.0 END) AS v
+        |  FROM ids),
+        |p AS (SELECT b.vec_id AS idb,
+        |  list_sum(list_transform(range(1,17), x -> a.v[x]*b.v[x]))
+        |  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |     * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+        |  FROM corpus a JOIN corpus b ON a.j = b.j AND a.vec_id < b.vec_id)
+        |SELECT c.vec_id, CAST(c.j AS INT) AS cell,
+        |  c.vec_id NOT IN (SELECT idb FROM p WHERE cos >= 0.9) AS kept
+        |FROM corpus c""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH c AS (

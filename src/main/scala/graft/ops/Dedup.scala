@@ -642,6 +642,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    * clusters — assign every vector to its nearest centroid (argmax
+    * cosine, the IVF coarse quantizer), compare pairs only WITHIN a
+    * cell, and drop every member of a ≥-threshold pair except its
+    * smallest id. Returns (id, cell, kept) for every input row.
+    *
+    * Centroids come in as a parameter (train with
+    * `Similarity.trainCentroids` — the same literal-broadcast
+    * discipline as ivfTopK: k×dim floats in the plan, never a join).
+    * 100 TB shape: the pair join is cell-bucketed with the oversize
+    * guard (a degenerate cell star-compares against its hub instead of
+    * exploding quadratically); vectors rejoin candidates by id, never
+    * riding the bucket shuffle; the (id, cell) frame feeding both the
+    * pair key and the final output goes through one compact Snapshot so
+    * the centroid kernel runs once per row. Null and NaN-poisoned
+    * vectors take the -1 sentinel cell (never pairs with a real 0-based
+    * cell, no isnotnull pushdown re-eval — the CLAUDE.md coalesce rule);
+    * zero/short vectors land in a real cell but can never reach the
+    * cosine threshold (zero-norm guard / length-mismatch null verdict) —
+    * every such row is kept, never silently deduplicated. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Float]], threshold: Double,
+                    maxCellSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val nearest = GraftSql.column(graft.spark.GraftNearestCentroids(
+      GraftSql.expressionOf(col("vec")), centroids, 1))
+    val cells = Snapshot(vecs.select(col("id"),
+      coalesce(element_at(nearest, 1), lit(-1)).as("cell")))
+    val banded = cells.filter(col("cell") >= 0)
+      .select(col("id"), lit(0).as("band"), col("cell").as("bucket"))
+    val dropped = guardedBucketPairs(banded, maxCellSize)
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__sd", lit(true))
+    cells.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        (!coalesce(col("__sd"), lit(false))).as("kept"))
+  }
+
   /** Exact-substring duplication stats — the corpus-wide repeated-
     * passage detector behind suffix-array training-data dedup (drop or
     * trim documents containing a passage of >= L tokens that appears

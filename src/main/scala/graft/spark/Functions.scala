@@ -1455,6 +1455,10 @@ case class GraftNearestCentroids(child: Expression,
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // a NaN-poisoned vector has no argmax (every compare is false) →
+  // null verdict, never a throw (totality) — and returning NULL from a
+  // non-null input requires the explicit isNull slot (repo rule)
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     nearest(input.asInstanceOf[ArrayData])
   def nearest(vec: ArrayData): ArrayData = {
@@ -1482,6 +1486,7 @@ case class GraftNearestCentroids(child: Expression,
         if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
         j += 1
       }
+      if (best < 0) return null // all scores NaN (poisoned vector)
       used(best) = true
       picked(p) = best
       p += 1
@@ -1491,7 +1496,13 @@ case class GraftNearestCentroids(child: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestCentroids", this,
       classOf[GraftNearestCentroids].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_n = $ref.nearest($c);
+      if (${ev.value}_n == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_n; }
+      """
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): GraftNearestCentroids =
     copy(child = newChild)

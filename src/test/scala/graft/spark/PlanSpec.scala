@@ -339,7 +339,7 @@ class PlanSpec extends AnyFunSuite {
       "prescan_charset", "html_quirks_mode", "tokenize_html", "parse_html_nodes",
       "extract_interleaved_spans", "graft_cosine",
       "graft_quantize_i8", "graft_cosine_i8", "graft_hyperplane_sig",
-      "parse_fragment_text", "extract_main_text",
+      "parse_fragment_text", "extract_main_text", "extract_dense_text",
       "graft_simhash64", "graft_minhash", "graft_jaccard",
       "graft_minhash_shingle", "graft_jaccard_shingle", "graft_hamming64",
       "graft_compress_ratio",
