@@ -1398,6 +1398,37 @@ object SparkEntry {
         r0.getField("ok").cast("int").as("rt_ok"))
     }),
 
+    // WARC → WET (the CommonCrawl conversion step): compose a response
+    // record around constructed HTML, re-parse it, clear-text-extract
+    // the body, and emit the WET conversion record that refers to its
+    // source — then round-trip the WET record through the record walk.
+    // Same title/h1/p construction as q_warc_extract, so the extracted
+    // text is the ws-aware span join the oracle can state exactly.
+    "q_warc_wet" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val html = concat(lit("<html><head><title>"),
+        escTxt(coalesce(col("source"), lit(""))),
+        lit("</title></head><body><h1>"), escTxt(coalesce(col("lang"), lit(""))),
+        lit("</h1><p>"), md5(coalesce(col("text"), lit("")).cast("binary")),
+        lit("</p></body></html>"))
+      val uri = concat(lit("https://w.ex/"), col("doc_id").cast("string"))
+      val date = lit("2026-02-02T00:00:00Z")
+      val rec = call_function("graft_warc_compose", uri, date, html)
+      val r0 = element_at(
+        call_function("graft_warc_records", encode(rec, "UTF-8")), 1)
+      val wtext = GraftFunctions.parse_html_text(r0.getField("body"))
+      val wet = call_function("graft_warc_compose_wet",
+        uri, date, r0.getField("record_id"), wtext)
+      val w0 = element_at(
+        call_function("graft_warc_records", encode(wet, "UTF-8")), 1)
+      d.select(col("doc_id"), wet.as("wet_record"),
+        w0.getField("warc_type").as("rt_type"),
+        w0.getField("uri").as("rt_uri"),
+        w0.getField("body").as("rt_text"),
+        w0.getField("ok").cast("int").as("rt_ok"))
+    }),
+
     "q_warc" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
@@ -3043,6 +3074,43 @@ object SparkEntry {
         |  payload || $cr || $cr AS record,
         |  uri AS rt_uri, 200 AS rt_status, 'text/html' AS rt_mime,
         |  'utf-8' AS rt_charset, body AS rt_body, 1 AS rt_ok
+        |FROM m""".stripMargin
+    },
+
+    // the WET record rebuilt from the construction arithmetic: the
+    // extracted text is the ws-aware join of the title/h1/p spans (the
+    // q_warc_extract view), the conversion id hashes uri+date+
+    // ' conversion', Refers-To replays the response id hash, and
+    // Content-Length/digest price the text bytes
+    "q_warc_wet" -> {
+      val cr = "chr(13) || chr(10)"
+      def uuid(h: String) =
+        s"substr($h, 1, 8) || '-' || substr($h, 9, 4) || '-' || " +
+          s"substr($h, 13, 4) || '-' || substr($h, 17, 4) || '-' || substr($h, 21, 12)"
+      s"""WITH e AS (SELECT doc_id, coalesce(source, '') AS src,
+        |  coalesce(lang, '') AS lng, md5(coalesce(text, '')) AS h,
+        |  'https://w.ex/' || CAST(doc_id AS VARCHAR) AS uri FROM documents),
+        |t AS (SELECT doc_id, uri,
+        |  CASE WHEN ${sqlNotWsOnly("src")} AND ${sqlNotWsOnly("lng")}
+        |         THEN src || ' ' || lng || ' ' || h
+        |       WHEN ${sqlNotWsOnly("src")} THEN src || ' ' || h
+        |       WHEN ${sqlNotWsOnly("lng")} THEN lng || ' ' || h
+        |       ELSE h END AS txt FROM e),
+        |m AS (SELECT doc_id, uri, txt,
+        |  md5(uri || ' 2026-02-02T00:00:00Z') AS rh,
+        |  md5(uri || ' 2026-02-02T00:00:00Z conversion') AS ch FROM t)
+        |SELECT doc_id,
+        |  'WARC/1.0' || $cr ||
+        |  'WARC-Type: conversion' || $cr ||
+        |  'WARC-Record-ID: <urn:uuid:' || ${uuid("ch")} || '>' || $cr ||
+        |  'WARC-Date: 2026-02-02T00:00:00Z' || $cr ||
+        |  'WARC-Target-URI: ' || uri || $cr ||
+        |  'WARC-Refers-To: <urn:uuid:' || ${uuid("rh")} || '>' || $cr ||
+        |  'WARC-Block-Digest: md5:' || md5(txt) || $cr ||
+        |  'Content-Type: text/plain' || $cr ||
+        |  'Content-Length: ' || strlen(txt) || $cr || $cr ||
+        |  txt || $cr || $cr AS wet_record,
+        |  'conversion' AS rt_type, uri AS rt_uri, txt AS rt_text, 1 AS rt_ok
         |FROM m""".stripMargin
     },
 

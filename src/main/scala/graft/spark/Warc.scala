@@ -407,6 +407,49 @@ object WarcUdfs {
       payload + crlf + crlf
     UTF8String.fromString(rec)
   }
+
+  /** WET conversion record (the WARC→WET step of the CommonCrawl
+    * pipeline): the extracted plain text of a response record as a
+    * `WARC-Type: conversion` / `Content-Type: text/plain` record that
+    * `WARC-Refers-To`s its source. Same conventions as [[compose]] —
+    * header values sanitized of every char <= U+0020, Content-Length =
+    * octet length, deterministic record id (here from
+    * `uri + ' ' + date + ' conversion'` so the conversion id never
+    * collides with its source response id), body byte-framed and never
+    * sanitized. The q_warc_wet oracle rebuilds the record from the same
+    * arithmetic — layout changes move both sides in lockstep. */
+  def composeWet(uri0: UTF8String, date0: UTF8String,
+                 refersTo0: UTF8String, text: UTF8String): UTF8String = {
+    def clean(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c > ' ') sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    val uri = clean(uri0.toString)
+    val date = clean(date0.toString)
+    val refersTo = clean(refersTo0.toString)
+    val payload = text.toString
+    val crlf = "\r\n"
+    val h = md5HexStr(uri + " " + date + " conversion")
+    val uuid = h.substring(0, 8) + "-" + h.substring(8, 12) + "-" +
+      h.substring(12, 16) + "-" + h.substring(16, 20) + "-" + h.substring(20, 32)
+    val rec = "WARC/1.0" + crlf +
+      "WARC-Type: conversion" + crlf +
+      "WARC-Record-ID: <urn:uuid:" + uuid + ">" + crlf +
+      "WARC-Date: " + date + crlf +
+      "WARC-Target-URI: " + uri + crlf +
+      "WARC-Refers-To: " + refersTo + crlf +
+      "WARC-Block-Digest: md5:" + md5HexStr(payload) + crlf +
+      "Content-Type: text/plain" + crlf +
+      "Content-Length: " + payload.getBytes(Utf8).length + crlf + crlf +
+      payload + crlf + crlf
+    UTF8String.fromString(rec)
+  }
 }
 
 /** `graft_robots_allows(robots_txt, agent, path)` → may the agent
@@ -479,4 +522,25 @@ case class GraftWarcCompose(first: Expression, second: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): GraftWarcCompose =
     copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "graft_warc_compose"
+}
+
+/** `graft_warc_compose_wet(uri, date, refers_to, text)` → one WET
+  * conversion record string (see [[WarcUdfs.composeWet]]). */
+case class GraftWarcComposeWet(first: Expression, second: Expression,
+                               third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(u: Any, d: Any, r: Any, t: Any): Any =
+    WarcUdfs.composeWet(u.asInstanceOf[UTF8String], d.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, d, r, t) =>
+      s"graft.spark.WarcUdfs.composeWet($u, $d, $r, $t)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): GraftWarcComposeWet =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+  override def prettyName: String = "graft_warc_compose_wet"
 }

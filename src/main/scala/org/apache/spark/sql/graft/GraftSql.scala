@@ -91,6 +91,8 @@ object GraftSql {
       args => GraftWarcIndex(args.head)),
     ("graft_warc_compose", "graft.spark.GraftWarcCompose",
       args => GraftWarcCompose(args(0), args(1), args(2))),
+    ("graft_warc_compose_wet", "graft.spark.GraftWarcComposeWet",
+      args => GraftWarcComposeWet(args(0), args(1), args(2), args(3))),
     ("graft_registrable_domain", "graft.spark.GraftRegistrableDomain",
       args => GraftRegistrableDomain(args.head)),
     ("graft_markdown", "graft.spark.GraftMarkdown",

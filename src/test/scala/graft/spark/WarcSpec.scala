@@ -236,4 +236,30 @@ class WarcSpec extends AnyFunSuite {
       .digest(payload.getBytes(Utf8)).map("%02x".format(_)).mkString
     assert(rec.contains(s"WARC-Block-Digest: md5:$md"))
   }
+
+  test("composeWet: conversion record round-trips; id distinct from source") {
+    val text = "Title café 中文 body text"
+    val src = WarcUdfs.compose(u("https://e.com/w"), u("2026-02-02T00:00:00Z"),
+      u("<p>x</p>")).toString
+    val srcId = "<urn:uuid:[0-9a-f-]{36}>".r.findFirstIn(src).get
+    val wet = WarcUdfs.composeWet(u("https://e.com/w"), u("2026-02-02T00:00:00Z"),
+      u(srcId), u(text)).toString
+    val rs = split(wet.getBytes(Utf8))
+    assert(rs.size == 1)
+    val r = rs.head
+    // non-http payload: raw body, octet framing, target-uri carried
+    assert(r.ok && r.warcType == "conversion" && r.uri == "https://e.com/w")
+    assert(r.body == text)
+    assert(wet.contains(s"WARC-Refers-To: $srcId"))
+    assert(wet.contains("Content-Type: text/plain"))
+    assert(wet.contains(s"Content-Length: ${text.getBytes(Utf8).length}"))
+    // the ' conversion' salt keeps the WET id distinct from its source
+    val wetId = "<urn:uuid:[0-9a-f-]{36}>".r.findFirstIn(wet).get
+    assert(wetId != srcId)
+    // refers-to value sanitized like every header (injection-proof)
+    val evil = WarcUdfs.composeWet(u("https://e.com/w"), u("d"),
+      u("<id\r\nWARC-Type: forged>"), u("t")).toString
+    assert(evil.contains("WARC-Refers-To: <idWARC-Type:forged>\r\n"))
+    assert(split(evil.getBytes(Utf8)).head.ok)
+  }
 }
