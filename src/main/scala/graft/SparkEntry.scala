@@ -1760,6 +1760,22 @@ object SparkEntry {
           col("longest_dup_run"))
     }),
 
+    // the APPLY side of exact-substring dedup (same planted prefix as
+    // q_substr_dedup): the shared 12-token passage is cut out of every
+    // %7==3 doc (plus whatever real cross-doc duplication the corpus
+    // carries — the oracle replays the whole count/cover/rebuild chain
+    // relationally, so natural dups are handled, not assumed away)
+    "q_substr_remove" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shared = "qq ww ee rr tt yy uu ii oo pp aa ss "
+      val tx = when(pmod(col("doc_id"), lit(7)) === 3,
+        concat(lit(shared), col("text"))).otherwise(col("text"))
+      Dedup.removeDupSpans(d.select(col("doc_id"), tx.as("t")),
+          "doc_id", "t", n = 3, oracleHash = true)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_tokens"), col("n_removed"))
+    }),
+
     // Domain blocklist filtering (round 5): registrable-domain
     // broadcast anti-join — subdomains of a blocked domain drop too.
     "q_url_filter" -> ((s, dir) => {
@@ -3429,6 +3445,41 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN base b ON d.doc_id = b.doc_id
         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // full relational replay: tokens → n-gram keys → corpus counts →
+    // covered token indices (each dup position covers its n tokens) →
+    // surviving tokens rebuilt in order (list ORDER BY tidx — unique
+    // index, deterministic)
+    "q_substr_remove" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3
+        |       THEN 'qq ww ee rr tt yy uu ii oo pp aa ss ' || text
+        |       ELSE text END AS tx FROM documents),
+        |tk AS (SELECT doc_id,
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("tx"))} AS toks FROM t),
+        |ng AS (SELECT doc_id, i AS pos,
+        |  md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS k
+        |  FROM tk, LATERAL unnest(generate_series(1,
+        |    greatest(len(toks) - 2, 0))) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |cnt AS (SELECT k, count(*) AS c FROM ng GROUP BY k),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS tidx
+        |  FROM ng JOIN cnt USING (k), LATERAL unnest(generate_series(0, 2)) AS v(j)
+        |  WHERE c > 1),
+        |tok AS (SELECT doc_id, i AS tidx, toks[i] AS tok
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks))) AS w(i)),
+        |st AS (SELECT tok.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (cov.tidx IS NOT NULL) AS BIGINT) AS n_removed,
+        |  array_to_string(list(tok ORDER BY tok.tidx)
+        |    FILTER (cov.tidx IS NULL), ' ') AS clean_text
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.tidx = cov.tidx
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id, COALESCE(st.clean_text, '') AS clean_text,
+        |  COALESCE(st.n_tokens, 0) AS n_tokens,
+        |  COALESCE(st.n_removed, 0) AS n_removed
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
     // kept = hosts whose registrable domain is NOT on the blocklist
     // (a.example.com/example.com → example.com; sub.bad.co.uk → bad.co.uk)

@@ -754,4 +754,60 @@ object Dedup {
         coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
         coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"))
   }
+
+  /** The APPLY side of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * REMOVE every token covered by a corpus-duplicated n-gram — i.e.
+    * cut every shared passage of >= n tokens out of every document,
+    * keeping the surrounding text. Output per input row: the surviving
+    * canonical token stream (`clean_text` — lowered tokens joined by
+    * single spaces, the [[TextNorm]] alphabet the n-gram keys are built
+    * on), `n_tokens`, and `n_removed`.
+    *
+    * Scale shape mirrors [[duplicatedNgramSpans]]: one compact
+    * (id, pos, key) Snapshot feeds the corpus count aggregate AND the
+    * flag join; duplicated positions fan out to at most n covered
+    * token indices each (rows, never arrays — a boilerplate-heavy doc
+    * costs O(dup positions × n) rows, not O(tokens²) per-doc lambda
+    * work); the surviving tokens re-aggregate per doc with a
+    * sort_array(collect_list(struct)) bounded by DOCUMENT length. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 13,
+                     oracleHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    def key(c: Column): Column = if (oracleHash) md5(c) else xxhash64(c)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val keyed = Snapshot(base
+      .select(col("id"),
+        GraftSql.column(graft.spark.GraftNgrams(
+          GraftSql.expressionOf(col("text")), n)).as("ngs"))
+      .select(col("id"), posexplode_outer(col("ngs")).as(Seq("pos", "ng")))
+      .filter(col("ng").isNotNull)
+      .select(col("id"), col("pos"), key(col("ng")).as("k")))
+    val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val covered = keyed.join(counts, "k").filter(col("cnt") > 1)
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tidx"))
+      .distinct()
+    val toks = base
+      .select(col("id"), posexplode_outer(
+        TextNorm.tokensCol(TextNorm.lowerCol(col("text"))))
+        .as(Seq("tidx", "tok")))
+      .filter(col("tok").isNotNull)
+    val stats = toks
+      .join(covered.withColumn("__cov", lit(true)), Seq("id", "tidx"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__cov"), 1)).as("n_removed"),
+        // collect_list drops the nulls `when` leaves for covered tokens
+        array_join(transform(
+          sort_array(collect_list(when(!coalesce(col("__cov"), lit(false)),
+            struct(col("tidx"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }
