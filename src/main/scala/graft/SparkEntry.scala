@@ -602,6 +602,35 @@ object SparkEntry {
     "q_lm_buckets" -> ((s, dir) =>
       graft.ops.LmModel.ccnetBuckets(docs(s, dir), "text")),
 
+    // The CCNet pipeline END TO END (Wenzek et al. 2020): corpus-level
+    // paragraph dedup → language id → LM perplexity tertiles → keep
+    // head+middle. Same line construction as q_line_dedup; each stage
+    // is the already-gated operator, chained on the CLEANED text, and
+    // the oracle replays the full chain. The compact cleaned frame is
+    // Snapshotted once — it feeds the langid projection AND the
+    // bucketing kernel (multi-consumer discipline).
+    "q_ccnet_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val text = concat_ws("\n",
+        lit("COOKIE NOTICE accept all"),
+        concat(lit("h-"), coalesce(col("lang"), lit("")), lit("-"),
+          col("doc_id").cast("string")),
+        concat(lit("nav menu "), coalesce(col("source"), lit(""))),
+        concat(lit("body "), md5(concat(coalesce(col("text"), lit("")),
+          col("doc_id").cast("string")))),
+        lit("copyright 2026 site"))
+      val cleaned = graft.ops.Snapshot(
+        Dedup.lineDedup(d.select(col("doc_id"), text.as("t")), "doc_id", "t",
+            maxDocFreq = 5, oracleHash = true)
+          .select(col("id").as("doc_id"), col("clean_text")))
+      val lang = cleaned.select(col("doc_id"),
+        expr("graft_lang_id(clean_text)").as("lang_pred"))
+      graft.ops.LmModel.ccnetBuckets(cleaned, "clean_text")
+        .join(lang, "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("lm_q"), col("lm_bucket"),
+          (col("lm_bucket") =!= "tail").as("kept"))
+    }),
+
     // C4/Gopher filter battery (round 7 cont.): the published
     // page-cleaning rules over the RAW corpus text — counters from one
     // graft_c4_rules pass (projection access only; booleans derived by
@@ -2375,6 +2404,57 @@ object SparkEntry {
         |  CASE WHEN lm_q >= t_head THEN 'head'
         |       WHEN lm_q >= t_mid THEN 'middle'
         |       ELSE 'tail' END AS lm_bucket
+        |FROM q, t""".stripMargin
+    },
+
+    // the full chain replayed: line-dedup clean text (the q_line_dedup
+    // algorithm CTEs) → langid scores → lm_q → descending-cumulative
+    // tertile thresholds → bucket + keep policy
+    "q_ccnet_pipeline" -> {
+      import graft.ops.LmModel
+      val norm = s"md5(${TextNorm.sqlTrim(TextNorm.sqlLower("x"))})"
+      s"""WITH base AS (SELECT doc_id,
+        |  'COOKIE NOTICE accept all' || chr(10) ||
+        |  'h-' || coalesce(lang, '') || '-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'nav menu ' || coalesce(source, '') || chr(10) ||
+        |  'body ' || md5(coalesce(text, '') || CAST(doc_id AS VARCHAR)) || chr(10) ||
+        |  'copyright 2026 site' AS t FROM documents),
+        |ks AS (SELECT doc_id, unnest(list_transform(string_split(t, chr(10)),
+        |    x -> $norm)) AS k FROM base),
+        |common AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS docfreq
+        |    FROM ks GROUP BY k) WHERE docfreq > 5),
+        |commonl AS (SELECT coalesce(list(k), []) AS cks FROM common),
+        |cl AS (SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(c.cks, $norm)), chr(10)) AS ct
+        |  FROM base, commonl c),
+        |p AS (SELECT doc_id, ct, ' ' || ${TextNorm.sqlLower("ct")} || ' ' AS s FROM cl),
+        |sc AS (SELECT doc_id, ct,
+        | (len(s)-len(replace(s,' the ','')))//5 + (len(s)-len(replace(s,' and ','')))//5 + (len(s)-len(replace(s,' of ','')))//4 + (len(s)-len(replace(s,' to ','')))//4 + (len(s)-len(replace(s,' is ','')))//4 AS s_en,
+        | (len(s)-len(replace(s,' der ','')))//5 + (len(s)-len(replace(s,' die ','')))//5 + (len(s)-len(replace(s,' und ','')))//5 + (len(s)-len(replace(s,' ist ','')))//5 + (len(s)-len(replace(s,' nicht ','')))//7 AS s_de,
+        | (len(s)-len(replace(s,' le ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' et ','')))//4 + (len(s)-len(replace(s,' est ','')))//5 + (len(s)-len(replace(s,' les ','')))//5 AS s_fr,
+        | (len(s)-len(replace(s,' el ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' y ','')))//3 + (len(s)-len(replace(s,' es ','')))//4 + (len(s)-len(replace(s,' los ','')))//5 AS s_es,
+        | (len(s)-len(replace(s,'的',''))) + (len(s)-len(replace(s,'是',''))) + (len(s)-len(replace(s,'不',''))) + (len(s)-len(replace(s,'了',''))) + (len(s)-len(replace(s,'在',''))) AS s_zh
+        |FROM p),
+        |lg AS (SELECT doc_id, ct, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en'
+        |  WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+        |  WHEN s_es = m THEN 'es' ELSE 'zh' END AS lang_pred
+        |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m FROM sc)),
+        |strm AS (SELECT doc_id, lang_pred, ${LmModel.sqlStream("ct")} AS st FROM lg),
+        |q AS (SELECT doc_id, lang_pred,
+        |  ${LmModel.sqlScoreFromStream("st")} * 1000
+        |    // greatest(${LmModel.sqlNTrigrams("st")}, 1) AS lm_q FROM strm),
+        |h AS (SELECT lm_q, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY lm_q),
+        |cum AS (SELECT lm_q, CAST(sum(c) OVER (ORDER BY lm_q DESC) AS BIGINT) AS f
+        |  FROM h),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |t AS (SELECT
+        |  (SELECT max(lm_q) FROM cum, n WHERE f >= (n + 2) // 3) AS t_head,
+        |  (SELECT max(lm_q) FROM cum, n WHERE f >= (2 * n + 2) // 3) AS t_mid)
+        |SELECT doc_id, lang_pred, lm_q,
+        |  CASE WHEN lm_q >= t_head THEN 'head'
+        |       WHEN lm_q >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS lm_bucket,
+        |  lm_q >= t_mid AS kept
         |FROM q, t""".stripMargin
     },
 
