@@ -25,9 +25,10 @@ object ScaleProbe {
     "q_mixture", "q_pack_interleaved", "q_html_markdown",
     "q_c4_gopher", "q_lm_score", "q_lm_buckets",
     "q_link_graph", "q_dedup_incremental",
+    "q_html_density", "q_substr_remove", "q_ccnet_pipeline", "q_warc_wet",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
-    "q_substr_dedup",
+    "q_substr_dedup", "q_fuzzy_dedup", "q_semdedup",
     // ANN over embeddings
     "q_ann_self", "q_ann_topk", "q_ann_i8", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm")
