@@ -118,6 +118,13 @@ class PlanSpec extends AnyFunSuite {
       queries, "qid", "qvec", coarse, cb, k = 5, nprobe = 2).collect()
     val pq = graft.spark.VecUdfs.centroidEvals.get
     assert(pq == 300 * 5 + 20, s"ivfPqTopK kernels: $pq evals, want ${300 * 5 + 20}")
+    // semanticDedup: the (id, cell) Snapshot feeds the bucket-pair key
+    // AND the final output — exactly one centroid eval per input row
+    graft.spark.VecUdfs.centroidEvals.set(0)
+    graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding", coarse,
+      threshold = 0.95).collect()
+    val sd = graft.spark.VecUdfs.centroidEvals.get
+    assert(sd == 300, s"semanticDedup coarse kernel: $sd evals, want 300")
   }
 
   test("repetition kernel runs once per row in the cleaning-pipeline filter shape") {
