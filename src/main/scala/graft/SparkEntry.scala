@@ -57,6 +57,48 @@ object SparkEntry {
       |  j -> md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR))), ' ') AS t
       |FROM documents WHERE doc_id < 100""".stripMargin
 
+  /** The v2 cleaning chain (lang gate → heuristic quality → trained
+    * model → repetition → PII redact → exact dedup keep-min). Shared by
+    * q_clean_pipeline_v2 (reports it) and q_training_shard (packs its
+    * survivors) — one implementation, one oracle replay to keep in
+    * lockstep. */
+  private def cleanPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val d = docs(s, dir)
+    val junk = "@#$% " * 200
+    val tx = when(pmod(col("doc_id"), lit(10)) === 6,
+        lit("shared clone body text for dedup"))
+      .otherwise(col("text"))
+    val tx2 = when(pmod(col("doc_id"), lit(8)) === 5,
+      concat(tx, lit(" " + junk))).otherwise(tx)
+    val tx3 = when(pmod(col("doc_id"), lit(9)) === 7,
+      concat(tx2, lit("\nnav bar menu\nnav bar menu"))).otherwise(tx2)
+    val tx4 = when(pmod(col("doc_id"), lit(4)) === 1,
+      concat(tx3, lit(" mail a@b.co now"))).otherwise(tx3)
+    val tx5 = when(pmod(col("doc_id"), lit(12)) === 2,
+      concat(tx4, lit(" click here to subscribe now buy now click here")))
+      .otherwise(tx4)
+    val survivors = d.select(col("doc_id"), col("lang"), tx5.as("t"))
+      .filter(col("lang").isin("en", "de", "fr"))
+      .withColumn("quality", TextOps.qualityScore(col("t")))
+      .filter(col("quality") >= 48)
+      .filter(expr("graft_quality_score(t) >= 0"))
+      .filter(expr("graft_repetition_ok(t, 10, 3, 5)"))
+      .withColumn("redacted", graft.ops.Pii.redact(col("t")))
+    val hashed = graft.ops.Snapshot(survivors
+      .withColumn("h", coalesce(md5(TextNorm.lowerCol(
+        TextNorm.trimCol(col("redacted")))), lit(""))))
+    val groups = hashed.groupBy("h").agg(
+      min(col("doc_id")).as("keep_id"),
+      count(lit(1)).cast("long").as("dup_count"))
+    hashed.join(groups, "h")
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("dup_count"),
+        TextNorm.tokenCountCol(col("redacted")).as("n_tokens"),
+        md5(col("redacted")).as("clean_key"))
+  }
+
   // ------------------------------------------------------------------
   // Parser-visible views of raw column text, for the HTML oracles
   // (round 6 — the adversarial corpus exposes these; each cites the
@@ -1736,42 +1778,18 @@ object SparkEntry {
     // gives the model gate real victims; the oracle replays the learned
     // weight sum inside the same chain, so a drift in EITHER the gate
     // order or the weights breaks the hash.
-    "q_clean_pipeline_v2" -> ((s, dir) => {
-      GraftFunctions.registerAll(s)
-      val d = docs(s, dir)
-      val junk = "@#$% " * 200
-      val tx = when(pmod(col("doc_id"), lit(10)) === 6,
-          lit("shared clone body text for dedup"))
-        .otherwise(col("text"))
-      val tx2 = when(pmod(col("doc_id"), lit(8)) === 5,
-        concat(tx, lit(" " + junk))).otherwise(tx)
-      val tx3 = when(pmod(col("doc_id"), lit(9)) === 7,
-        concat(tx2, lit("\nnav bar menu\nnav bar menu"))).otherwise(tx2)
-      val tx4 = when(pmod(col("doc_id"), lit(4)) === 1,
-        concat(tx3, lit(" mail a@b.co now"))).otherwise(tx3)
-      val tx5 = when(pmod(col("doc_id"), lit(12)) === 2,
-        concat(tx4, lit(" click here to subscribe now buy now click here")))
-        .otherwise(tx4)
-      val survivors = d.select(col("doc_id"), col("lang"), tx5.as("t"))
-        .filter(col("lang").isin("en", "de", "fr"))
-        .withColumn("quality", TextOps.qualityScore(col("t")))
-        .filter(col("quality") >= 48)
-        .filter(expr("graft_quality_score(t) >= 0"))
-        .filter(expr("graft_repetition_ok(t, 10, 3, 5)"))
-        .withColumn("redacted", graft.ops.Pii.redact(col("t")))
-      val hashed = graft.ops.Snapshot(survivors
-        .withColumn("h", coalesce(md5(TextNorm.lowerCol(
-          TextNorm.trimCol(col("redacted")))), lit(""))))
-      val groups = hashed.groupBy("h").agg(
-        min(col("doc_id")).as("keep_id"),
-        count(lit(1)).cast("long").as("dup_count"))
-      hashed.join(groups, "h")
-        .filter(col("doc_id") === col("keep_id"))
-        .select(col("doc_id"), col("lang"), col("quality"),
-          col("dup_count"),
-          TextNorm.tokenCountCol(col("redacted")).as("n_tokens"),
-          md5(col("redacted")).as("clean_key"))
-    }),
+    "q_clean_pipeline_v2" -> ((s, dir) => cleanPipelineV2(s, dir)),
+
+    // The TRAINING SHARD end to end — the engine's whole batch story in
+    // one plan: the v2 cleaning chain (lang → heuristic → trained model
+    // → repetition → redact → exact dedup) feeding sequence packing over
+    // the SURVIVORS. The packer's two-pass prefix sum runs on the
+    // cleaned corpus exactly as a shard writer would consume it; the
+    // oracle nests the full v2 replay under the naive window cumsum.
+    "q_training_shard" -> ((s, dir) =>
+      Pack.concatChunk(
+        cleanPipelineV2(s, dir).select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = 128)),
 
     // Exact-substring duplication stats (round 5): corpus-wide repeated
     // 3-grams on REAL text (plus a planted 12-token passage shared by
@@ -1982,6 +2000,76 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names, same values —
     * the driver hash-compares). EVERY query has an oracle. */
+  /** The v2 cleaning-chain replay (every stage in SQL) — referenced by
+    * the q_clean_pipeline_v2 oracle directly and nested under the pack
+    * window by q_training_shard. */
+  private val cleanPipelineV2Sql: String =
+    s"""WITH t0 AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 6 THEN 'shared clone body text for dedup'
+        |       ELSE text END AS a FROM documents),
+        |t1 AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 8 = 5 THEN a || ' ' || repeat('@#$$% ', 200)
+        |       ELSE a END AS b FROM t0),
+        |t2x AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 9 = 7 THEN b || chr(10) || 'nav bar menu' ||
+        |       chr(10) || 'nav bar menu' ELSE b END AS c FROM t1),
+        |t3x AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 4 = 1 THEN c || ' mail a@b.co now' ELSE c END AS d2
+        |  FROM t2x),
+        |tx AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 12 = 2
+        |       THEN d2 || ' click here to subscribe now buy now click here'
+        |       ELSE d2 END AS t
+        |  FROM t3x WHERE lang IN ('en', 'de', 'fr')),
+        |mtk AS (SELECT doc_id, ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS mtk
+        |  FROM tx),
+        |ms AS (SELECT doc_id,
+        |  ${QualityModel.sqlScoreFromGrams(QualityModel.sqlGrams("mtk"))} AS mscore
+        |  FROM mtk),
+        |q AS (SELECT doc_id, lang, t,
+        |  CAST(least(length(t)//125, 40)
+        |    + CAST(floor(length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+        |        * 40 / greatest(length(t), 1)) AS BIGINT)
+        |    + CASE WHEN nt > 0 AND length(t) >= 3*nt AND length(t) <= 12*nt
+        |           THEN 20 ELSE 0 END AS BIGINT) AS quality
+        |  FROM (SELECT *, coalesce(${TextNorm.sqlTokenCount("t")}, 0) AS nt FROM tx)),
+        |lr AS (SELECT q.doc_id,
+        |  list_filter(list_transform(string_split(t, chr(10)),
+        |    x -> ${TextNorm.sqlLower(TextNorm.sqlTrim("x"))}), x -> x <> '') AS ls,
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS tk
+        |  FROM q JOIN ms ON q.doc_id = ms.doc_id
+        |  WHERE quality >= 48 AND ms.mscore >= 0),
+        |li AS (SELECT doc_id, len(ls) AS lines,
+        |  len(ls) - len(list_distinct(ls)) AS dup_lines,
+        |  length(array_to_string(tk, ' ')) AS token_chars FROM lr),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |  i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS g FROM lr),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |t2g AS (SELECT doc_id, c * length(g) AS top2 FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+        |surv AS (SELECT q.doc_id, q.lang, q.quality, q.t
+        |  FROM q JOIN ms ON q.doc_id = ms.doc_id
+        |  JOIN li ON q.doc_id = li.doc_id
+        |  LEFT JOIN t2g ON q.doc_id = t2g.doc_id
+        |  WHERE q.quality >= 48 AND ms.mscore >= 0
+        |    AND li.dup_lines * 10 <= li.lines * 3
+        |    AND coalesce(t2g.top2, 0) * 5 <= li.token_chars),
+        |red AS (SELECT doc_id, lang, quality,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}', '<IP>', 'g'),
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |    '\\+\\d{7,15}', '<PHONE>', 'g'),
+        |    '\\d{9,}', '<NUM>', 'g') AS redacted FROM surv),
+        |keep AS (SELECT md5(${TextNorm.sqlLower(TextNorm.sqlTrim("redacted"))}) AS h,
+        |  min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count FROM red GROUP BY 1)
+        |SELECT r.doc_id, r.lang, r.quality, k.dup_count,
+        |  coalesce(${TextNorm.sqlTokenCount("redacted")}, 0) AS n_tokens,
+        |  md5(redacted) AS clean_key
+        |FROM red r JOIN keep k ON r.doc_id = k.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // spans replay the parser-visible text (sqlPrep/sqlBodyText) and the
@@ -3427,72 +3515,23 @@ object SparkEntry {
 
     // v1 replay + the planted spam marker + the learned-weight sum
     // inside the gate chain (mscore >= 0 between quality and repetition)
-    "q_clean_pipeline_v2" ->
-      s"""WITH t0 AS (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 10 = 6 THEN 'shared clone body text for dedup'
-        |       ELSE text END AS a FROM documents),
-        |t1 AS (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 8 = 5 THEN a || ' ' || repeat('@#$$% ', 200)
-        |       ELSE a END AS b FROM t0),
-        |t2x AS (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 9 = 7 THEN b || chr(10) || 'nav bar menu' ||
-        |       chr(10) || 'nav bar menu' ELSE b END AS c FROM t1),
-        |t3x AS (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 4 = 1 THEN c || ' mail a@b.co now' ELSE c END AS d2
-        |  FROM t2x),
-        |tx AS (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 12 = 2
-        |       THEN d2 || ' click here to subscribe now buy now click here'
-        |       ELSE d2 END AS t
-        |  FROM t3x WHERE lang IN ('en', 'de', 'fr')),
-        |mtk AS (SELECT doc_id, ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS mtk
-        |  FROM tx),
-        |ms AS (SELECT doc_id,
-        |  ${QualityModel.sqlScoreFromGrams(QualityModel.sqlGrams("mtk"))} AS mscore
-        |  FROM mtk),
-        |q AS (SELECT doc_id, lang, t,
-        |  CAST(least(length(t)//125, 40)
-        |    + CAST(floor(length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
-        |        * 40 / greatest(length(t), 1)) AS BIGINT)
-        |    + CASE WHEN nt > 0 AND length(t) >= 3*nt AND length(t) <= 12*nt
-        |           THEN 20 ELSE 0 END AS BIGINT) AS quality
-        |  FROM (SELECT *, coalesce(${TextNorm.sqlTokenCount("t")}, 0) AS nt FROM tx)),
-        |lr AS (SELECT q.doc_id,
-        |  list_filter(list_transform(string_split(t, chr(10)),
-        |    x -> ${TextNorm.sqlLower(TextNorm.sqlTrim("x"))}), x -> x <> '') AS ls,
-        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("t"))} AS tk
-        |  FROM q JOIN ms ON q.doc_id = ms.doc_id
-        |  WHERE quality >= 48 AND ms.mscore >= 0),
-        |li AS (SELECT doc_id, len(ls) AS lines,
-        |  len(ls) - len(list_distinct(ls)) AS dup_lines,
-        |  length(array_to_string(tk, ' ')) AS token_chars FROM lr),
-        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-        |  i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS g FROM lr),
-        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
-        |t2g AS (SELECT doc_id, c * length(g) AS top2 FROM c2
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
-        |surv AS (SELECT q.doc_id, q.lang, q.quality, q.t
-        |  FROM q JOIN ms ON q.doc_id = ms.doc_id
-        |  JOIN li ON q.doc_id = li.doc_id
-        |  LEFT JOIN t2g ON q.doc_id = t2g.doc_id
-        |  WHERE q.quality >= 48 AND ms.mscore >= 0
-        |    AND li.dup_lines * 10 <= li.lines * 3
-        |    AND coalesce(t2g.top2, 0) * 5 <= li.token_chars),
-        |red AS (SELECT doc_id, lang, quality,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}', '<IP>', 'g'),
-        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-        |    '\\+\\d{7,15}', '<PHONE>', 'g'),
-        |    '\\d{9,}', '<NUM>', 'g') AS redacted FROM surv),
-        |keep AS (SELECT md5(${TextNorm.sqlLower(TextNorm.sqlTrim("redacted"))}) AS h,
-        |  min(doc_id) AS doc_id,
-        |  CAST(count(*) AS BIGINT) AS dup_count FROM red GROUP BY 1)
-        |SELECT r.doc_id, r.lang, r.quality, k.dup_count,
-        |  coalesce(${TextNorm.sqlTokenCount("redacted")}, 0) AS n_tokens,
-        |  md5(redacted) AS clean_key
-        |FROM red r JOIN keep k ON r.doc_id = k.doc_id""".stripMargin,
+    "q_clean_pipeline_v2" -> cleanPipelineV2Sql,
+
+    // the full v2 replay nested under the naive window cumsum (the
+    // q_pack arithmetic at budget 128 over the SURVIVOR set, ordered by
+    // doc_id); sums CAST to BIGINT (the HUGEINT driver trap)
+    "q_training_shard" ->
+      s"""WITH v2 AS ($cleanPipelineV2Sql),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM v2)
+        |SELECT doc_id, n_tokens, st AS start_offset,
+        |  st // 128 AS chunk_start,
+        |  CASE WHEN n_tokens > 0 THEN (st + n_tokens - 1) // 128
+        |       ELSE st // 128 END AS chunk_end
+        |FROM c""".stripMargin,
+
 
     // full replay on real data: tokenize, 3-gram md5 keys, corpus-wide
     // counts, per-doc duplicated positions, gaps-and-islands longest run
