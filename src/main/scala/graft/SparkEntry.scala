@@ -1176,6 +1176,37 @@ object SparkEntry {
           col("copies_so_far"))
     }),
 
+    // Event-time windows + WATERMARK behind the driver gate: 30 s
+    // windows over deterministic event times (base + doc_id seconds,
+    // base ≡ 0 mod 30 so boundaries replay as integer arithmetic),
+    // watermark 60 s. Batch 2 carries a far-future sentinel that pushes
+    // the watermark past every real window (flushing them in append
+    // mode) while its own window never emits (emitted → row-count
+    // mismatch). Batch 3 is a LATE duplicate of doc 5 — its window was
+    // evicted a batch earlier, so the watermark filter must DROP it
+    // (counted → the first window's n changes → hash mismatch).
+    // Measured semantics (pinned in StreamingSpec): a late row is
+    // dropped once its window has been EVICTED; before eviction it
+    // merges — batch sequencing makes the verdict deterministic.
+    "q_stream_window" -> ((s, dir) => {
+      val base = 1700000010L
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+          timestamp_seconds(col("doc_id") + base).as("ts"))
+      val b1 = d.filter(col("doc_id") < 150).drop("doc_id")
+      val sentinel = d.sparkSession.range(1)
+        .select(lit("zz").as("lang"),
+          timestamp_seconds(lit(base + 100000L)).as("ts"))
+      val b2 = d.filter(col("doc_id") >= 150).drop("doc_id")
+        .unionByName(sentinel)
+      val late = d.filter(col("doc_id") === 5).drop("doc_id")
+      val expected = d.select((col("doc_id") - (col("doc_id") % 30)).as("w"),
+        col("lang")).distinct().count()
+      graft.streaming.StreamingExtract.windowCountsDrain(Seq(b1, b2, late),
+          windowSec = 30, watermarkSec = 60, expectedRows = expected)
+        .select(col("w_start"), col("lang"), col("n"))
+    }),
+
     // TTL-enabled state lifecycle path through the SAME driver gate
     // (round 7): identical corpus/batches, stateTtlMs = 10 min >> the
     // drain window, so every verdict must equal the no-TTL replay — the
@@ -3040,6 +3071,14 @@ object SparkEntry {
     // arrival order == doc_id order by construction (lpad string sort;
     // batch-1 ids all below batch-2 ids), so one window replays the
     // stateful verdicts exactly
+    // the watermark contract as SQL: counts over the ON-TIME rows only
+    // (the late duplicate is dropped, the sentinel's window never
+    // emits), window start = base + 30-aligned doc offset
+    "q_stream_window" ->
+      """SELECT 1700000010 + (doc_id // 30) * 30 AS w_start,
+        |  coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents WHERE doc_id < 300 GROUP BY 1, 2""".stripMargin,
+
     "q_stream_dedup" -> {
       val h = s"md5(${TextNorm.sqlLower(TextNorm.sqlTrim("coalesce(source, '')"))})"
       s"""SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,

@@ -139,6 +139,79 @@ object StreamingExtract {
     }
   }
 
+  /** Event-time windowed counts under a WATERMARK — the Structured
+    * Streaming aggregation surface (windows + late-data policy) behind
+    * the same bounded-drain protocol as the TTL dedup path. Input
+    * batches are (lang, ts) frames sequenced as mtime-ordered files
+    * (maxFilesPerTrigger=1), aggregated as
+    * `withWatermark(ts, watermarkSec) groupBy(window(ts, windowSec),
+    * lang) count` in APPEND mode: a window row emits exactly once, when
+    * the watermark passes its end. Late-data semantics (measured on
+    * this Spark, pinned by StreamingSpec): a late row whose window has
+    * already been EVICTED is dropped by the watermark filter; a late
+    * row arriving while its window is still in state MERGES into the
+    * final count — so callers sequence batches to make the verdict
+    * deterministic (plant the late row one batch AFTER the
+    * watermark-advancing batch). The
+    * caller supplies `expectedRows` (the distinct (window, key) count
+    * it constructed) and the drain polls the append sink to that count
+    * — the final windows flush on Spark's no-data micro-batch, which
+    * has no termination signal AvailableNow could wait on. */
+  def windowCountsDrain(batches: Seq[DataFrame], windowSec: Int,
+                        watermarkSec: Int, expectedRows: Long,
+                        statePartitions: Int = 8): DataFrame = {
+    val spark = batches.head.sparkSession
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, TimestampType}
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-window")
+    val inDir = new java.io.File(base.toFile, "in")
+    inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(base.toFile, s"part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet file written for batch $i"))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val agg = stream.withWatermark("ts", s"$watermarkSec seconds")
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("lang"), col("n"))
+    val qname = "graft_stream_window_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (spark.table(qname).count() < expectedRows &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      q.stop()
+      require(spark.table(qname).count() == expectedRows,
+        s"window drain incomplete: ${spark.table(qname).count()} of $expectedRows rows")
+      spark.table(qname).localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      scala.util.Try(spark.catalog.dropTempView(qname))
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
+
   /** Streaming WARC ingestion: blobs landing as files → record split →
     * HTTP body → extracted clear text, per micro-batch. The transform
     * is STATELESS (record framing and extraction are per-row), so the

@@ -194,4 +194,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(winner == "c000000", s"first arrival must win: $winner")
     } finally q.stop()
   }
+
+  test("windowed agg + watermark: late row drops after eviction, merges before") {
+    import org.apache.spark.sql.functions._
+    val base = 1700000010L
+    def mk(ids: Seq[Long], extraTs: Seq[Long] = Nil) = {
+      val d = spark.range(1).select(explode(lit(ids.toArray)).as("doc_id"))
+        .select(lit("x").as("lang"), timestamp_seconds(col("doc_id") + base).as("ts"))
+      if (extraTs.isEmpty) d
+      else d.unionByName(spark.range(1).select(explode(lit(extraTs.toArray)).as("t"))
+        .select(lit("x").as("lang"), timestamp_seconds(col("t") + base).as("ts")))
+    }
+    // A: late row in the batch AFTER eviction (sentinel advanced the
+    // watermark first) → DROPPED: first window counts 3
+    val a = StreamingExtract.windowCountsDrain(
+      Seq(mk(Seq(0L, 1L, 2L, 140L)), mk(Seq(150L), Seq(100000L)), mk(Seq(5L))),
+      windowSec = 30, watermarkSec = 60, expectedRows = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a(base) == 3L, s"late-after-eviction must drop: $a")
+    // B: late row in the SAME batch as the watermark jump (window still
+    // in state when the batch starts) → MERGES: first window counts 4.
+    // This asymmetry is the measured Spark behavior the q_stream_window
+    // construction depends on — if this pin moves, move the query.
+    val b = StreamingExtract.windowCountsDrain(
+      Seq(mk(Seq(0L, 1L, 2L, 140L)), mk(Seq(150L, 5L), Seq(100000L))),
+      windowSec = 30, watermarkSec = 60, expectedRows = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(base) == 4L, s"late-before-eviction merges: $b")
+  }
 }
