@@ -1907,6 +1907,34 @@ object SparkEntry {
     // wildcards/$-anchors and specific-agent-over-* group selection;
     // six path families × two agents hit every decision branch, and the
     // oracle states each expected verdict from the rule table directly.
+    // the crawl-frontier DECISION TABLE in one pass: URL normalize →
+    // PSL registrable domain → blocklist verdict → robots verdict →
+    // fetch = neither blocks. Every stage is a gated operator; the
+    // construction rotates blocked/clean registrable domains (co.uk
+    // keeps 'bad.co.uk' distinct from its subdomains' eTLD+1) against
+    // the */Disallow/Allow robots families.
+    "q_crawl_policy" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      import graft.ops.UrlOps
+      val d = docs(s, dir)
+      val host = when(pmod(col("doc_id"), lit(4)) === 0, "WWW.Bad.Co.UK")
+        .when(pmod(col("doc_id"), lit(4)) === 1, "Ok.Example.ORG")
+        .when(pmod(col("doc_id"), lit(4)) === 2, "sub.bad.co.uk")
+        .otherwise("good.net")
+      val path = when(pmod(col("doc_id"), lit(3)) === 0, "/private/x")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "/private/pub/x")
+        .otherwise("/page")
+      val url = concat(lit("HTTPS://"), host, lit(":443"), path, lit("#frag"))
+      val robots = "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+      val dom = UrlOps.registrableDomain(UrlOps.host(url))
+      val blocked = dom.isin("bad.co.uk")
+      val allowed = GraftFunctions.graft_robots_allows(
+        lit(robots), lit("graftbot/1.0"), path)
+      d.select(col("doc_id"), UrlOps.normalize(url).as("url_norm"),
+        dom.as("reg_domain"), blocked.as("blocked"), allowed.as("robots_ok"),
+        (!blocked && allowed).as("fetch"))
+    }),
+
     "q_robots" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
@@ -3700,6 +3728,26 @@ object SparkEntry {
     // doc_id%12<6) is blocked only on its specific-group /gb-private
     // family; otherbot falls to the * group — blocked on /private
     // (longest match, no allow) and the $-anchored /data/*.bak$
+    // decision-table replay: normalized url (lowercase host, default
+    // port stripped, fragment dropped), eTLD+1 per host family, robots
+    // verdict per path family, fetch = AND of the two gates
+    "q_crawl_policy" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'www.bad.co.uk'
+        |    WHEN 1 THEN 'ok.example.org' WHEN 2 THEN 'sub.bad.co.uk'
+        |    ELSE 'good.net' END AS h,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bad.co.uk'
+        |    WHEN 1 THEN 'example.org' WHEN 2 THEN 'bad.co.uk'
+        |    ELSE 'good.net' END AS dom,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '/private/x'
+        |    WHEN 1 THEN '/private/pub/x' ELSE '/page' END AS pth,
+        |  CAST(doc_id % 3 AS INT) <> 0 AS robots_ok
+        |  FROM documents)
+        |SELECT doc_id, 'https://' || h || pth AS url_norm, dom AS reg_domain,
+        |  dom = 'bad.co.uk' AS blocked, robots_ok,
+        |  dom <> 'bad.co.uk' AND robots_ok AS fetch
+        |FROM b""".stripMargin,
+
     "q_robots" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 12 < 6 THEN 'graftbot/1.0'
