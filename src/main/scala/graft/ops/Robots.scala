@@ -89,6 +89,38 @@ object Robots {
     if (specific.nonEmpty) specific.toSeq else wildcard.toSeq
   }
 
+  // A crawl frontier evaluates the SAME robots body for every URL of a
+  // host (and a plan-literal body for every row) — re-parsing per row
+  // was 80% of the q_crawl_policy cost. Four-slot per-thread memo of
+  // parsed rule groups, keyed by (robots, agent) CONTENT equality (the
+  // row decode makes a fresh String each call, so reference equality
+  // never hits); front-insert LRU, linear scan — host-grouped or
+  // literal workloads hit slot 0.
+  private final class CacheEntry(val robots: String, val agent: String,
+                                 val rules: Seq[Rule])
+  private val ruleCache = new ThreadLocal[Array[CacheEntry]] {
+    override def initialValue(): Array[CacheEntry] = new Array[CacheEntry](4)
+  }
+  private def rulesForCached(robots: String, agent: String): Seq[Rule] = {
+    val cache = ruleCache.get()
+    var i = 0
+    while (i < cache.length) {
+      val e = cache(i)
+      if (e != null && e.agent == agent && e.robots == robots) {
+        if (i > 0) { // move to front
+          System.arraycopy(cache, 0, cache, 1, i)
+          cache(0) = e
+        }
+        return e.rules
+      }
+      i += 1
+    }
+    val rules = rulesFor(robots, agent)
+    System.arraycopy(cache, 0, cache, 1, cache.length - 1)
+    cache(0) = new CacheEntry(robots, agent, rules)
+    rules
+  }
+
   /** The crawl verdict: may `agent` fetch `path` under this robots
     * body? */
   def allows(robots: String, agent: String, path: String): Boolean = {
@@ -96,7 +128,7 @@ object Robots {
     val p = if (path == null || path.isEmpty) "/" else path
     var bestLen = -1
     var bestAllow = true
-    rulesFor(robots, agent).foreach { r =>
+    rulesForCached(robots, agent).foreach { r =>
       if (r.pattern.nonEmpty && patternMatches(r.pattern, p)) {
         val len = r.pattern.length
         if (len > bestLen) { bestLen = len; bestAllow = r.allow }
