@@ -36,6 +36,9 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
   /** doc_id<100 base rows with synthetic 30-token md5 texts — token sets
     * are disjoint across docs (md5 of "id-j"), so distinct docs have
     * Jaccard 0 / simhash hamming ≈ 32, and the DuckDB oracle can rebuild
@@ -1174,6 +1177,49 @@ object SparkEntry {
       graft.streaming.StreamingExtract.dedupVerdictsDrain(Seq(b1, b2))
         .select(col("doc_id"), col("text_hash"), col("is_first"),
           col("copies_so_far"))
+    }),
+
+    // Gap-based sessionization over the events table (first consumer of
+    // that table): 30-min inactivity gap, per-user KEY-partitioned
+    // window (bounded by a user's events, never the corpus), integer
+    // microsecond comparisons, (ts, event_id) total order. The oracle
+    // replays the identical gaps-and-islands rule.
+    "q_sessions" -> ((s, dir) =>
+      graft.ops.Sessions.sessionize(events(s, dir), "user_id", "ts",
+          "event_id", gapSec = 1800, matchCol = col("event_type") === "error")
+        .select(col("user_id"), col("session_seq"), col("start_us"),
+          col("end_us"), col("n_events"), col("n_matched"))),
+
+    // Streaming SESSIONIZATION (session_window + watermark + state
+    // merge): the same events corpus, TIME-split into two batches (no
+    // event of batch 2 is late vs batch 1's watermark) so sessions
+    // spanning the split must MERGE in state; a far-future sentinel
+    // closes every real session; expected row count for the drain poll
+    // comes from the batch sessionizer (the oracle still replays the
+    // values independently). Result must equal the batch
+    // gaps-and-islands rollup exactly — one session rule, two engines.
+    "q_stream_sessions" -> ((s, dir) => {
+      // NTZ → instant, timezone-FREE: epoch micros by NTZ arithmetic,
+      // re-materialized with timestamp_micros (no session-zone
+      // interpretation on either step)
+      val ntzEpoch = to_timestamp_ntz(lit("1970-01-01 00:00:00"))
+      def instant(c: Column) =
+        timestamp_micros(timestamp_diff("MICROSECOND", ntzEpoch, c))
+      val ev = events(s, dir)
+        .select(col("user_id").cast("string").as("lang"),
+          instant(col("ts")).as("ts"))
+      val split = timestamp_micros(lit(1704153600000000L)) // 2024-01-02 UTC
+      val b1 = ev.filter(col("ts") < split)
+      val sentinel = s.range(1).select(lit("zz").as("lang"),
+        timestamp_micros(lit(2019686400000000L)).as("ts")) // 2034-01-01
+      val b2 = ev.filter(col("ts") >= split).unionByName(sentinel)
+      val expected = graft.ops.Sessions.sessionize(events(s, dir),
+        "user_id", "ts", "event_id", gapSec = 1800, matchCol = lit(false))
+        .count()
+      graft.streaming.StreamingExtract.sessionCountsDrain(Seq(b1, b2),
+          gapSec = 1800, watermarkSec = 3600, expectedRows = expected)
+        .select(col("lang").as("user"), col("start_us"), col("end_us"),
+          col("n_events"))
     }),
 
     // Event-time windows + WATERMARK behind the driver gate: 30 s
@@ -3099,6 +3145,38 @@ object SparkEntry {
     // arrival order == doc_id order by construction (lpad string sort;
     // batch-1 ids all below batch-2 ids), so one window replays the
     // stateful verdicts exactly
+    // identical gaps-and-islands replay: lag over (user, ts, event_id),
+    // new session iff diff >= 30 min, cumsum → per-session rollup
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS m
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_seq FROM f)
+        |SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(m) AS BIGINT) AS n_matched
+        |FROM g GROUP BY user_id, session_seq""".stripMargin,
+
+    // the streaming result must equal the batch session replay (same
+    // CTEs as q_sessions, session identity dropped to the rollup the
+    // stream can observe)
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_seq FROM f)
+        |SELECT CAST(user_id AS VARCHAR) AS "user", min(us) AS start_us,
+        |  max(us) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, session_seq""".stripMargin,
+
     // the watermark contract as SQL: counts over the ON-TIME rows only
     // (the late duplicate is dropped, the sentinel's window never
     // emits), window start = base + 30-aligned doc offset

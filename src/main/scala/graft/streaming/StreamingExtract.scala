@@ -160,10 +160,29 @@ object StreamingExtract {
   def windowCountsDrain(batches: Seq[DataFrame], windowSec: Int,
                         watermarkSec: Int, expectedRows: Long,
                         statePartitions: Int = 8): DataFrame = {
-    val spark = batches.head.sparkSession
-    import org.apache.spark.sql.types.{StructType, StructField, StringType, TimestampType}
     import org.apache.spark.sql.functions._
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-window")
+    appendDrain(batches, expectedRows, statePartitions, "graft_stream_window",
+      stream => stream.withWatermark("ts", s"$watermarkSec seconds")
+        .groupBy(window(col("ts"), s"$windowSec seconds"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("lang"), col("n")))
+  }
+
+  /** Shared bounded-drain harness for APPEND-mode event-time
+    * aggregations: sequence the (lang, ts) batches as mtime-ordered
+    * files, run `aggOf(stream)` under a ProcessingTime trigger, poll
+    * the memory sink to `expectedRows`, stop. Append-mode results only
+    * materialize when the watermark closes them — there is no
+    * AvailableNow termination signal to wait on, so the known-count
+    * poll is the protocol (the q_stream_dedup_ttl lesson). */
+  private def appendDrain(batches: Seq[DataFrame], expectedRows: Long,
+                          statePartitions: Int, tag: String,
+                          aggOf: DataFrame => DataFrame): DataFrame = {
+    val spark = batches.head.sparkSession
+    val tsType = batches.head.schema("ts").dataType
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val base = java.nio.file.Files.createTempDirectory(tag)
     val inDir = new java.io.File(base.toFile, "in")
     inDir.mkdirs()
     batches.zipWithIndex.foreach { case (b, i) =>
@@ -176,15 +195,11 @@ object StreamingExtract {
       dst.setLastModified(1600000000000L + i * 600000L)
     }
     val schema = StructType(Seq(
-      StructField("lang", StringType), StructField("ts", TimestampType)))
+      StructField("lang", StringType), StructField("ts", tsType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val agg = stream.withWatermark("ts", s"$watermarkSec seconds")
-      .groupBy(window(col("ts"), s"$windowSec seconds"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").cast("long").as("w_start"),
-        col("lang"), col("n"))
-    val qname = "graft_stream_window_" +
+    val agg = aggOf(stream)
+    val qname = tag + "_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -199,7 +214,7 @@ object StreamingExtract {
              System.nanoTime() < deadline) Thread.sleep(50)
       q.stop()
       require(spark.table(qname).count() == expectedRows,
-        s"window drain incomplete: ${spark.table(qname).count()} of $expectedRows rows")
+        s"$tag drain incomplete: ${spark.table(qname).count()} of $expectedRows rows")
       spark.table(qname).localCheckpoint()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -210,6 +225,33 @@ object StreamingExtract {
       }
       rm(base.toFile)
     }
+  }
+
+  /** Streaming SESSIONIZATION: `session_window(ts, gap)` per key under
+    * a watermark, drained with the same known-count poll protocol.
+    * Batches MUST be time-split (every event of batch N+1 later than
+    * batch N's watermark) so no event is late — sessions split across
+    * batches then MERGE in state and the result equals the batch
+    * gaps-and-islands rollup ([[graft.ops.Sessions.sessionize]] shares
+    * the rule: join iff diff < gap). Emitted end_us subtracts the gap
+    * session_window pads onto the last event. */
+  def sessionCountsDrain(batches: Seq[DataFrame], gapSec: Int,
+                         watermarkSec: Int, expectedRows: Long,
+                         statePartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // event-time streaming requires TIMESTAMP (instants); callers with
+    // NTZ sources convert timezone-free via
+    // timestamp_micros(timestamp_diff(MICROSECOND, ntz_epoch, ts)) so
+    // unix_micros here replays DuckDB's epoch_us(ntz) on any zone
+    appendDrain(batches, expectedRows, statePartitions, "graft_stream_session",
+      stream => stream.withWatermark("ts", s"$watermarkSec seconds")
+        .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("lang"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("lang"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          (unix_micros(col("session_window.end")) - gapSec * 1000000L)
+            .as("end_us"),
+          col("n_events")))
   }
 
   /** Streaming WARC ingestion: blobs landing as files → record split →
