@@ -371,4 +371,19 @@ class PlanSpec extends AnyFunSuite {
     val out = Pipeline.saltedRepartition(input, cfg)
     assert(out.rdd.getNumPartitions == 8)
   }
+
+  test("sessionize partitions by the user key — never a corpus window") {
+    // an unpartitioned Window (or a window Spark collapses to
+    // SinglePartition) serializes the whole corpus through one task at
+    // 100 TB; Sessions' only window must hash-partition on the user key
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val plan = graft.ops.Sessions.sessionize(ev, "user_id", "ts",
+        "event_id", gapSec = 1800,
+        matchCol = col("event_type") === "error")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide window detected:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"expected a user_id hash partitioning:\n$plan")
+  }
 }
