@@ -1190,6 +1190,50 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("start_us"),
           col("end_us"), col("n_events"), col("n_matched"))),
 
+    // Conversion-funnel rollup over events: per user the first signup,
+    // the first purchase, and converted = a purchase at-or-after the
+    // first signup — one map-side-combined aggregate, conditional mins
+    // instead of ordered scans, timezone-free micros
+    "q_events_funnel" -> ((s, dir) => {
+      val ntzEpoch = to_timestamp_ntz(lit("1970-01-01 00:00:00"))
+      val us = timestamp_diff("MICROSECOND", ntzEpoch, col("ts"))
+      events(s, dir).select(col("user_id"), us.as("us"), col("event_type"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("us"))).as("first_signup_us"),
+          min(when(col("event_type") === "purchase", col("us"))).as("first_purchase_us"),
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"))
+        .withColumn("converted",
+          col("first_signup_us").isNotNull && col("first_purchase_us").isNotNull &&
+            col("first_purchase_us") >= col("first_signup_us"))
+    }),
+
+    // Per-registrable-domain governance report: docs + quality mass +
+    // language spread per eTLD+1 — TWO-PHASE exact aggregates (per
+    // (domain, lang) first, then per domain) so the 100 TB path has no
+    // count-distinct Expand; domains resolve via the static PSL kernel
+    "q_domain_report" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val host = when(pmod(col("doc_id"), lit(5)) === 0, "a.news.co.uk")
+        .when(pmod(col("doc_id"), lit(5)) === 1, "b.news.co.uk")
+        .when(pmod(col("doc_id"), lit(5)) === 2, "docs.example.com")
+        .when(pmod(col("doc_id"), lit(5)) === 3, "www.example.com")
+        .otherwise("blog.example.org")
+      val base = d.select(
+        call_function("graft_registrable_domain", host).as("domain"),
+        coalesce(col("lang"), lit("")).as("lng"),
+        TextOps.qualityScore(col("text")).as("q"))
+      base.groupBy("domain", "lng")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .groupBy("domain")
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("sq")).as("sum_quality"),
+          count(lit(1)).as("n_langs"))
+    }),
+
     // Streaming SESSIONIZATION (session_window + watermark + state
     // merge): the same events corpus, TIME-split into two batches (no
     // event of batch 2 is late vs batch 1's watermark) so sessions
@@ -3161,6 +3205,44 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(m) AS BIGINT) AS n_matched
         |FROM g GROUP BY user_id, session_seq""".stripMargin,
+
+    // conditional-min replay; converted's conjunction never yields NULL
+    // (a null first-purchase fails the IS NOT NULL conjunct)
+    "q_events_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NOT NULL
+        |    AND min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |        >= min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS converted
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // domains stated from the construction (a/b.news.co.uk → news.co.uk
+    // etc.), quality via the q_quality formula, two-phase replay
+    "q_domain_report" ->
+      s"""WITH b AS (SELECT
+        |  CASE WHEN doc_id % 5 IN (0, 1) THEN 'news.co.uk'
+        |       WHEN doc_id % 5 IN (2, 3) THEN 'example.com'
+        |       ELSE 'example.org' END AS domain,
+        |  coalesce(lang, '') AS lng,
+        |  CAST(least(nc//125, 40)
+        |    + CAST(floor(na*40/greatest(nc,1)) AS BIGINT)
+        |    + CASE WHEN nt > 0 AND nc >= 3*nt AND nc <= 12*nt THEN 20 ELSE 0 END
+        |    AS BIGINT) AS q
+        |  FROM (SELECT doc_id, lang, length(text) AS nc,
+        |          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+        |          coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS nt
+        |        FROM documents)),
+        |g AS (SELECT domain, lng, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sq FROM b GROUP BY 1, 2)
+        |SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(sq) AS BIGINT) AS sum_quality,
+        |  CAST(count(*) AS BIGINT) AS n_langs
+        |FROM g GROUP BY domain""".stripMargin,
 
     // the streaming result must equal the batch session replay (same
     // CTEs as q_sessions, session identity dropped to the rollup the
