@@ -222,4 +222,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(b(base) == 4L, s"late-before-eviction merges: $b")
   }
+
+  test("streaming sessionization equals batch on seeded random corpora") {
+    // the state-merge property on data that isn't the events table:
+    // random per-user event times with gaps straddling the split, time-
+    // split batches (watermark > gap makes any maxT1 < split ≤ minT2
+    // split late-free), streaming session_window must reproduce the
+    // batch gaps-and-islands rollup EXACTLY — sessions spanning the
+    // split merge in state
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gap = 300L
+    Seq(7L, 23L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      var t = 0L
+      val rows = (0 until 120).map { i =>
+        t += 1 + rnd.nextInt(500) // gaps 1..500 s, some > gap
+        (i.toLong, (rnd.nextInt(3) + 1).toString, t * 1000000L)
+      }
+      val df = rows.toDF("eid", "lang", "us")
+        .select(col("eid"), col("lang"), timestamp_micros(col("us")).as("ts"))
+      val splitUs = rows(60)._3 // any event boundary works
+      val b1 = df.filter(col("ts") < timestamp_micros(lit(splitUs))).drop("eid")
+      // the sentinel must push the watermark past EVERY session's end
+      // (append mode emits a session only once watermark > end + gap);
+      // anchor it past the corpus MAX, not the split
+      val maxUs = rows.last._3
+      val sentinel = spark.range(1).select(lit("zz").as("lang"),
+        timestamp_micros(lit(maxUs + 10000000000L)).as("ts"))
+      val b2 = df.filter(col("ts") >= timestamp_micros(lit(splitUs))).drop("eid")
+        .unionByName(sentinel)
+      val batch = graft.ops.Sessions.sessionize(
+          df.withColumnRenamed("lang", "user_id"), "user_id", "ts", "eid",
+          gapSec = gap, matchCol = lit(false))
+        .select(col("user_id").as("lang"), col("start_us"), col("end_us"),
+          col("n_events"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val streamed = StreamingExtract.sessionCountsDrain(Seq(b1, b2),
+          gapSec = gap.toInt, watermarkSec = 3600,
+          expectedRows = batch.size.toLong)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"seed $seed: stream/batch session divergence\n" +
+          s"only-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    }
+  }
 }
