@@ -824,6 +824,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("clean_text"))
     }),
 
+    // Corpus-wide exact paragraph dedup (round 7 cont.): FIRST
+    // occurrence wins (MassiveText/RefinedWeb). Construction per doc:
+    // a corpus-wide banner (only the global-first doc keeps it), a
+    // per-source nav paragraph (first doc per source keeps it), a
+    // doc-unique body, a WITHIN-DOC duplicate of that body (always
+    // dropped — idx 3 loses to idx 2), a whitespace-only separator
+    // (exempt, always kept), and a per-lang tail. Embedded columns
+    // sanitize CR/LF so adversarial mutants can't change the paragraph
+    // frame; expected is fully determined by construction and the
+    // oracle independently replays split→normalize→first-wins→rebuild.
+    "q_para_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def sanit(c: Column) = translate(coalesce(c, lit("")), "\n\r", "  ")
+      val body = concat(lit("body "),
+        md5(concat(coalesce(col("text"), lit("")),
+          col("doc_id").cast("string"))))
+      val text = concat_ws("\n\n",
+        lit("SHARED COOKIE BANNER"),
+        concat(lit("src "), sanit(col("source"))),
+        body, body,
+        lit(" "),
+        concat(lit("tail "), sanit(col("lang"))))
+      Dedup.paragraphDedup(d.select(col("doc_id"), text.as("t")), "doc_id",
+          "t", oracleHash = true)
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+    }),
+
     // CHARACTER-shingle near-dup on a whitespace-free CJK corpus
     // (round 4): token MinHash degenerates on unsegmented scripts, so
     // the shingle kernels (graft_minhash_shingle / graft_jaccard_shingle)
@@ -2896,6 +2923,43 @@ object SparkEntry {
         |SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
         |    x -> NOT list_contains(c.cks, $norm)), chr(10)) AS clean_text
         |FROM base, commonl c""".stripMargin
+    },
+
+    // independent replay of paragraph split → TextNorm normalization →
+    // corpus-wide first-wins (QUALIFY-style row_number, the repo's
+    // deterministic form) → whitespace-exempt rebuild; counts cast to
+    // BIGINT per the round-7 typing rule
+    "q_para_dedup" -> {
+      val norm = TextNorm.sqlTrim(TextNorm.sqlLower("ps[i]"))
+      s"""WITH base AS (SELECT doc_id,
+        |  'SHARED COOKIE BANNER' || chr(10) || chr(10) ||
+        |  'src ' || translate(coalesce(source, ''), chr(10) || chr(13), '  ')
+        |    || chr(10) || chr(10) ||
+        |  'body ' || md5(coalesce(text, '') || CAST(doc_id AS VARCHAR))
+        |    || chr(10) || chr(10) ||
+        |  'body ' || md5(coalesce(text, '') || CAST(doc_id AS VARCHAR))
+        |    || chr(10) || chr(10) ||
+        |  ' ' || chr(10) || chr(10) ||
+        |  'tail ' || translate(coalesce(lang, ''), chr(10) || chr(13), '  ')
+        |    AS t FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS idx, ps[i] AS para, $norm AS norm
+        |  FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps
+        |    FROM base),
+        |  LATERAL unnest(generate_series(1, len(ps))) AS w(i)),
+        |win AS (SELECT doc_id, idx FROM (SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn
+        |  FROM p WHERE norm <> '') WHERE rn = 1),
+        |fl AS (SELECT p.doc_id, p.idx, p.para,
+        |    (p.norm = '' OR w.idx IS NOT NULL) AS keepp
+        |  FROM p LEFT JOIN win w ON p.doc_id = w.doc_id AND p.idx = w.idx),
+        |st AS (SELECT doc_id,
+        |    array_to_string(list(para ORDER BY idx) FILTER (keepp),
+        |      chr(10) || chr(10)) AS clean_text,
+        |    CAST(count(*) FILTER (NOT keepp) AS BIGINT) AS n_removed
+        |  FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(st.clean_text, '') AS clean_text,
+        |  COALESCE(st.n_removed, 0) AS n_removed
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
     },
 
     "q_cjk_dedup" ->

@@ -810,4 +810,57 @@ object Dedup {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** CORPUS-WIDE exact paragraph dedup, FIRST occurrence wins (the
+    * MassiveText/RefinedWeb pass between [[lineDedup]]'s doc-frequency
+    * rule and whole-document dedup): every later copy of a duplicated
+    * paragraph is removed from its document; the one at the smallest
+    * (id, idx) survives. Paragraphs split on a literal blank line
+    * (`\n\n`); the match key is the [[TextNorm]] canonical form
+    * (explicit-set trim + ASCII lower) so both hash families replay;
+    * paragraphs whose normalized form is EMPTY are separators, not
+    * content — always kept, never keyed. Returns
+    * (id, clean_text, n_removed) for EVERY input row (null text → ""/0).
+    *
+    * Scale shape: posexplode → one compact (id, idx, key) Snapshot
+    * feeding the winner aggregate (min(struct(id, idx)) per key —
+    * map-side combined) AND the verdict join; a corpus-hot boilerplate
+    * key has ONE winner row, so join output is bounded by the corpus
+    * paragraph count (AQE skew-split handles the hot key); per-doc
+    * reassembly is a bounded sort_array(collect_list) — never a Window
+    * over the corpus. `oracleHash` mirrors the repo convention: md5 for
+    * the DuckDB replay, xxhash64 in production. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     oracleHash: Boolean = false): DataFrame = {
+    def key(c: Column): Column = if (oracleHash) md5(c) else xxhash64(c)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val paras = base
+      .select(col("id"),
+        // limit -1 keeps trailing empty paragraphs (Java split drops
+        // them by default) so reassembly is lossless on clean docs
+        posexplode_outer(split(col("text"), "\n\n", -1)).as(Seq("idx", "para")))
+      .filter(col("para").isNotNull)
+      .withColumn("norm", TextNorm.trimCol(TextNorm.lowerCol(col("para"))))
+    val keyed = Snapshot(paras.filter(length(col("norm")) > 0)
+      .select(col("id"), col("idx"), key(col("norm")).as("k")))
+    val winners = keyed.groupBy("k")
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+    val kept = keyed.join(winners, Seq("k"))
+      .filter(col("id") === col("w.id") && col("idx") === col("w.idx"))
+      .select(col("id"), col("idx"), lit(true).as("__keep"))
+    val flagged = paras.join(kept, Seq("id", "idx"), "left")
+      .withColumn("keepp",
+        length(col("norm")) === 0 || coalesce(col("__keep"), lit(false)))
+    val stats = flagged.groupBy("id")
+      .agg(array_join(transform(
+          // collect_list drops the nulls `when` leaves for removed paras
+          sort_array(collect_list(when(col("keepp"),
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("clean_text"),
+        count(when(!col("keepp"), 1)).as("n_removed"))
+    base.select(col("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

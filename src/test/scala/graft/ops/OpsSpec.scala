@@ -80,6 +80,38 @@ class OpsSpec extends AnyFunSuite {
     assert(p == out)
   }
 
+  test("paragraph dedup: first occurrence wins, within-doc dups drop, ws-exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "BANNER\n\nunique five\n\nunique five\n\n \n\ntail"),
+      (2L, "BANNER\n\nunique two\n\ntail"),
+      (9L, "BANNER\n\nunique nine")).toDF("doc_id", "t")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 3, "every input row must come back")
+    // doc 2 has the smallest id: keeps BANNER and the first 'tail'
+    assert(out(2L)._1 == "BANNER\n\nunique two\n\ntail", s"got ${out(2L)}")
+    assert(out(2L)._2 == 0L)
+    // doc 5: loses BANNER (first-wins at doc 2), loses the WITHIN-DOC
+    // body duplicate and the corpus-dup 'tail'; the ws-only separator
+    // is exempt and survives
+    assert(out(5L)._1 == "unique five\n\n ", s"got ${out(5L)}")
+    assert(out(5L)._2 == 3L)
+    assert(out(9L)._1 == "unique nine" && out(9L)._2 == 1L)
+    // normalization: case/pad variants of a paragraph are the same key
+    val varied = Seq((1L, "Shared Para\n\nkeep one"),
+      (3L, "  shared para \n\nkeep three")).toDF("doc_id", "t")
+    val v = Dedup.paragraphDedup(varied, "doc_id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) == "Shared Para\n\nkeep one" && v(3L) == "keep three")
+    // totality: null text comes back ("", 0); oracle path agrees
+    val withNull = docs.unionByName(Seq((7L, null: String)).toDF("doc_id", "t"))
+    val t = Dedup.paragraphDedup(withNull, "doc_id", "t", oracleHash = true)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(t(7L) == ("", 0L))
+    assert(t(5L) == out(5L) && t(2L) == out(2L))
+  }
+
   test("compression-ratio quality signal separates repetition from prose") {
     val template = "click here buy now " * 200
     val prose = (0 until 120).map(i =>
