@@ -2154,6 +2154,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // per-domain quota (round 7 cont.): keep at most 10 docs per
+    // registrable domain, best-first by (n_chars desc, doc_id asc) —
+    // the crawl-curation cap. Hosts construct as www.example{k}.com so
+    // the PSL strip (gated separately by q_url_psl/q_link_graph) is
+    // replayed by construction arithmetic; the rank itself comes from
+    // the bounded TopK aggregate (no Window), the oracle from a
+    // QUALIFY-style row_number — identical by the strict total order.
+    "q_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = concat(lit("www.example"),
+        pmod(col("doc_id"), lit(7L)).cast("string"), lit(".com"))
+      val keyed = d.select(
+        UrlOps.registrableDomainPsl(host).as("domain"),
+        col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("score"))
+      Sample.capPerKey(keyed, "domain", "doc_id", "score", k = 10)
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // self-contained flagship: seeded corpus → full pipeline → compare
       // with constructive expected (BASELINE.json correctness invariant)
@@ -4056,6 +4074,20 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
         |  < r.thr""".stripMargin,
+
+    // per-domain quota replay: the deterministic QUALIFY-style
+    // row_number (score desc, id asc) — identical to the bounded TopK
+    // aggregate by the strict total order; the PSL www-strip is
+    // replayed by construction ('example{k}.com')
+    "q_domain_cap" ->
+      """SELECT domain, doc_id, rank FROM (
+        |  SELECT domain, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY domain ORDER BY score DESC, doc_id) AS INTEGER)
+        |    AS rank
+        |  FROM (SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |      AS domain, doc_id, coalesce(n_chars, 0) AS score
+        |    FROM documents))
+        |WHERE rank <= 10""".stripMargin,
 
     "q_pipeline_e2e" ->
       "SELECT CAST(300 AS BIGINT) AS docs, CAST(300 AS BIGINT) AS ok_docs"

@@ -91,4 +91,30 @@ object Sample {
     }
     df.filter(hashBucket(col(keyCol), oracleHash) < thrCol)
   }
+
+  /** Per-key document quota (the per-domain cap of a crawl-curation
+    * pipeline: keep at most `k` documents per registrable domain, best
+    * first): rank = position by (score desc, id asc) within the key,
+    * rows ranked > k drop. Returns (keyCol, idCol, rank), rank 1-based.
+    *
+    * Deterministic total order: ties break on the id; null/NaN scores
+    * sort LAST (the [[Dedup.keepBest]] convention — they lose, never
+    * win, but can still fill a slot in an under-quota key). The id must
+    * be integral (the [[TopK]] buffer contract — fail loud, round-2
+    * ADVICE).
+    *
+    * Scale shape: [[TopK.perQueryTopK]]'s bounded size-k buffer inside
+    * the partial aggregate — only |keys|·k rows cross the wire, never a
+    * row_number Window that shuffles every (key, doc) row to rank it.
+    * A billion-page domain contributes k rows past the map side. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"quota must be >= 1: $k")
+    val scored = df.select(col(keyCol).as("query_id"),
+      col(idCol).as("vec_id"),
+      coalesce(nanvl(col(scoreCol).cast("double"), lit(Double.MinValue)),
+        lit(Double.MinValue)).as("cosine"))
+    TopK.perQueryTopK(scored, k)
+      .select(col("query_id").as(keyCol), col("vec_id").as(idCol), col("rank"))
+  }
 }

@@ -112,6 +112,27 @@ class OpsSpec extends AnyFunSuite {
     assert(t(5L) == out(5L) && t(2L) == out(2L))
   }
 
+  test("capPerKey: quota, tie-break on id, null/NaN scores lose") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a.com", 1L, Some(10.0)), ("a.com", 2L, Some(30.0)),
+      ("a.com", 3L, Some(30.0)), ("a.com", 4L, None),
+      ("a.com", 5L, Some(Double.NaN)),
+      ("b.com", 9L, Some(1.0))).toDF("domain", "doc_id", "score")
+    val out = Sample.capPerKey(rows, "domain", "doc_id", "score", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // ties (2,3) break on id; null (4) and NaN (5) lose to every real
+    // score but may not enter the k=3 quota at all here
+    assert(out == Map(("a.com", 2L) -> 1, ("a.com", 3L) -> 2,
+      ("a.com", 1L) -> 3, ("b.com", 9L) -> 1), s"got $out")
+    // under-quota key with only a null score still fills a slot
+    val solo = Sample.capPerKey(
+        Seq(("c.com", 7L, None: Option[Double])).toDF("domain", "doc_id", "score"),
+        "domain", "doc_id", "score", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(solo.toSeq == Seq(("c.com", 7L, 1)))
+  }
+
   test("compression-ratio quality signal separates repetition from prose") {
     val template = "click here buy now " * 200
     val prose = (0 until 120).map(i =>
