@@ -2116,6 +2116,18 @@ object SparkEntry {
         "doc_id", "n", budget = 1024)
     }),
 
+    // Sliding-window chunking (round 7 cont.): RAG/context-window
+    // splitting, size 200 / overlap 50 codepoints. All arithmetic is
+    // integral and codepoint-indexed on both engines (Spark substring
+    // and DuckDB substr both count codepoints — the canonical length
+    // alphabet), so the oracle replays every window verbatim, astral
+    // chars included.
+    "q_chunks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Pack.slidingChunks(d.select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 200, overlap = 50)
+    }),
+
     // The packing WRITER view (round 6): per (chunk, doc) token slices
     // — what a fixed-length-example writer actually consumes. The
     // oracle replays the naive window cumsum + the same slice
@@ -4035,6 +4047,23 @@ object SparkEntry {
         |  st // 1024 AS chunk_start,
         |  CASE WHEN n > 0 THEN (st + n - 1) // 1024 ELSE st // 1024 END AS chunk_end
         |FROM c""".stripMargin,
+
+    // sliding-window replay: same integral chunk-count rule
+    // (0 / 1 / 2 + (len-201) // 150) and the same codepoint substr
+    // windows; generate_series(0, -1) is empty so zero-chunk docs drop
+    // on both sides identically
+    "q_chunks" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+        |  length(coalesce(text, '')) AS len FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  CASE WHEN len <= 0 THEN 0
+        |       WHEN len <= 200 THEN 1
+        |       ELSE 2 + (len - 201) // 150 END AS n FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(i * 150 AS BIGINT) AS chunk_start,
+        |  substr(t, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk_text
+        |FROM (SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS i
+        |      FROM c)""".stripMargin,
 
     // naive-cumsum replay of the writer view; doc_offset/take from the
     // same max/min slice arithmetic

@@ -152,4 +152,47 @@ object Pack {
           (col("chunk_id") + 1) * budget)
           - greatest(col("start_offset"), col("chunk_id") * budget)).as("take"))
   }
+
+  /** Sliding-window document chunker — the RAG/context-window splitting
+    * step (the inverse of packing): each document's text is cut into
+    * codepoint windows of `size` with `overlap` codepoints shared
+    * between consecutive chunks (stride = size − overlap). Chunk i
+    * covers codepoints [i·stride, i·stride + size); the final chunk may
+    * be shorter but always extends past the previous chunk's coverage.
+    * n_chunks = 0 for null/empty text (TOTAL — null coalesces to '' at
+    * first use, the TextNorm convention), 1 if len ≤ size, else
+    * 2 + (len − size − 1) div stride.
+    *
+    * All arithmetic is integral (`div`, never float division) and all
+    * positions/lengths are CODEPOINTS — Spark `substring`/`length` and
+    * DuckDB `substr`/`length` both index codepoints, so the oracle
+    * replays the windows byte-identically on astral chars where UTF-16
+    * unit arithmetic would diverge (the canonical length alphabet).
+    *
+    * Scale shape: narrow — zero shuffle; per-doc fanout is
+    * ceil(len/stride) rows, linear in the corpus. The window generator
+    * is a built-in `sequence` (cheap, codegen) so the explode carries
+    * no kernel re-evaluation hazard. Output: (idCol, chunk_idx INT,
+    * chunk_start BIGINT, chunk_text STRING). */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1: $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size): overlap=$overlap size=$size")
+    val stride = size - overlap
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    df.select(col(idCol), t.as("__chunk_t"), length(t).as("__len"))
+      .withColumn("__n",
+        when(col("__len") <= 0, lit(0))
+          .when(col("__len") <= size, lit(1))
+          .otherwise(lit(2) +
+            expr(s"(__len - ${size + 1}) div $stride").cast("int")))
+      .filter(col("__n") >= 1)
+      .select(col(idCol), col("__chunk_t"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride).as("chunk_start"),
+        col("__chunk_t")
+          .substr(col("chunk_idx") * stride + 1, lit(size)).as("chunk_text"))
+  }
 }

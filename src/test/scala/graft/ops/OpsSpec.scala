@@ -133,6 +133,39 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.toSeq == Seq(("c.com", 7L, 1)))
   }
 
+  test("slidingChunks: codepoint windows, overlap reconstruction, totality") {
+    import spark.implicits._
+    // astral-heavy corpus: every element is ONE codepoint, many are two
+    // UTF-16 units — charAt-based window arithmetic would split surrogates
+    val cps = (0 until 487).map(i =>
+      if (i % 3 == 0) new String(Character.toChars(0x1D400 + (i % 80)))
+      else ('a' + i % 26).toChar.toString)
+    val text = cps.mkString
+    val (size, overlap, stride) = (50, 10, 40)
+    val df = Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, cps.take(50).mkString), (5L, cps.take(51).mkString))
+      .toDF("doc_id", "text")
+    val out = Pack.slidingChunks(df, "doc_id", "text", size, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // totality: null and empty text emit zero chunks
+    assert(!out.exists(r => r._1 == 2L || r._1 == 3L))
+    // len == size → 1 chunk; len == size+1 → 2 (final extends one cp past)
+    assert(out.count(_._1 == 4L) == 1 && out.count(_._1 == 5L) == 2)
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.length == 12, s"n = 2 + (487-51) div 40 = 12, got ${c1.length}")
+    c1.foreach { case (_, i, st, txt) =>
+      assert(st == i.toLong * stride)
+      assert(txt == cps.slice(i * stride, i * stride + size).mkString,
+        s"chunk $i window drifted")
+    }
+    // stripping each tail chunk's overlap reconstructs the document
+    val rebuilt = c1.head._4 + c1.tail.map { case (_, _, _, txt) =>
+      val a = txt.codePoints.toArray
+      new String(a, overlap, a.length - overlap)
+    }.mkString
+    assert(rebuilt == text)
+  }
+
   test("compression-ratio quality signal separates repetition from prose") {
     val template = "click here buy now " * 200
     val prose = (0 until 120).map(i =>
