@@ -139,6 +139,42 @@ object SparkEntry {
   private def sqlNotWsOnly(e: String): String =
     s"NOT regexp_matches($e, '^[\\t\\n\\f\\r\\x0b ]*$$')"
 
+  /** DuckDB replay of WarcUdfs.compose's exact response-record layout —
+    * SHARED by the q_warc_compose and q_stream_warc_segments oracles so
+    * the header conventions move in lockstep with the composer (CLAUDE
+    * round-7 rule: compose layout changes touch both sides). Expects an
+    * enclosing CTE `b(doc_id, uri, body)` where uri is already
+    * sanitized of every char <= U+0020 (the explicit class compose
+    * strips — never \\s); emits CTEs `p` (the HTTP payload, octet
+    * Content-Length) and `m` (the md5 record-id hash over uri+date). */
+  private def sqlWarcResponseCtes(date: String): String = {
+    val cr = "chr(13) || chr(10)"
+    s"""p AS (SELECT doc_id, uri, body,
+       |  'HTTP/1.1 200 OK' || $cr ||
+       |  'Content-Type: text/html; charset=utf-8' || $cr ||
+       |  'Content-Length: ' || strlen(body) || $cr || $cr || body AS payload
+       |  FROM b),
+       |m AS (SELECT doc_id, uri, body, payload,
+       |  md5(uri || ' ' || '$date') AS idh FROM p)""".stripMargin
+  }
+
+  /** The record expression over `m`'s columns (uri, payload, idh) —
+    * the other half of [[sqlWarcResponseCtes]]. */
+  private def sqlWarcResponseRecord(date: String): String = {
+    val cr = "chr(13) || chr(10)"
+    s"""'WARC/1.0' || $cr ||
+       |  'WARC-Type: response' || $cr ||
+       |  'WARC-Record-ID: <urn:uuid:' || substr(idh, 1, 8) || '-' ||
+       |    substr(idh, 9, 4) || '-' || substr(idh, 13, 4) || '-' ||
+       |    substr(idh, 17, 4) || '-' || substr(idh, 21, 12) || '>' || $cr ||
+       |  'WARC-Date: $date' || $cr ||
+       |  'WARC-Target-URI: ' || uri || $cr ||
+       |  'WARC-Block-Digest: md5:' || md5(payload) || $cr ||
+       |  'Content-Type: application/http; msgtype=response' || $cr ||
+       |  'Content-Length: ' || strlen(payload) || $cr || $cr ||
+       |  payload || $cr || $cr""".stripMargin
+  }
+
   /** Dominance-graded planted vectors — the round-2 verdict's "recall at
     * the similarity boundary" gate. Pair g lives in its own 2-coordinate
     * subspace (cross-pair cosines are exactly 0): u=[a,b], v=[0,c] with
@@ -1838,6 +1874,32 @@ object SparkEntry {
         blobs.filter(pmod(col("doc_id"), lit(2)) === 1)
       ).map(_.select(col("doc_id").cast("string").as("doc_id"), col("blob")))
       graft.streaming.StreamingExtract.warcExtractDrain(batches)
+    }),
+
+    // Streaming WARC ARCHIVE composition (round 7 cont.) — the write
+    // path that pairs with q_stream_warc's read path: per micro-batch,
+    // compose the same response record as q_warc_compose (shared
+    // construction AND shared oracle record replay) and rotate records
+    // into 8 KiB segments by cumulative octet offset, records atomic.
+    // Arrival = doc_id parity (the q_stream_dedup mtime trick), so the
+    // oracle replays segmentation as a per-batch window cumsum and
+    // gates the composed bytes via md5(record).
+    "q_stream_warc_segments" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val rows = d.select(col("doc_id"),
+        concat(lit("https://ex.com/"),
+          coalesce(col("source"), lit(""))).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        concat(lit("B"), coalesce(col("text"), lit(""))).as("body"))
+      val batches = Seq(
+        rows.filter(pmod(col("doc_id"), lit(2)) === 0),
+        rows.filter(pmod(col("doc_id"), lit(2)) === 1))
+      graft.streaming.StreamingExtract.composeSegmentsDrain(batches,
+          budget = 8192)
+        .select(col("doc_id"), col("batch_id"), col("rec_bytes"),
+          col("stream_offset"), col("segment"), col("seg_offset"),
+          col("straddles"), col("rec_md5"))
     }),
 
     // Sentence segmentation (round 5): lookaround-free regex runs on
@@ -3547,7 +3609,6 @@ object SparkEntry {
     // digest does) and replays the round-trip fields directly from the
     // construction — the reader side is already gated by q_warc/_extract
     "q_warc_compose" -> {
-      val cr = "chr(13) || chr(10)"
       // compose sanitizes uri of EVERY char <= U+0020 (C0 controls +
       // space) — the explicit class, never \s (TextNorm canon): a VT
       // surviving into the header made the round-trip rt_uri diverge
@@ -3558,25 +3619,9 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id,
         |  'https://ex.com/' || $cleanSrc AS uri,
         |  'B' || coalesce(text, '') AS body FROM documents),
-        |p AS (SELECT doc_id, uri, body,
-        |  'HTTP/1.1 200 OK' || $cr ||
-        |  'Content-Type: text/html; charset=utf-8' || $cr ||
-        |  'Content-Length: ' || strlen(body) || $cr || $cr || body AS payload
-        |  FROM b),
-        |m AS (SELECT doc_id, uri, body, payload,
-        |  md5(uri || ' ' || '2026-01-01T00:00:00Z') AS idh FROM p)
+        |${sqlWarcResponseCtes("2026-01-01T00:00:00Z")}
         |SELECT doc_id,
-        |  'WARC/1.0' || $cr ||
-        |  'WARC-Type: response' || $cr ||
-        |  'WARC-Record-ID: <urn:uuid:' || substr(idh, 1, 8) || '-' ||
-        |    substr(idh, 9, 4) || '-' || substr(idh, 13, 4) || '-' ||
-        |    substr(idh, 17, 4) || '-' || substr(idh, 21, 12) || '>' || $cr ||
-        |  'WARC-Date: 2026-01-01T00:00:00Z' || $cr ||
-        |  'WARC-Target-URI: ' || uri || $cr ||
-        |  'WARC-Block-Digest: md5:' || md5(payload) || $cr ||
-        |  'Content-Type: application/http; msgtype=response' || $cr ||
-        |  'Content-Length: ' || strlen(payload) || $cr || $cr ||
-        |  payload || $cr || $cr AS record,
+        |  ${sqlWarcResponseRecord("2026-01-01T00:00:00Z")} AS record,
         |  uri AS rt_uri, 200 AS rt_status, 'text/html' AS rt_mime,
         |  'utf-8' AS rt_charset, body AS rt_body, 1 AS rt_ok
         |FROM m""".stripMargin
@@ -3744,6 +3789,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(doc_id AS VARCHAR), 'metadata', -1, '',
         |  'meta ' || md5(coalesce(text, '') || 'y') FROM documents""".stripMargin,
+
+    // streaming archive segmentation replay: the SAME record layout as
+    // q_warc_compose (shared sqlWarcResponse* helpers — compose layout
+    // changes move both oracles at once), batch = doc_id parity, then a
+    // per-batch window cumsum on octet lengths; segment arithmetic all
+    // BIGINT (CAST rule), record bytes gated by md5
+    "q_stream_warc_segments" -> {
+      val cleanSrc =
+        "regexp_replace(coalesce(source, ''), '[\\x00-\\x20]', '', 'g')"
+      s"""WITH b AS (SELECT doc_id,
+        |  'https://ex.com/' || $cleanSrc AS uri,
+        |  'B' || coalesce(text, '') AS body FROM documents),
+        |${sqlWarcResponseCtes("2026-01-01T00:00:00Z")},
+        |r AS (SELECT doc_id, doc_id % 2 AS batch_id,
+        |  ${sqlWarcResponseRecord("2026-01-01T00:00:00Z")} AS record FROM m),
+        |s AS (SELECT doc_id, CAST(batch_id AS INTEGER) AS batch_id,
+        |  CAST(strlen(record) AS BIGINT) AS rec_bytes,
+        |  CAST(COALESCE(sum(strlen(record)) OVER (PARTITION BY batch_id
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st,
+        |  md5(record) AS rec_md5 FROM r)
+        |SELECT doc_id, batch_id, rec_bytes, st AS stream_offset,
+        |  st // 8192 AS segment, st % 8192 AS seg_offset,
+        |  CAST(CASE WHEN (st + rec_bytes - 1) // 8192 > st // 8192
+        |    THEN 1 ELSE 0 END AS INTEGER) AS straddles,
+        |  rec_md5 FROM s""".stripMargin
+    },
 
     // the same RE2-safe pattern segments on the DuckDB side
     "q_sentences" ->

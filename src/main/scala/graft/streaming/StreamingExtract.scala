@@ -318,6 +318,105 @@ object StreamingExtract {
     }
   }
 
+  /** WARC ARCHIVE SEGMENTER (batch stage): compose one deterministic
+    * WARC/1.0 response record per row ([[graft.spark.WarcUdfs.compose]]
+    * — md5-derived record id, octet Content-Length; the layout the
+    * q_warc_compose oracle replays verbatim) and assign each record
+    * WHOLLY to the archive segment its cumulative stream offset falls
+    * in: segment = stream_offset div `budget` octets, records in
+    * ascending id order. Records are ATOMIC — a record that starts just
+    * under a boundary overruns its segment rather than splitting
+    * (`straddles` flags it), and a record larger than `budget` leaves
+    * the next segment index(es) empty. That offset rule (rather than
+    * greedy close-on-overflow) is what makes rotation embarrassingly
+    * replayable: it is [[graft.ops.Pack.concatChunk]]'s two-pass prefix
+    * sum on octet lengths, not a sequential fold.
+    *
+    * Scale shape: the pack's range shuffle carries (id, bytes) ONLY —
+    * the heavy record strings never ride it; offsets join back on the
+    * unique id afterwards. Output: (idCol, rec_bytes, stream_offset,
+    * segment, seg_offset, straddles, rec_md5) — all BIGINT/INT plus the
+    * md5 of the composed record text, so the oracle gates the composed
+    * BYTES, not just the arithmetic. */
+  def composeSegments(df: DataFrame, idCol: String, uriCol: String,
+                      dateCol: String, bodyCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 1, s"segment budget must be >= 1 octet: $budget")
+    val spark = df.sparkSession
+    graft.spark.GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    val rec = call_function("graft_warc_compose",
+      col(uriCol), col(dateCol), col(bodyCol))
+    val sized = df.select(col(idCol), rec.as("__rec"),
+      octet_length(rec).cast("long").as("__bytes"))
+    val packed = graft.ops.Pack.concatChunk(
+      sized.select(col(idCol), col("__bytes").as("n")), idCol, "n",
+      budget = budget)
+    packed.join(sized, idCol)
+      .select(col(idCol), col("n_tokens").as("rec_bytes"),
+        col("start_offset").as("stream_offset"),
+        col("chunk_start").as("segment"),
+        (col("start_offset") - col("chunk_start") * budget).as("seg_offset"),
+        (col("chunk_end") > col("chunk_start")).cast("int").as("straddles"),
+        md5(col("__rec").cast("binary")).as("rec_md5"))
+  }
+
+  /** Streaming WARC ARCHIVE composer — the continuous-crawl write path
+    * that pairs with [[warcExtract]]'s read path: each micro-batch of
+    * fetched pages is composed and segmented by [[composeSegments]] and
+    * appended to the archive, and the segment counter RESETS per batch
+    * (a rotating archiver closes its open segment when the trigger
+    * ends — segment identity is (batch_id, segment)). The stage is
+    * stateless across batches, so the streamed output equals the batch
+    * segmenter applied to each arrival batch independently — which is
+    * exactly what the oracle replays (per-batch window cumsum). Uses
+    * foreachBatch + append (the file-rotation sink pattern); the
+    * checkpointed file source makes re-delivery exactly-once per input
+    * file. Drain harness: mtime-sequenced files, maxFilesPerTrigger=1,
+    * AvailableNow, parquet sink, full teardown. */
+  def composeSegmentsDrain(batches: Seq[DataFrame],
+                           budget: Long): DataFrame = {
+    val spark = batches.head.sparkSession
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-seg")
+    val inDir = new java.io.File(base.toFile, "in")
+    inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(base.toFile, s"part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet file written for batch $i"))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("uri", StringType),
+      StructField("date", StringType), StructField("body", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val outDir = new java.io.File(base.toFile, "out")
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          composeSegments(b, "doc_id", "uri", "date", "body", budget)
+            .withColumn("batch_id", lit(batchId.toInt))
+            .write.mode("append").parquet(outDir.toString)
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(outDir.toString).localCheckpoint()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
+
   /** Per-hash dedup state: how many copies seen, which doc won. */
   final case class DedupState(first_doc_id: String, copies: Long)
   /** Dedup verdict row emitted per input doc. */

@@ -67,6 +67,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("7", "body-7")))
   }
 
+  test("streaming WARC segmenter: per-batch rotation, atomic records, straddle flag") {
+    import spark.implicits._
+    val rows = (0 until 10).map { i =>
+      val body = if (i == 4) "X" * 3000 else "b" * (100 + i) // doc 4 is giant
+      (i.toLong, s"https://t/$i", "2026-01-01T00:00:00Z", body)
+    }.toDF("doc_id", "uri", "date", "body")
+    val budget = 700L
+    val batches = Seq(rows.filter($"doc_id" % 2 === 0),
+      rows.filter($"doc_id" % 2 === 1))
+    val out = StreamingExtract.composeSegmentsDrain(batches, budget)
+    val got = out.collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("batch_id"),
+        r.getAs[Long]("rec_bytes"), r.getAs[Long]("stream_offset"),
+        r.getAs[Long]("segment"), r.getAs[Long]("seg_offset"),
+        r.getAs[Int]("straddles"), r.getAs[String]("rec_md5"))
+    }.sortBy(x => (x._2, x._1))
+    assert(got.length == 10)
+    // arrival = parity; each batch's segmentation RESETS (rotation)
+    got.foreach { case (id, b, _, _, _, _, _, _) => assert(b == (id % 2).toInt) }
+    Seq(0, 1).foreach { b =>
+      val rowsB = got.filter(_._2 == b)
+      var acc = 0L
+      rowsB.foreach { case (id, _, n, st, seg, off, straddles, _) =>
+        assert(st == acc, s"doc $id stream_offset")
+        assert(seg == st / budget && off == st % budget, s"doc $id segment math")
+        assert(straddles == (if ((st + n - 1) / budget > seg) 1 else 0))
+        acc += n
+      }
+    }
+    // the giant record stays atomic and flags its boundary crossing
+    val giant = got.find(_._1 == 4L).get
+    assert(giant._3 > 2 * budget && giant._7 == 1)
+    // streamed == batch segmenter applied per arrival batch (stateless)
+    val expected = batches.zipWithIndex.flatMap { case (b, i) =>
+      StreamingExtract.composeSegments(b, "doc_id", "uri", "date", "body", budget)
+        .collect().map(r => (r.getAs[Long]("doc_id"), i,
+          r.getAs[Long]("rec_bytes"), r.getAs[Long]("stream_offset"),
+          r.getAs[Long]("segment"), r.getAs[Long]("seg_offset"),
+          r.getAs[Int]("straddles"), r.getAs[String]("rec_md5")))
+    }.sortBy(x => (x._2, x._1))
+    assert(got.toSeq == expected)
+  }
+
   test("streaming stateful dedup: first doc per hash wins across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
