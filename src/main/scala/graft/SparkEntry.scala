@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
+import graft.ops.{Dedup, Similarity, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -609,6 +609,26 @@ object SparkEntry {
       Dedup.incrementalNovel(d, "doc_id", "source", seen, "source",
           expectedItems = 4096, fpp = 0.01)
         .select(col("doc_id"), col("text_hash"))
+    }),
+
+    // Snapshot delta / CDC (round 7 cont.): the id-keyed companion to
+    // q_dedup_incremental — what happened to each PAGE between two
+    // crawls. Snapshot B mutates the corpus deterministically (drop
+    // %17==3, rewrite text %13==2, add id+10000000 copies of %19==5),
+    // so every verdict class is planted; the oracle replays the same
+    // mutation and the same chr(31)-joined md5 over a FULL OUTER JOIN.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val changedText = when(pmod(col("doc_id"), lit(13L)) === 2,
+        concat(coalesce(col("text"), lit("")), lit("!")))
+        .otherwise(coalesce(col("text"), lit("")))
+      val b = d.filter(pmod(col("doc_id"), lit(17L)) =!= 3)
+        .select(col("doc_id"), changedText.as("text"), col("lang"), col("source"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(19L)) === 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            coalesce(col("text"), lit("")).as("text"), col("lang"), col("source")))
+      SnapshotDiff.delta(a, b, "doc_id", Seq("text", "lang", "source"))
     }),
 
     "q_text_stats" -> ((s, dir) =>
@@ -2652,6 +2672,33 @@ object SparkEntry {
         |seen AS (SELECT DISTINCT text_hash FROM k WHERE doc_id % 3 = 0)
         |SELECT k.doc_id, k.text_hash FROM k
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text_hash = k.text_hash)""".stripMargin
+    },
+
+    // full-outer replay of the id-keyed delta: same deterministic
+    // snapshot-B mutation, same chr(31)-joined content hash (every
+    // column coalesced to '' at first use — the null canon); unchanged
+    // rows never appear on either side
+    "q_snapshot_diff" -> {
+      val sep = "chr(31)"
+      def h(text: String) =
+        s"md5($text || $sep || coalesce(lang, '') || $sep || coalesce(source, ''))"
+      s"""WITH a AS (SELECT doc_id, ${h("coalesce(text, '')")} AS h
+        |  FROM documents),
+        |b0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 2 THEN coalesce(text, '') || '!'
+        |         ELSE coalesce(text, '') END AS text, lang, source
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, coalesce(text, ''), lang, source
+        |  FROM documents WHERE doc_id % 19 = 5),
+        |b AS (SELECT doc_id, ${h("text")} AS h FROM b0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.h IS NULL THEN 'added'
+        |       WHEN b.h IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  coalesce(a.h, '') AS old_hash, coalesce(b.h, '') AS new_hash
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.h IS NULL OR b.h IS NULL OR a.h <> b.h""".stripMargin
     },
 
     "q_dedup_flags" -> {

@@ -133,6 +133,30 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.toSeq == Seq(("c.com", 7L, 1)))
   }
 
+  test("snapshotDiff: delta classes, null-content canon, unchanged rows drop") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, Some("same"), Some("en")), (2L, Some("old"), Some("en")),
+      (3L, Some("gone"), None), (5L, None, Some("de")),
+      (6L, None, None)).toDF("doc_id", "text", "lang")
+    val b = Seq(
+      (1L, Some("same"), Some("en")), (2L, Some("new"), Some("en")),
+      (4L, Some("born"), Some("fr")), (5L, Some(""), Some("de")),
+      (6L, None, Some(""))).toDF("doc_id", "text", "lang")
+    val out = SnapshotDiff.delta(a, b, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (dropped), 2 changed, 3 removed, 4 added,
+    // 5 unchanged (null text == '' under the canon — dropped),
+    // 6 unchanged (null lang == '')
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $out")
+    // added/removed coalesce their absent hash to ''
+    val byId = SnapshotDiff.delta(a, b, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(byId(3L)._2 == "" && byId(4L)._1 == "")
+    assert(byId(2L)._1.nonEmpty && byId(2L)._2.nonEmpty && byId(2L)._1 != byId(2L)._2)
+  }
+
   test("slidingChunks: codepoint windows, overlap reconstruction, totality") {
     import spark.implicits._
     // astral-heavy corpus: every element is ONE codepoint, many are two
