@@ -1947,6 +1947,25 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Capped inverted index (round 7 cont.): df + first-5 postings per
+    // canonical token, df in [2, 50] (hapax and stopword cuts). The
+    // synthetic corpus vocabulary is ~31 near-universal tokens, so the
+    // band is exercised by PLANTED md5 group tokens at three df scales
+    // (residue-37 ≈ 14, residue-101 ≈ 5, per-doc = 1 — the last cut by
+    // minDf, the natural corpus tokens cut by maxDf, the ≈14 family
+    // exercising the k=5 posting cap). One token shuffle carries both
+    // the count and the bounded posting buffer; the oracle replays with
+    // a per-token row_number over the distinct (doc, token) explode.
+    "q_inverted_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = concat(coalesce(col("text"), lit("")),
+        lit(" g"), md5(pmod(col("doc_id"), lit(37L)).cast("string").cast("binary")),
+        lit(" h"), md5(pmod(col("doc_id"), lit(101L)).cast("string").cast("binary")),
+        lit(" u"), md5(col("doc_id").cast("string").cast("binary")))
+      TextOps.invertedIndex(d.select(col("doc_id"), t.as("t")), "doc_id", "t",
+        k = 5, minDf = 2, maxDf = 50)
+    }),
+
     // The C4/CCNet-style END-TO-END cleaning pipeline under one oracle
     // (round 5): language allowlist → quality floor → repetition caps
     // (integer cross-multiplied — float-free) → PII redaction → exact
@@ -3880,6 +3899,26 @@ object SparkEntry {
         |    AS BIGINT) AS max_sentence_chars,
         |  sents[1] AS first_sentence
         |FROM ss""".stripMargin,
+
+    // same token alphabet; per-doc distinct then df count + ascending
+    // row_number ≤ 5 replay the bounded posting buffer exactly (the
+    // TopK order with a constant score IS ascending doc_id)
+    "q_inverted_index" ->
+      s"""WITH src AS (SELECT doc_id, coalesce(text, '')
+        |    || ' g' || md5(CAST(doc_id % 37 AS VARCHAR))
+        |    || ' h' || md5(CAST(doc_id % 101 AS VARCHAR))
+        |    || ' u' || md5(CAST(doc_id AS VARCHAR)) AS t FROM documents),
+        |tk0 AS (SELECT doc_id,
+        |  unnest(${TextNorm.sqlTokens(TextNorm.sqlLower("t"))}) AS token
+        |  FROM src),
+        |tk AS (SELECT DISTINCT doc_id, token FROM tk0),
+        |d AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM tk GROUP BY token),
+        |r AS (SELECT token, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY token ORDER BY doc_id) AS INTEGER) AS rank FROM tk)
+        |SELECT r.token, d.df, r.doc_id, r.rank
+        |FROM r JOIN d USING (token)
+        |WHERE d.df BETWEEN 2 AND 50 AND r.rank <= 5""".stripMargin,
 
     // same tokenization as graft_ngrams(text, 1); ranking replayed with
     // a row_number window over the integer (df, -tf, term) order

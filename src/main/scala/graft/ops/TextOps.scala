@@ -494,4 +494,45 @@ object TextOps {
       .select(col("id"), col("t.tok").as("term"), (-col("t.ntf")).as("tf"),
         col("t.df").as("df"), (col("r") + 1).cast("int").as("rank"))
   }
+
+  /** Capped inverted index — the retrieval-side artifact a search or
+    * decontamination pipeline builds: for every canonical token
+    * (graft_ngrams(·,1) alphabet, per-doc DISTINCT via array_distinct
+    * BEFORE the explode so dedup costs no extra shuffle), its document
+    * frequency and the first `k` doc ids ascending. `minDf`/`maxDf`
+    * bound the postings kept: minDf cuts hapax noise, maxDf cuts
+    * stopwords (at corpus scale a stopword's full posting list IS the
+    * corpus — the cap is what keeps the index linear in |distinct
+    * tokens|, not |corpus|).
+    *
+    * Scale shape: ONE token shuffle — df count and the bounded size-k
+    * posting buffer ([[TopK.TopKAgg]] with a constant score, so the
+    * strict order is plain ascending id — exact for every long, no
+    * double rounding) combine map-side in the same aggregate; only
+    * |tokens|·(k+1) rows cross the wire. Never a row_number window
+    * over the exploded corpus.
+    *
+    * Output rows: (token, df BIGINT, doc_id, rank INT ≤ k) — exploded,
+    * not array-valued, so it joins/replays relationally. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDf: Long, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    import org.apache.spark.sql.Encoders
+    require(k >= 1, s"postings cap must be >= 1: $k")
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf: minDf=$minDf maxDf=$maxDf")
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode_outer(array_distinct(GraftSql.column(graft.spark.GraftNgrams(
+          GraftSql.expressionOf(col(textCol)), 1)))).as("token"))
+      .filter(col("token").isNotNull)
+    val topIds = udaf(new TopK.TopKAgg(k), Encoders.product[TopK.Scored])
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        topIds(col("doc_id").cast("long"), lit(0.0)).as("top"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("token"), col("df"),
+        posexplode(col("top.items")).as(Seq("pos", "s")))
+      .select(col("token"), col("df"), col("s.vec_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -133,6 +133,28 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.toSeq == Seq(("c.com", 7L, 1)))
   }
 
+  test("invertedIndex: per-doc-distinct df, ascending posting cap, band cuts") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, "alpha alpha beta common"), // repeated token counts ONCE for df
+      (7L, "alpha common"), (3L, "alpha common"),
+      (5L, "alpha common"), (9L, "alpha common"), (11L, "alpha common"),
+      (2L, "alpha common solo"), (4L, "common"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "t")
+    val out = graft.ops.TextOps.invertedIndex(rows, "doc_id", "t",
+        k = 5, minDf = 2, maxDf = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // common df=8 > maxDf (cut); beta/solo df=1 < minDf (cut). alpha
+    // survives ONLY because the doubled token in doc 10 counts once:
+    // double-counting would read df=8 and cut it too.
+    assert(out.forall(_._1 == "alpha"), s"got ${out.toSeq}")
+    val alpha = out.sortBy(_._4)
+    assert(alpha.map(_._2).forall(_ == 7L), s"per-doc-distinct df: $alpha")
+    // postings: the 5 SMALLEST doc ids, rank ascending (10, 11 capped)
+    assert(alpha.map(x => (x._3, x._4)).toSeq ==
+      Seq((2L, 1), (3L, 2), (5L, 3), (7L, 4), (9L, 5)))
+  }
+
   test("snapshotDiff: delta classes, null-content canon, unchanged rows drop") {
     import spark.implicits._
     val a = Seq(

@@ -179,6 +179,7 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n = docs.count()
     for ((q, want) <- Seq("q_substr_dedup" -> n, "q_terms" -> n,
+        "q_inverted_index" -> n,
         "q_decontam" -> (n + docs.filter(col("doc_id") % 4 === 0).count() + 1))) {
       graft.spark.TextKernels.ngramsEvals.set(0)
       graft.SparkEntry.queries(q)(spark, sf)
