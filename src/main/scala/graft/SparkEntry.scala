@@ -880,6 +880,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("clean_text"))
     }),
 
+    // SITE-TEMPLATE removal (round 7 cont.): the domain-scoped line cut.
+    // Plants: a nav and a footer line shared by every doc of a domain
+    // (~71 docs/domain > 3 → drop), a unique body line (kept), and a
+    // cross-site slogan shared by ~17 docs ACROSS domains but ≤3 within
+    // any one (kept) — the line the corpus-level cut would wrongly kill;
+    // domain scoping is exactly what saves it.
+    "q_domain_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dom = concat(lit("d"), pmod(col("doc_id"), lit(7L)).cast("string"))
+      val text = concat_ws("\n",
+        concat(lit("NAV menu "), dom),
+        concat(lit("body "), md5(concat(coalesce(col("text"), lit("")),
+          col("doc_id").cast("string")))),
+        concat(lit("shared slogan "),
+          pmod(col("doc_id"), lit(29L)).cast("string")),
+        concat(lit("(c) footer "), dom))
+      Dedup.domainBoilerplate(
+          d.select(col("doc_id"), dom.as("domain"), text.as("t")),
+          "doc_id", "domain", "t", maxDomainFreq = 3, oracleHash = true)
+        .select(col("id").as("doc_id"), col("domain"), col("clean_text"),
+          col("kept_lines"), col("dropped_lines"))
+    }),
+
     // Corpus-wide exact paragraph dedup (round 7 cont.): FIRST
     // occurrence wins (MassiveText/RefinedWeb). Construction per doc:
     // a corpus-wide banner (only the global-first doc keeps it), a
@@ -3081,6 +3104,34 @@ object SparkEntry {
         |SELECT doc_id, array_to_string(list_filter(string_split(t, chr(10)),
         |    x -> NOT list_contains(c.cks, $norm)), chr(10)) AS clean_text
         |FROM base, commonl c""".stripMargin
+    },
+
+    // domain-scoped replay: (domain, normalized-line) distinct doc
+    // frequency > 3 builds each domain's template list; the left join +
+    // coalesce([]) keeps template-free domains total; counts CAST BIGINT
+    "q_domain_boilerplate" -> {
+      val norm = s"md5(${TextNorm.sqlTrim(TextNorm.sqlLower("x"))})"
+      val keptList = s"""list_filter(string_split(b.t, chr(10)),
+        |    x -> NOT list_contains(coalesce(c.cks, []), $norm))""".stripMargin
+      s"""WITH base AS (SELECT doc_id,
+        |  'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+        |  'NAV menu d' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |  'body ' || md5(coalesce(text, '') || CAST(doc_id AS VARCHAR)) || chr(10) ||
+        |  'shared slogan ' || CAST(doc_id % 29 AS VARCHAR) || chr(10) ||
+        |  '(c) footer d' || CAST(doc_id % 7 AS VARCHAR) AS t FROM documents),
+        |ks AS (SELECT doc_id, domain,
+        |  unnest(list_transform(string_split(t, chr(10)), x -> $norm)) AS k
+        |  FROM base),
+        |common AS (SELECT domain, k FROM (SELECT domain, k,
+        |    count(DISTINCT doc_id) AS docfreq FROM ks GROUP BY domain, k)
+        |  WHERE docfreq > 3),
+        |commonl AS (SELECT domain, list(k) AS cks FROM common GROUP BY domain)
+        |SELECT b.doc_id, b.domain,
+        |  array_to_string($keptList, chr(10)) AS clean_text,
+        |  CAST(len($keptList) AS BIGINT) AS kept_lines,
+        |  CAST(len(string_split(b.t, chr(10))) - len($keptList) AS BIGINT)
+        |    AS dropped_lines
+        |FROM base b LEFT JOIN commonl c ON b.domain = c.domain""".stripMargin
     },
 
     // independent replay of paragraph split → TextNorm normalization →

@@ -434,6 +434,56 @@ object Dedup {
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** SITE-TEMPLATE line removal — the per-domain complement to
+    * [[lineDedup]]: a line is template boilerplate when its normalized
+    * form (TextNorm trim+lower) appears in > `maxDomainFreq` DISTINCT
+    * documents OF THE SAME domain. Nav bars, footers and cookie banners
+    * repeat per SITE, not per corpus — the corpus-level doc-frequency
+    * cut both misses a small site's template (df too low globally) and
+    * over-fires on unrelated sites that happen to share a short line;
+    * scoping the frequency key to (domain, line) fixes both. Null
+    * domains coalesce to '' at first use (the null canon) and so share
+    * one scope. Output: one row per input doc — (id, domain,
+    * clean_text = surviving lines joined by \n in original order,
+    * kept_lines, dropped_lines).
+    *
+    * Scale shape: the frequency key is (domain, line-hash) — the
+    * distinct, the count aggregate and the anti-join all share that one
+    * shuffle key; per-doc reassembly is the bounded
+    * sort_array(collect_list) aggregate, never a corpus Window. A
+    * million-page site's template line is one (domain, k) count row.
+    * Hash family per repo convention: xxhash64 in production, md5 when
+    * `oracleHash` so DuckDB replays keygen + scope + rebuild. */
+  def domainBoilerplate(df: DataFrame, idCol: String, domainCol: String,
+                        textCol: String, maxDomainFreq: Int = 3,
+                        oracleHash: Boolean = false): DataFrame = {
+    val dom = coalesce(col(domainCol).cast("string"), lit(""))
+    val ids = df.select(col(idCol).as("id"), dom.as("domain"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(split(col(textCol), "\n")).cast("long")).as("n_lines"))
+    val lines = df.select(col(idCol).as("id"), dom.as("domain"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("k",
+        if (oracleHash) md5(TextNorm.trimCol(TextNorm.lowerCol(col("line"))))
+        else xxhash64(TextNorm.trimCol(TextNorm.lowerCol(col("line")))))
+    val common = lines.select("domain", "id", "k").distinct()
+      .groupBy("domain", "k").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") > maxDomainFreq)
+    val kept = lines.join(common.select("domain", "k"),
+      Seq("domain", "k"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+    ids.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("domain"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
+          .as("dropped_lines"))
+  }
+
   /** Benchmark/eval decontamination — the pass every serious
     * training-data pipeline runs before training: flag corpus documents
     * whose token n-grams overlap a contamination set (eval benchmarks,

@@ -133,6 +133,29 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.toSeq == Seq(("c.com", 7L, 1)))
   }
 
+  test("domainBoilerplate: template drops only inside its domain; order kept") {
+    import spark.implicits._
+    // "promo" saturates domain A (3 docs > maxDomainFreq=2) but appears
+    // once in domain B — it must drop from A's docs and SURVIVE in B's.
+    val rows = Seq(
+      (1L, Some("a"), "promo\nbody one"),
+      (2L, Some("a"), "body two\npromo"),
+      (3L, Some("a"), "PROMO \nbody three"), // TextNorm trim+lower key
+      (4L, Some("b"), "promo\nbody four"),
+      (5L, None: Option[String], "solo"), // null domain → '' scope, total
+      (6L, Some("a"), null.asInstanceOf[String])).toDF("doc_id", "dom", "t")
+    val out = Dedup.domainBoilerplate(rows, "doc_id", "dom", "t",
+        maxDomainFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ("a", "body one", 1L, 1L))
+    assert(out(2L) == ("a", "body two", 1L, 1L))
+    assert(out(3L) == ("a", "body three", 1L, 1L))
+    assert(out(4L) == ("b", "promo\nbody four", 2L, 0L), s"got ${out(4L)}")
+    assert(out(5L) == ("", "solo", 1L, 0L))
+    assert(out(6L) == ("a", "", 0L, 0L)) // null text: zero lines, total
+  }
+
   test("invertedIndex: per-doc-distinct df, ascending posting cap, band cuts") {
     import spark.implicits._
     val rows = Seq(
