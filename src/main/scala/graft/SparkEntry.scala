@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Similarity, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
+import graft.ops.{Dedup, Redirects, Similarity, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -629,6 +629,30 @@ object SparkEntry {
           .select((col("doc_id") + 10000000L).as("doc_id"),
             coalesce(col("text"), lit("")).as("text"), col("lang"), col("source")))
       SnapshotDiff.delta(a, b, "doc_id", Seq("text", "lang", "source"))
+    }),
+
+    // Redirect-chain resolution (round 7 cont.): the crawl frontier's
+    // canonical-URL step — pointer doubling over a functional (src,
+    // dst) graph, log2(maxHops) composition joins, cyclic = reached
+    // node still has an out-edge after the rounds. Construction plants
+    // every verdict class: halving chains u_i -> u_{i div 2} terminate
+    // at u0 with EXACT hop counts (floor(log2 i)+1), c-nodes self-loop
+    // (the 1-cycle), and the constant x0 -> x1 <-> x2 rows pin the
+    // lead-in-to-a-cycle and the 2-cycle. The oracle replays the walk
+    // with a bounded recursive CTE and the same has-out-edge test.
+    "q_redirects" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val chains = d.filter(col("doc_id") > 0)
+        .select(concat(lit("u"), col("doc_id").cast("string")).as("src"),
+          concat(lit("u"), expr("doc_id div 2").cast("string")).as("dst"))
+      val loops = d.filter(pmod(col("doc_id"), lit(13L)) === 3)
+        .select(concat(lit("c"), col("doc_id").cast("string")).as("src"),
+          concat(lit("c"), col("doc_id").cast("string")).as("dst"))
+      val consts = Seq(("x0", "x1"), ("x1", "x2"), ("x2", "x1"))
+        .toDF("src", "dst")
+      Redirects.resolve(chains.unionAll(loops).unionAll(consts),
+        "src", "dst", maxHops = 64)
     }),
 
     "q_text_stats" -> ((s, dir) =>
@@ -2742,6 +2766,40 @@ object SparkEntry {
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |WHERE a.h IS NULL OR b.h IS NULL OR a.h <> b.h""".stripMargin
     },
+
+    // bounded recursive replay of the redirect walk: per src the walk
+    // emits one row per hop (functional graph, unique srcs), capped at
+    // 64 like the doubling side's reach; the deepest row per src is the
+    // QUALIFY row_number winner (never ordered-first), and cyclic =
+    // that node still has an outgoing edge — the identical cap
+    // semantics on both sides. hops CAST AS BIGINT (the HUGEINT rule
+    // does not bite INTEGER sums, but the Spark side is long).
+    "q_redirects" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+        |         'u' || CAST(doc_id // 2 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id > 0
+        |  UNION ALL
+        |  SELECT 'c' || CAST(doc_id AS VARCHAR), 'c' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 13 = 3
+        |  UNION ALL SELECT 'x0', 'x1'
+        |  UNION ALL SELECT 'x1', 'x2'
+        |  UNION ALL SELECT 'x2', 'x1'),
+        |walk AS (
+        |  SELECT src, dst AS cur, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.src, e2.dst, w.hops + 1
+        |  FROM walk w JOIN e e2 ON w.cur = e2.src
+        |  WHERE w.hops < 64),
+        |last AS (
+        |  SELECT src, cur, hops FROM walk
+        |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1),
+        |outs AS (SELECT DISTINCT src AS osrc FROM e)
+        |SELECT l.src AS src,
+        |  CASE WHEN o.osrc IS NULL THEN l.cur END AS final,
+        |  CASE WHEN o.osrc IS NULL THEN CAST(l.hops AS BIGINT) END AS hops,
+        |  o.osrc IS NOT NULL AS cyclic
+        |FROM last l LEFT JOIN outs o ON l.cur = o.osrc""".stripMargin,
 
     "q_dedup_flags" -> {
       val h = s"coalesce(md5(${TextNorm.sqlLower(TextNorm.sqlTrim("source"))}), '')"

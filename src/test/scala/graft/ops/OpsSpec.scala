@@ -20,6 +20,37 @@ class OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("redirects: exact hop counts, terminals, cycles, lead-ins, cap, nulls") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),        // chain a->b->c->d (terminal)
+      ("s", "s"),                                // self-loop
+      ("p", "q"), ("q", "r"), ("r", "q"),        // lead-in p into cycle q<->r
+      (null, "z"), ("y", null)                   // dropped endpoints
+    ).toDF("src", "dst")
+    val got = Redirects.resolve(edges, "src", "dst", maxHops = 8).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "a" -> ((Some("d"), Some(3L), false)),
+      "b" -> ((Some("d"), Some(2L), false)),
+      "c" -> ((Some("d"), Some(1L), false)),
+      "s" -> ((None, None, true)),
+      "p" -> ((None, None, true)),
+      "q" -> ((None, None, true)),
+      "r" -> ((None, None, true))))
+    // over-cap acyclic chain is declared cyclic — the cap IS the semantics
+    val long = (0 until 10).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val capped = Redirects.resolve(long, "src", "dst", maxHops = 4).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(capped("n9") == false)   // 1 hop to the n10 terminal
+    assert(capped("n0") == true)    // 10 hops > cap 4
+    // and wide enough caps resolve it exactly
+    val full = Redirects.resolve(long, "src", "dst", maxHops = 16).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(full("n0") == (("n10", 10L)) && full("n5") == (("n10", 5L)))
+  }
+
   test("minhash catches planted near-duplicates end to end") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
