@@ -437,6 +437,41 @@ object SparkEntry {
         .agg(sum(col("c")).as("in_links"), count(lit(1)).as("src_docs"))
     }),
 
+    // Anchor-text aggregation (round 7 cont.): per target registrable
+    // domain, the top-k distinct anchor texts by (count desc, anchor
+    // codepoint-asc) — the web-corpus enrichment search and training
+    // both consume (anchors describe the TARGET page). Extraction
+    // reuses the one-parse link table; ranking is the bounded
+    // string-payload TopK aggregate (|domains|·k rows cross the wire,
+    // never a corpus row_number Window). Construction plants three
+    // count scales per hub: a constant 'A' anchor (count = hub size),
+    // 'B{0..2}' thirds, and per-doc 'V'+text anchors (count 1 — only
+    // the codepoint-min V can reach a rank, pinning the tie-break and
+    // the in-body text view on both sides).
+    "q_anchor_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val b = pmod(col("doc_id"), lit(3L)).cast("string")
+      val v = escTxt(substring(coalesce(col("text"), lit("")), 1, 4))
+      val html = concat(
+        lit("<p>t</p><a href=\"https://www.example"), hub, lit(".com/1\">A</a>"),
+        lit("<a href=\"https://www.example"), hub, lit(".com/2\">B"), b,
+        lit("</a><a href=\"https://www.example"), hub, lit(".com/3\">V"), v,
+        lit("</a><a href=\"/rel\">r</a><a name=\"n\">skip</a>"))
+      val links = d.select(
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+        .select(col("l.href").as("href"), col("l.anchor").as("anchor"))
+      val counted = links.filter(UrlOps.scheme(col("href")) === "https")
+        .select(
+          UrlOps.registrableDomainPsl(UrlOps.host(col("href"))).as("key"),
+          coalesce(col("anchor"), lit("")).as("text"))
+        .groupBy(col("key"), col("text")).agg(count(lit(1)).as("cnt"))
+      TopK.perKeyTopStrings(counted, k = 5)
+        .select(col("key").as("domain"), col("text").as("anchor"),
+          col("cnt"), col("rank"))
+    }),
+
     // Page metadata extraction (round 7 cont.): title / html@lang /
     // base / link rel=canonical / meta description|robots / og:title in
     // ONE parse — every field FIRST-match in pre-order, attr lookup
@@ -2588,6 +2623,29 @@ object SparkEntry {
         |SELECT domain, CAST(sum(c) AS BIGINT) AS in_links,
         |  CAST(count(*) AS BIGINT) AS src_docs
         |FROM per GROUP BY domain""".stripMargin,
+
+    // replay by construction (the q_link_graph domain arithmetic): the
+    // three planted anchor scales regroup under GROUP BY; rank is the
+    // QUALIFY-style row_number over (cnt DESC, anchor ASC) — DuckDB's
+    // binary UTF-8 ordering IS the TopK aggregator's codepoint
+    // tie-break; the V anchors ride the in-body text view
+    "q_anchor_text" ->
+      s"""WITH l AS (
+        |  SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+        |    'A' AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com',
+        |    'B' || CAST(doc_id % 3 AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com',
+        |    'V' || ${sqlBodyText("substr(coalesce(text, ''), 1, 4)")}
+        |  FROM documents),
+        |c AS (SELECT domain, anchor, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM l GROUP BY domain, anchor)
+        |SELECT domain, anchor, cnt, CAST(rn AS INT) AS rank
+        |FROM (SELECT domain, anchor, cnt, row_number() OVER (
+        |    PARTITION BY domain ORDER BY cnt DESC, anchor ASC) AS rn FROM c)
+        |WHERE rn <= 5""".stripMargin,
 
     // every field replays the construction through the parser-visible
     // views: attr values + RCDATA title both decode NUL→U+FFFD

@@ -42,6 +42,53 @@ object TopK {
     override def outputEncoder = Encoders.product[Buf]
   }
 
+  // ------------------------------------------- string-payload variant
+
+  final case class SItem(text: String, cnt: Long)
+  final case class SBuf(items: Seq[SItem])
+
+  /** Bounded top-k of STRING values by (cnt desc, text asc) — the
+    * anchor-text / top-host / top-n-gram shape. Tie-break is CODEPOINT
+    * order ([[TextNorm.cpCompare]], the canonical ordering alphabet),
+    * never String.compareTo: DuckDB compares UTF-8 bytes, and astral
+    * anchors would otherwise rank differently on the two sides. */
+  final class TopKStrAgg(k: Int) extends Aggregator[SItem, SBuf, SBuf] {
+    private def better(a: SItem, b: SItem): Boolean =
+      a.cnt > b.cnt ||
+        (a.cnt == b.cnt && TextNorm.cpCompare(a.text, b.text) < 0)
+
+    private def insert(buf: Seq[SItem], s: SItem): Seq[SItem] =
+      if (buf.length >= k && !better(s, buf.last)) buf
+      else {
+        val (pre, post) = buf.span(b => better(b, s))
+        ((pre :+ s) ++ post).take(k)
+      }
+
+    override def zero: SBuf = SBuf(Seq.empty)
+    override def reduce(b: SBuf, a: SItem): SBuf = SBuf(insert(b.items, a))
+    override def merge(x: SBuf, y: SBuf): SBuf =
+      SBuf(y.items.foldLeft(x.items)(insert))
+    override def finish(r: SBuf): SBuf = r
+    override def bufferEncoder = Encoders.product[SBuf]
+    override def outputEncoder = Encoders.product[SBuf]
+  }
+
+  /** (key, text, cnt) → (key, text, cnt, rank≤k), rank 1-based by
+    * (cnt desc, text codepoint-asc). One map-side-combined aggregate
+    * with a size-k buffer per key — only |keys|·k rows cross the wire,
+    * never a corpus row_number Window. Null texts are dropped (rank of
+    * an absent value is undefined); cap text length upstream if keys
+    * can carry pathological multi-MB values. */
+  def perKeyTopStrings(counted: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKStrAgg(k), Encoders.product[SItem])
+    counted.filter(col("text").isNotNull)
+      .groupBy("key")
+      .agg(agg(col("text"), col("cnt").cast("long")).as("top"))
+      .select(col("key"), posexplode(col("top.items")).as(Seq("pos", "s")))
+      .select(col("key"), col("s.text").as("text"), col("s.cnt").as("cnt"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** (query_id, vec_id, cosine) → (query_id, vec_id, cosine, rank≤k),
     * rank 1-based by (cosine desc, vec_id asc). One map-side-combined
     * aggregate; no full-score shuffle.

@@ -51,6 +51,28 @@ class OpsSpec extends AnyFunSuite {
     assert(full("n0") == (("n10", 10L)) && full("n5") == (("n10", 5L)))
   }
 
+  test("perKeyTopStrings: count order, codepoint tie-break, cap, null drop") {
+    import spark.implicits._
+    val counted = Seq(
+      ("d1", "beta", 5L), ("d1", "alpha", 5L), ("d1", "zeta", 9L),
+      ("d1", "gamma", 1L), ("d1", "delta", 1L),
+      // astral tie-break: U+10000 (astral) must rank BELOW U+FFFD in
+      // codepoint order even though String.compareTo says otherwise
+      ("d2", "�", 3L), ("d2", new String(Character.toChars(0x10000)), 3L),
+      ("d3", null, 7L), ("d3", "only", 1L)
+    ).toDF("key", "text", "cnt")
+    val got = TopK.perKeyTopStrings(counted, k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(3)) -> r.getString(1)).toMap
+    assert(got(("d1", 1)) == "zeta" && got(("d1", 2)) == "alpha" &&
+      got(("d1", 3)) == "beta")
+    assert(!got.contains(("d1", 4)))                  // gamma/delta capped
+    assert(got(("d2", 1)) == "�")                // codepoint < astral
+    assert(got(("d2", 2)) == new String(Character.toChars(0x10000)))
+    assert(got(("d3", 1)) == "only")                  // null text dropped
+    assert(TextNorm.cpCompare(new String(Character.toChars(0x10000)), "�") > 0
+      && new String(Character.toChars(0x10000)).compareTo("�") < 0)
+  }
+
   test("minhash catches planted near-duplicates end to end") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
