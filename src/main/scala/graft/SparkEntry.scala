@@ -472,6 +472,38 @@ object SparkEntry {
           col("cnt"), col("rank"))
     }),
 
+    // Sitemap extraction (round 7 cont.): crawl discovery — parse
+    // sitemap.xml THROUGH the HTML parser (the tolerant recovery path;
+    // urlset/url/loc are unknown in-body elements) and emit one row per
+    // <url>/<sitemap> entry with loc/lastmod/priority (NULL when
+    // absent). Construction: a full url entry, a lastmod-less url whose
+    // loc carries document text (pins the in-body view + the NULL
+    // path), and a sitemap-index entry — entry ids 0/1/2 in pre-order.
+    "q_sitemap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val mm = (pmod(col("doc_id"), lit(9L)) + 1).cast("string")
+      val pr = pmod(col("doc_id"), lit(10L)).cast("string")
+      val path = escTxt(substring(coalesce(col("source"), lit("")), 1, 8))
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>" +
+          "<url><loc>https://ex"),
+        hub, lit(".com/p/"), col("doc_id").cast("string"),
+        lit("</loc><lastmod>2025-0"), mm,
+        lit("-11</lastmod><priority>0."), pr,
+        lit("</priority></url><url><loc>https://ex"), hub,
+        lit(".com/t/"), path,
+        lit("</loc></url><sitemap><loc>https://ex"), hub,
+        lit(".com/sitemap-"), pr,
+        lit(".xml</loc><lastmod>2025-01-02</lastmod></sitemap></urlset>"))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_sitemap", xml)).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("doc_id"), col("e.entry_id").as("entry_id"),
+          col("e.kind").as("kind"), col("e.loc").as("loc"),
+          col("e.lastmod").as("lastmod"), col("e.priority").as("priority"))
+    }),
+
     // Page metadata extraction (round 7 cont.): title / html@lang /
     // base / link rel=canonical / meta description|robots / og:title in
     // ONE parse — every field FIRST-match in pre-order, attr lookup
@@ -2646,6 +2678,25 @@ object SparkEntry {
         |FROM (SELECT domain, anchor, cnt, row_number() OVER (
         |    PARTITION BY domain ORDER BY cnt DESC, anchor ASC) AS rn FROM c)
         |WHERE rn <= 5""".stripMargin,
+
+    // three construction entries per doc, pre-order ids 0/1/2; the
+    // document-derived loc rides the in-body text view; absent
+    // lastmod/priority are NULL (absent != empty for sitemap fields)
+    "q_sitemap" ->
+      s"""SELECT doc_id, 0 AS entry_id, 'url' AS kind,
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS loc,
+        |  '2025-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-11' AS lastmod,
+        |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        |FROM documents
+        |UNION ALL SELECT doc_id, 1, 'url',
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/t/'
+        |    || ${sqlBodyText("substr(coalesce(source, ''), 1, 8)")},
+        |  NULL, NULL FROM documents
+        |UNION ALL SELECT doc_id, 2, 'sitemap',
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/sitemap-'
+        |    || CAST(doc_id % 10 AS VARCHAR) || '.xml',
+        |  '2025-01-02', NULL FROM documents""".stripMargin,
 
     // every field replays the construction through the parser-visible
     // views: attr values + RCDATA title both decode NUL→U+FFFD

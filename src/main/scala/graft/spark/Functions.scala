@@ -492,6 +492,73 @@ object HtmlUdfs {
     }
   }
 
+  /** Sitemap extraction: `graft_sitemap(html)` → array<struct<entry_id,
+    * kind,loc,lastmod,priority>> — crawl-discovery parsing of
+    * sitemap.xml / sitemap-index.xml THROUGH the HTML parser: real
+    * sitemaps are full of unescaped ampersands, stray bytes and
+    * truncations a strict XML parser rejects, and the WHATWG recovery
+    * path (urlset/url/loc parse as unknown in-body elements) is exactly
+    * what a tolerant crawler wants. One parse per row. Conventions:
+    *  - an entry = every HTML-ns `<url>` (urlset) or `<sitemap>`
+    *    (sitemap index) element, entry_id = 0-based pre-order ordinal,
+    *    kind = the element name;
+    *  - loc / lastmod / priority = concatenated descendant text (Q7
+    *    node_text semantics — entities decoded, NUL dropped) of the
+    *    FIRST matching descendant element in pre-order within the
+    *    entry; NULL when the element is absent (a loc-less entry is a
+    *    real-world artifact the scheduler must see, not '' — the one
+    *    kernel family field where absent ≠ empty). */
+  val sitemapStructType: StructType = StructType(Seq(
+    StructField("entry_id", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("loc", StringType, nullable = true),
+    StructField("lastmod", StringType, nullable = true),
+    StructField("priority", StringType, nullable = true)
+  ))
+  val sitemapArrayType: ArrayType = ArrayType(sitemapStructType, containsNull = false)
+
+  val sitemapEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def sitemapTable(html: UTF8String): ArrayData = {
+    sitemapEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var nextEntry = 0
+      def firstField(entry: Node, name: String): UTF8String = {
+        var res: String = null
+        def go(first: Node): Unit = {
+          var x = first
+          while (x != null && res == null) {
+            if (x.kind == NodeKind.Element && x.ns == Ns.HTML &&
+                x.name == name) {
+              val sb = new java.lang.StringBuilder
+              descTextOf(x, sb)
+              res = sb.toString
+            } else go(x.firstChild)
+            x = x.next
+          }
+        }
+        go(entry.firstChild)
+        if (res == null) null else UTF8String.fromString(res)
+      }
+      def walk(n: Node): Unit = {
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML &&
+            (n.name == "url" || n.name == "sitemap")) {
+          val id = nextEntry
+          nextEntry += 1
+          rows += InternalRow(id, UTF8String.fromString(n.name),
+            firstField(n, "loc"), firstField(n, "lastmod"),
+            firstField(n, "priority"))
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** HTML → Markdown: `graft_markdown(html)` → one markdown string —
     * the standard pretraining-corpus extraction step that keeps
     * document STRUCTURE (headings, lists, links, emphasis, code,
@@ -1202,6 +1269,23 @@ case class GraftTableCells(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftTableCells =
     copy(child = newChild)
   override def prettyName: String = "graft_table_cells"
+}
+
+/** Sitemap extraction: `graft_sitemap(html)` → array<struct<entry_id,
+  * kind,loc,lastmod,priority>> — one parse per row; explode with the
+  * outer+isNotNull discipline (plain explode triple-evals the kernel
+  * via InferFiltersFromGenerate). */
+case class GraftSitemap(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.sitemapArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.sitemapTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.sitemapTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftSitemap =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sitemap"
 }
 
 /** HTML → Markdown: `graft_markdown(html)` — see [[HtmlUdfs.markdown]]

@@ -73,6 +73,39 @@ class OpsSpec extends AnyFunSuite {
       && new String(Character.toChars(0x10000)).compareTo("�") < 0)
   }
 
+  test("sitemap kernel: urlset + index, first-match fields, null vs empty, recovery") {
+    import spark.implicits._
+    graft.spark.GraftFunctions.registerAll(spark)
+    val xml =
+      "<?xml version=\"1.0\"?><urlset>" +
+        "<url><loc>https://a.com/&amp;x</loc><lastmod>2024-01-01</lastmod>" +
+        "<lastmod>ignored-second</lastmod><priority>0.5</priority></url>" +
+        "<url><lastmod>2024-02-02</lastmod></url>" + // loc ABSENT -> null
+        "<url><loc></loc></url>" +                    // loc EMPTY  -> ''
+        "<sitemap><loc>https://a.com/s1.xml</loc></sitemap>" +
+        "</urlset>"
+    val rows = Seq(xml).toDF("x")
+      .selectExpr("inline(graft_sitemap(x))")
+      .orderBy("entry_id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getString(1) == "url" &&
+      rows(0).getString(2) == "https://a.com/&x" &&      // entity decoded
+      rows(0).getString(3) == "2024-01-01" &&            // FIRST lastmod
+      rows(0).getString(4) == "0.5")
+    assert(rows(1).isNullAt(2) && rows(1).getString(3) == "2024-02-02")
+    assert(rows(2).getString(2) == "" && rows(2).isNullAt(3))
+    assert(rows(3).getString(1) == "sitemap" &&
+      rows(3).getString(2) == "https://a.com/s1.xml" && rows(3).isNullAt(3))
+    // tolerant recovery: unclosed <url>, stray text, truncated file
+    val broken = "<urlset><url><loc>https://b.com/p?a=1&b=2</loc>junk<url>" +
+      "<loc>https://b.com/q"
+    val r2 = Seq(broken).toDF("x")
+      .selectExpr("inline(graft_sitemap(x))").orderBy("entry_id").collect()
+    assert(r2.length == 2 &&
+      r2(0).getString(2) == "https://b.com/p?a=1&b=2" && // bare & recovered
+      r2(1).getString(2) == "https://b.com/q")           // EOF-truncated loc
+  }
+
   test("minhash catches planted near-duplicates end to end") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5

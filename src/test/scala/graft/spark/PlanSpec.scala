@@ -302,6 +302,12 @@ class PlanSpec extends AnyFunSuite {
       .write.format("noop").mode("overwrite").save()
     assert(HtmlUdfs.tableCellsEvals.get == n,
       s"table-cells must parse once per row: ${HtmlUdfs.tableCellsEvals.get} for $n rows")
+    HtmlUdfs.sitemapEvals.set(0)
+    graft.SparkEntry.queries("q_sitemap")(spark, sf)
+      .filter(col("kind") === "url")
+      .write.format("noop").mode("overwrite").save()
+    assert(HtmlUdfs.sitemapEvals.get == n,
+      s"sitemap must parse once per row: ${HtmlUdfs.sitemapEvals.get} for $n rows")
   }
 
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
@@ -358,7 +364,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_robots_allows", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
-      "graft_page_meta", "graft_table_cells", "graft_warc_compose",
+      "graft_page_meta", "graft_table_cells", "graft_sitemap",
+      "graft_warc_compose",
       "graft_warc_compose_wet",
       "graft_registrable_domain", "graft_markdown", "graft_c4_rules",
       "graft_lm_score")
