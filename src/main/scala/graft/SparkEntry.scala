@@ -2235,6 +2235,63 @@ object SparkEntry {
         call_function("graft_registrable_domain", col("host")).as("registrable"))
     }),
 
+    // Crawl frontier builder (round 7 cont.): the END-TO-END loop the
+    // per-URL decision table (q_crawl_policy) feeds — extract links
+    // (one parse/row), dedup the frontier, RESOLVE redirect chains to
+    // final targets (Redirects pointer doubling), evaluate robots on
+    // the FINAL path (a disallowed destination must not be fetched via
+    // an allowed alias), dedup targets with a source count, and cap
+    // per registrable domain via the bounded TopK quota (best = lowest
+    // id — crawl order). Pure composition of gated operators; the
+    // oracle replays the construction arithmetic + QUALIFY row_number.
+    // Construction: per doc, u1 = /m2/{id} (2-hop redirect space) and
+    // u2 = /{p|priv}/{id} (direct; priv when id%5==0 — robots-blocked)
+    // both resolve to u2's form, so every kept target has n_sources=2.
+    "q_crawl_frontier" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val idStr = col("doc_id").cast("string")
+      val base = concat(lit("https://ex"), hub, lit(".com/"))
+      val kind = when(pmod(col("doc_id"), lit(5L)) === 0, "priv")
+        .otherwise("p")
+      val u1 = concat(base, lit("m2/"), idStr)
+      val um1 = concat(base, lit("m1/"), idStr)
+      val u2 = concat(base, kind, lit("/"), idStr)
+      val html = concat(lit("<p>t</p><a href=\""), u1, lit("\">a</a>"),
+        lit("<a href=\""), u2, lit("\">b</a>"),
+        lit("<a href=\"/rel\">r</a><a name=\"n\">skip</a>"))
+      val frontier = d.select(
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+        .select(col("l.href").as("url"))
+        .filter(UrlOps.scheme(col("url")) === "https")
+        .distinct()
+      val edges = d.select(u1.as("src"), um1.as("dst"))
+        .unionAll(d.select(um1.as("src"), u2.as("dst")))
+      val resolved = Redirects.resolve(edges, "src", "dst", maxHops = 8)
+      val fin = frontier.join(resolved, frontier("url") === resolved("src"),
+          "left")
+        .select(coalesce(col("final"), col("url")).as("final_url"))
+      val robots = "User-agent: *\nDisallow: /priv\n"
+      val allowed = fin.filter(GraftFunctions.graft_robots_allows(
+        lit(robots), lit("graftbot/1.0"), UrlOps.path(col("final_url"))))
+      val targets = allowed
+        .select(col("final_url"),
+          UrlOps.registrableDomainPsl(UrlOps.host(col("final_url")))
+            .as("domain"),
+          regexp_extract(col("final_url"), "([0-9]+)$", 1).cast("long")
+            .as("id"))
+        .groupBy(col("domain"), col("final_url"), col("id"))
+        .agg(count(lit(1)).as("n_sources"))
+      val capped = Sample.capPerKey(
+        targets.withColumn("score", -col("id").cast("double")),
+        "domain", "id", "score", k = 40)
+      targets.join(capped, Seq("domain", "id"))
+        .select(col("domain"), col("final_url"), col("n_sources"),
+          col("rank"))
+    }),
+
     // robots.txt evaluation (round 5): RFC 9309 longest-match with
     // wildcards/$-anchors and specific-agent-over-* group selection;
     // six path families × two agents hit every decision branch, and the
@@ -4377,6 +4434,24 @@ object SparkEntry {
         |  dom = 'bad.co.uk' AS blocked, robots_ok,
         |  dom <> 'bad.co.uk' AND robots_ok AS fetch
         |FROM b""".stripMargin,
+
+    // replay by construction: the two frontier urls per doc resolve to
+    // the direct form (2 hops and 0 hops), priv targets (%5==0) are
+    // robots-blocked on the FINAL path, every kept target has exactly
+    // two sources, and the per-domain quota is the QUALIFY row_number
+    // over (score desc = id asc) — the capPerKey order
+    "q_crawl_frontier" ->
+      """WITH t AS (
+        |  SELECT 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+        |    'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+        |      || CAST(doc_id AS VARCHAR) AS final_url,
+        |    doc_id AS i, CAST(2 AS BIGINT) AS n_sources
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT domain, final_url, n_sources, CAST(rn AS INT) AS rank
+        |FROM (SELECT domain, final_url, n_sources,
+        |    row_number() OVER (PARTITION BY domain ORDER BY i ASC) AS rn
+        |  FROM t)
+        |WHERE rn <= 40""".stripMargin,
 
     "q_robots" ->
       """SELECT doc_id,
