@@ -1550,6 +1550,46 @@ object SparkEntry {
         hdr.getField("depth").as("depth"))
     }),
 
+    // WEBP decode (round 7 cont.): the third-most-common web image
+    // format, all three container variants built as REAL bytes in-query
+    // — VP8 lossy (start code + 14-bit LE dims), VP8L lossless (packed
+    // minus-one dims), VP8X extended (24-bit LE canvas) — plus a
+    // truncation family (unknown verdict, total function). The oracle
+    // re-parses each field with independent hex-digit arithmetic at the
+    // documented byte offsets (the q_multimodal_real discipline).
+    "q_image_webp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = (pmod(col("doc_id"), lit(300)) + 16).cast("int")
+      val h = (pmod(col("n_chars"), lit(200)) + 8).cast("int")
+      def hb(v: Column, k: Int) =
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le16h(v: Column) = concat(hb(v, 0), hb(v, 1))
+      def le24h(v: Column) = concat(hb(v, 0), hb(v, 1), hb(v, 2))
+      def le32h(v: Column) = concat(hb(v, 0), hb(v, 1), hb(v, 2), hb(v, 3))
+      val vp8 = concat(
+        lit("52494646" + "16000000" + "57454250" +
+          "56503820" + "0A000000" + "000000" + "9D012A"),
+        le16h(w), le16h(h))
+      val bits = (w - 1) + (h - 1) * 16384
+      val vp8l = concat(
+        lit("52494646" + "12000000" + "57454250" +
+          "5650384C" + "05000000" + "2F"), le32h(bits), lit("00"))
+      val vp8x = concat(
+        lit("52494646" + "16000000" + "57454250" +
+          "56503858" + "0A000000" + "00000000"), le24h(w - 1), le24h(h - 1))
+      val fullHex = when(pmod(col("doc_id"), lit(3)) === 0, vp8)
+        .when(pmod(col("doc_id"), lit(3)) === 1, vp8l)
+        .otherwise(vp8x)
+      val hexStr = when(pmod(col("doc_id"), lit(11)) === 3,
+        substring(fullHex, 1, 20)).otherwise(fullHex)
+      val hdr = GraftFunctions.graft_image_header(unhex(hexStr))
+      d.select(col("doc_id"),
+        hdr.getField("format").as("format"),
+        hdr.getField("width").as("width"),
+        hdr.getField("height").as("height"),
+        hdr.getField("depth").as("depth"))
+    }),
+
     // REAL audio-container decode: valid RIFF/WAVE bytes built in-query
     // (PCM fmt chunk; a JUNK-chunk family with odd sizes forces a
     // genuine word-aligned chunk walk; a truncation family must yield
@@ -3842,6 +3882,55 @@ object SparkEntry {
         |    WHEN 'jpeg' THEN ${hx2i("substr(s, 2*(28+comn)+1, 2)")}
         |    WHEN 'gif' THEN (${hx2i("substr(s, 21, 2)")} // 16) % 8 + 1
         |    ELSE -1 END AS INT) AS depth
+        |FROM tr""".stripMargin
+    },
+
+    // independent hex re-parse at the documented WEBP byte offsets
+    // (payload starts at hex position 41 after RIFF/size/WEBP/fourcc/
+    // chunksize); b(p) reads ONE byte, the le16/24/32 sums and the
+    // 14-bit masks replay the decoder arithmetic
+    "q_image_webp" -> {
+      def hx2i(e: String): String =
+        "list_reduce(list_transform(regexp_split_to_array(" + e +
+          ", ''), c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+      def b(p: Int) = hx2i(s"substr(s, $p, 2)")
+      def leHex(e: String, n: Int): String =
+        (0 until n).map(k =>
+          s"lpad(hex(($e // ${1L << (8 * k)}) % 256), 2, '0')").mkString(" || ")
+      s"""WITH base AS (
+        |  SELECT doc_id, CAST(doc_id % 300 + 16 AS INT) AS w,
+        |         CAST(n_chars % 200 + 8 AS INT) AS h
+        |  FROM documents),
+        |hx AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN '524946461600000057454250565038200A000000' ||
+        |        '0000009D012A' || ${leHex("w", 2)} || ${leHex("h", 2)}
+        |      WHEN 1 THEN '5249464612000000574542505650384C05000000' ||
+        |        '2F' || ${leHex("((w - 1) + (h - 1) * 16384)", 4)} || '00'
+        |      ELSE '524946461600000057454250565038580A000000' ||
+        |        '00000000' || ${leHex("(w - 1)", 3)} || ${leHex("(h - 1)", 3)}
+        |    END AS s
+        |  FROM base),
+        |tr AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS v,
+        |    CASE WHEN doc_id % 11 = 3 THEN substr(s, 1, 20) ELSE s END AS s,
+        |    CASE WHEN doc_id % 11 = 3 THEN 'unknown' ELSE 'webp' END AS format
+        |  FROM hx)
+        |SELECT doc_id, format,
+        |  CAST(CASE WHEN format = 'unknown' THEN -1
+        |    WHEN v = 0 THEN (${b(53)} + 256 * ${b(55)}) % 16384
+        |    WHEN v = 1 THEN (${b(43)} + 256 * ${b(45)} + 65536 * ${b(47)}
+        |      + 16777216 * ${b(49)}) % 16384 + 1
+        |    ELSE ${b(49)} + 256 * ${b(51)} + 65536 * ${b(53)} + 1
+        |    END AS INT) AS width,
+        |  CAST(CASE WHEN format = 'unknown' THEN -1
+        |    WHEN v = 0 THEN (${b(57)} + 256 * ${b(59)}) % 16384
+        |    WHEN v = 1 THEN ((${b(43)} + 256 * ${b(45)} + 65536 * ${b(47)}
+        |      + 16777216 * ${b(49)}) // 16384) % 16384 + 1
+        |    ELSE ${b(55)} + 256 * ${b(57)} + 65536 * ${b(59)} + 1
+        |    END AS INT) AS height,
+        |  CAST(CASE WHEN format = 'unknown' THEN -1 ELSE 8 END AS INT) AS depth
         |FROM tr""".stripMargin
     },
 

@@ -928,6 +928,46 @@ object MediaUdfs {
       val flags = u(10)
       return ("gif", le16(6), le16(8), ((flags >> 4) & 7) + 1)
     }
+    // WEBP: RIFF container chunk walk to the first image-header chunk.
+    // VP8 (lossy): 3-byte frame tag + 9D 01 2A start code + 14-bit LE
+    // dims; VP8L (lossless): 2F signature + packed 14-bit-minus-one
+    // dims; VP8X (extended): 24-bit LE canvas dims minus one. All three
+    // are 8-bit formats (VP8 is 8-bit 4:2:0, VP8L 8-bit ARGB) — depth 8.
+    if (b.length >= 12 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' &&
+        u(3) == 'F' && u(8) == 'W' && u(9) == 'E' && u(10) == 'B' &&
+        u(11) == 'P') {
+      @inline def le24(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)
+      @inline def le32(i: Int): Long =
+        (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(i + 4)
+        val p = i + 8
+        if (u(i) == 'V' && u(i + 1) == 'P' && u(i + 2) == '8') {
+          if (u(i + 3) == ' ') {
+            if (p + 10 > b.length || size < 10) return UNKNOWN
+            if (!(u(p + 3) == 0x9D && u(p + 4) == 0x01 && u(p + 5) == 0x2A))
+              return UNKNOWN
+            return ("webp", le16(p + 6) & 0x3FFF, le16(p + 8) & 0x3FFF, 8)
+          }
+          if (u(i + 3) == 'L') {
+            if (p + 5 > b.length || size < 5 || u(p) != 0x2F) return UNKNOWN
+            val bits = le32(p + 1)
+            return ("webp", ((bits & 0x3FFF) + 1).toInt,
+              (((bits >> 14) & 0x3FFF) + 1).toInt, 8)
+          }
+          if (u(i + 3) == 'X') {
+            if (p + 10 > b.length || size < 10) return UNKNOWN
+            return ("webp", le24(p + 4) + 1, le24(p + 7) + 1, 8)
+          }
+        }
+        // RIFF chunks are word-aligned: odd sizes carry one pad byte
+        val step = 8L + size + (size & 1L)
+        if (step <= 0 || i.toLong + step > Int.MaxValue) return UNKNOWN
+        i += step.toInt
+      }
+      return UNKNOWN
+    }
     // JPEG: marker walk from SOI to the first SOF
     if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
       var i = 2

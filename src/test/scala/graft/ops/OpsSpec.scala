@@ -430,8 +430,30 @@ class OpsSpec extends AnyFunSuite {
     // GIF87a variant + lower color resolution (flags 0x22 → depth 3)
     val gif87 = bytes("474946383761" + "1000" + "2000" + "220000")
     assert(decodeHeader(gif87) == ("gif", 16, 32, 3))
+    // WEBP lossy (VP8): start code + 14-bit LE dims (here 322x204),
+    // scale bits (top 2) masked off the width
+    val webp = bytes("52494646" + "16000000" + "57454250" +
+      "56503820" + "0A000000" + "000000" + "9D012A" + "4241" + "CC00")
+    assert(decodeHeader(webp) == ("webp", 322, 204, 8)) // 0x4142 & 0x3FFF
+    // WEBP lossless (VP8L): 2F sig + packed minus-one dims (16x32)
+    val bitsL = (16 - 1) | ((32 - 1) << 14) // 0x7C00F
+    val webpl = bytes("52494646" + "12000000" + "57454250" +
+      "5650384C" + "05000000" + "2F" + "0FC00700" + "00")
+    assert((bitsL & 0xFF, (bitsL >> 8) & 0xFF, (bitsL >> 16) & 0xFF) ==
+      ((0x0F, 0xC0, 0x07)))
+    assert(decodeHeader(webpl) == ("webp", 16, 32, 8))
+    // WEBP extended (VP8X) behind a skipped leading chunk with an ODD
+    // size (word-alignment walk): 24-bit LE canvas minus-one (640x480)
+    val webpx = bytes("52494646" + "24000000" + "57454250" +
+      "4A554E4B" + "03000000" + "414141" + "00" + // JUNK size 3 + pad
+      "56503858" + "0A000000" + "00000000" + "7F0200" + "DF0100")
+    assert(decodeHeader(webpx) == ("webp", 640, 480, 8))
+    // bad VP8 start code → unknown
+    val badWebp = bytes("52494646" + "16000000" + "57454250" +
+      "56503820" + "0A000000" + "000000" + "9D012B" + "4201" + "CC00")
+    assert(decodeHeader(badWebp)._1 == "unknown")
     // truncation at every prefix length never throws, short ones unknown
-    for (full <- Seq(png, jpg, gif); n <- 0 until full.length)
+    for (full <- Seq(png, jpg, gif, webp, webpl, webpx); n <- 0 until full.length)
       decodeHeader(full.take(n)) // total function — must not throw
     assert(decodeHeader(Array.emptyByteArray)._1 == "unknown")
     assert(decodeHeader(null)._1 == "unknown")
