@@ -472,6 +472,41 @@ object SparkEntry {
           col("cnt"), col("rank"))
     }),
 
+    // Feed extraction (round 7 cont.): RSS/Atom through the HTML parser
+    // — the discovery companion to q_sitemap. RSS items pin the VOID
+    // <link> recovery (the URL text lands as a following sibling of the
+    // empty link element); Atom entries pin the href-attribute path;
+    // the all-absent second item pins the NULL family; titles ride the
+    // RCDATA view (escTxt / sqlTokText — the q_html_meta convention).
+    "q_feed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val idStr = col("doc_id").cast("string")
+      val t = escTxt(substring(coalesce(col("text"), lit("")), 1, 5))
+      val rss = concat(
+        lit("<rss><channel><title>chan</title><item><title>T"), t,
+        lit("</title><link>https://ex"), hub, lit(".com/a/"), idStr,
+        lit("</link><pubDate>D"),
+        (pmod(col("doc_id"), lit(28L)) + 1).cast("string"),
+        lit("</pubDate><guid>g"), idStr,
+        lit("</guid><title>ignored</title></item>"),
+        lit("<item><pubDate>X</pubDate></item></channel></rss>"))
+      val atom = concat(
+        lit("<feed><entry><title>A"), t,
+        lit("</title><link rel=\"alternate\" href=\"https://ex"), hub,
+        lit(".com/e/"), idStr, lit("\"/><updated>2025-01-0"),
+        (pmod(col("doc_id"), lit(9L)) + 1).cast("string"),
+        lit("</updated><id>i"), idStr, lit("</id></entry></feed>"))
+      val xml = when(pmod(col("doc_id"), lit(2L)) === 0, rss).otherwise(atom)
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_feed", xml)).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("doc_id"), col("e.entry_id").as("entry_id"),
+          col("e.kind").as("kind"), col("e.title").as("title"),
+          col("e.link").as("link"), col("e.updated").as("updated"),
+          col("e.uid").as("uid"))
+    }),
+
     // Sitemap extraction (round 7 cont.): crawl discovery — parse
     // sitemap.xml THROUGH the HTML parser (the tolerant recovery path;
     // urlset/url/loc are unknown in-body elements) and emit one row per
@@ -2775,6 +2810,28 @@ object SparkEntry {
         |FROM (SELECT domain, anchor, cnt, row_number() OVER (
         |    PARTITION BY domain ORDER BY cnt DESC, anchor ASC) AS rn FROM c)
         |WHERE rn <= 5""".stripMargin,
+
+    // replay by construction: RSS docs emit entries 0/1 (the second all
+    // NULL except updated), Atom docs entry 0; titles ride the RCDATA
+    // view (sqlTokText), the void-link URL and the Atom href are pure
+    // construction arithmetic
+    "q_feed" ->
+      s"""SELECT doc_id, 0 AS entry_id, 'item' AS kind,
+        |  'T' || ${sqlTokText("substr(coalesce(text, ''), 1, 5)")} AS title,
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/'
+        |    || CAST(doc_id AS VARCHAR) AS link,
+        |  'D' || CAST(doc_id % 28 + 1 AS VARCHAR) AS updated,
+        |  'g' || CAST(doc_id AS VARCHAR) AS uid
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 1, 'item', NULL, NULL, 'X', NULL
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT doc_id, 0, 'entry',
+        |  'A' || ${sqlTokText("substr(coalesce(text, ''), 1, 5)")},
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/e/'
+        |    || CAST(doc_id AS VARCHAR),
+        |  '2025-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR),
+        |  'i' || CAST(doc_id AS VARCHAR)
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     // three construction entries per doc, pre-order ids 0/1/2; the
     // document-derived loc rides the in-body text view; absent

@@ -559,6 +559,94 @@ object HtmlUdfs {
     }
   }
 
+  /** Feed extraction: `graft_feed(html)` → array<struct<entry_id,kind,
+    * title,link,updated,uid>> — RSS/Atom parsed THROUGH the HTML parser
+    * (the sitemap rationale: tolerant recovery over strict XML).
+    * Conventions:
+    *  - an entry = every HTML-ns `<item>` (RSS) or `<entry>` (Atom)
+    *    element, entry_id = 0-based pre-order ordinal, kind = name;
+    *  - title = descendant text of the FIRST descendant `<title>`
+    *    (in-body title is RCDATA — entities decode, markup is literal);
+    *  - updated = text of the first descendant `<pubdate>` or
+    *    `<updated>` (whichever comes first in pre-order);
+    *  - uid = text of the first descendant `<guid>` or `<id>`;
+    *  - link = FIRST descendant `<link>`: its href attribute
+    *    (first-on-the-verbatim-chain, api.h:1240) when present (Atom),
+    *    else the concatenated text of the IMMEDIATELY FOLLOWING text
+    *    siblings (RSS recovery: `<link>` is a VOID element in HTML, so
+    *    `<link>url</link>` parses as an empty link followed by a text
+    *    sibling — the classic feed-in-HTML-parser pitfall, handled
+    *    deterministically);
+    *  - every field NULL when its element is absent. */
+  val feedStructType: StructType = StructType(Seq(
+    StructField("entry_id", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("link", StringType, nullable = true),
+    StructField("updated", StringType, nullable = true),
+    StructField("uid", StringType, nullable = true)
+  ))
+  val feedArrayType: ArrayType = ArrayType(feedStructType, containsNull = false)
+
+  val feedEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def feedTable(html: UTF8String): ArrayData = {
+    feedEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var nextEntry = 0
+      def firstNamed(entry: Node, a: String, b: String): Node = {
+        var res: Node = null
+        def go(first: Node): Unit = {
+          var x = first
+          while (x != null && res == null) {
+            if (x.kind == NodeKind.Element && x.ns == Ns.HTML &&
+                (x.name == a || x.name == b)) res = x
+            else go(x.firstChild)
+            x = x.next
+          }
+        }
+        go(entry.firstChild)
+        res
+      }
+      def textOf(n: Node): UTF8String = {
+        if (n == null) return null
+        val sb = new java.lang.StringBuilder
+        descTextOf(n, sb)
+        UTF8String.fromString(sb.toString)
+      }
+      def linkOf(entry: Node): UTF8String = {
+        val l = firstNamed(entry, "link", "link")
+        if (l == null) return null
+        val href = firstAttrVal(l, "href")
+        if (href != null) return UTF8String.fromString(href)
+        val sb = new java.lang.StringBuilder
+        var x = l.next
+        while (x != null && x.kind == NodeKind.Text) {
+          sb.append(x.text)
+          x = x.next
+        }
+        UTF8String.fromString(sb.toString)
+      }
+      def walk(n: Node): Unit = {
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML &&
+            (n.name == "item" || n.name == "entry")) {
+          val id = nextEntry
+          nextEntry += 1
+          rows += InternalRow(id, UTF8String.fromString(n.name),
+            textOf(firstNamed(n, "title", "title")), linkOf(n),
+            textOf(firstNamed(n, "pubdate", "updated")),
+            textOf(firstNamed(n, "guid", "id")))
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** HTML → Markdown: `graft_markdown(html)` → one markdown string —
     * the standard pretraining-corpus extraction step that keeps
     * document STRUCTURE (headings, lists, links, emphasis, code,
@@ -1326,6 +1414,22 @@ case class GraftSitemap(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftSitemap =
     copy(child = newChild)
   override def prettyName: String = "graft_sitemap"
+}
+
+/** Feed extraction: `graft_feed(html)` → array<struct<entry_id,kind,
+  * title,link,updated,uid>> — one parse per row; explode with the
+  * outer+isNotNull discipline. */
+case class GraftFeed(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.feedArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.feedTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.feedTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftFeed =
+    copy(child = newChild)
+  override def prettyName: String = "graft_feed"
 }
 
 /** HTML → Markdown: `graft_markdown(html)` — see [[HtmlUdfs.markdown]]

@@ -27,6 +27,7 @@ object GraftSql {
     ("graft_page_meta", "graft.spark.GraftPageMeta", args => GraftPageMeta(args.head)),
     ("graft_table_cells", "graft.spark.GraftTableCells", args => GraftTableCells(args.head)),
     ("graft_sitemap", "graft.spark.GraftSitemap", args => GraftSitemap(args.head)),
+    ("graft_feed", "graft.spark.GraftFeed", args => GraftFeed(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",

@@ -106,6 +106,37 @@ class OpsSpec extends AnyFunSuite {
       r2(1).getString(2) == "https://b.com/q")           // EOF-truncated loc
   }
 
+  test("feed kernel: rss item void-link recovery, atom href, first-match, nulls") {
+    import spark.implicits._
+    graft.spark.GraftFunctions.registerAll(spark)
+    val rss = "<rss><channel><title>chan</title>" +
+      "<item><title>T1 &amp; more</title><link>https://a.com/1</link>" +
+      "<pubDate>Mon, 01 Jan 2024</pubDate><guid>g1</guid>" +
+      "<title>second-ignored</title></item>" +
+      "<item><pubDate>Tue</pubDate></item>" + // no title/link/guid -> nulls
+      "</channel></rss>"
+    val r = Seq(rss).toDF("x").selectExpr("inline(graft_feed(x))")
+      .orderBy("entry_id").collect()
+    assert(r.length == 2)
+    // channel title must NOT leak into the item; &amp; decodes; the
+    // void <link> recovers its URL from the following text sibling
+    assert(r(0).getString(1) == "item" && r(0).getString(2) == "T1 & more" &&
+      r(0).getString(3) == "https://a.com/1" &&
+      r(0).getString(4) == "Mon, 01 Jan 2024" && r(0).getString(5) == "g1")
+    assert(r(1).isNullAt(2) && r(1).isNullAt(3) &&
+      r(1).getString(4) == "Tue" && r(1).isNullAt(5))
+    val atom = "<feed><entry><title>A</title>" +
+      "<link rel=\"alternate\" href=\"https://b.com/e1\"/>" +
+      "<updated>2024-02-02</updated><id>i1</id></entry>" +
+      "<entry><title>B</title><link/></entry>" + // href-less void link -> ''
+      "</feed>"
+    val a = Seq(atom).toDF("x").selectExpr("inline(graft_feed(x))")
+      .orderBy("entry_id").collect()
+    assert(a(0).getString(1) == "entry" && a(0).getString(3) == "https://b.com/e1" &&
+      a(0).getString(4) == "2024-02-02" && a(0).getString(5) == "i1")
+    assert(a(1).getString(3) == "" && a(1).isNullAt(4))
+  }
+
   test("minhash catches planted near-duplicates end to end") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5

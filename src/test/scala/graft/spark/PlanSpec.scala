@@ -364,7 +364,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_robots_allows", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
-      "graft_page_meta", "graft_table_cells", "graft_sitemap",
+      "graft_page_meta", "graft_table_cells", "graft_sitemap", "graft_feed",
       "graft_warc_compose",
       "graft_warc_compose_wet",
       "graft_registrable_domain", "graft_markdown", "graft_c4_rules",
