@@ -226,6 +226,43 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // Caption-pair mining (round 7 cont.): the multimodal-training op
+    // over the FLAGSHIP interleaved span stream — pair every media span
+    // with the nearest FOLLOWING non-media span (captions follow their
+    // image in web layout; figcaption is the canonical case). The
+    // nearest-following lookup is a running conditional min over a
+    // PER-DOC window (the sessions discipline: partitioned by doc_id,
+    // never a corpus window); the kernel explodes through the
+    // outer+isNotNull pattern. Construction plants dist=1, dist=2
+    // (consecutive images sharing a figcaption), and a trailing
+    // caption-less image (NULL family).
+    "q_caption_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val idStr = col("doc_id").cast("string")
+      val html = concat(
+        lit("<p>P1"), escTxt(coalesce(col("text"), lit(""))),
+        lit("</p><img src=\"/i/"), idStr,
+        lit("/a\"><p>C1"), escTxt(coalesce(col("lang"), lit(""))),
+        lit("</p><img src=\"/i/"), idStr,
+        lit("/b\"><figure><img src=\"/i/"), idStr,
+        lit("/c\"><figcaption>F1"), escTxt(coalesce(col("source"), lit(""))),
+        lit("</figcaption></figure><img src=\"/i/"), idStr, lit("/z\">"))
+      val spans = d.select(col("doc_id"),
+          posexplode_outer(GraftFunctions.parse_html_spans(html))
+            .as(Seq("pos", "s")))
+        .filter(col("s").isNotNull)
+      val w = Window.partitionBy("doc_id").orderBy(col("pos").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spans.withColumn("nxt",
+          min(when(col("s.kind") =!= "media",
+            struct(col("pos").as("tpos"), col("s.text").as("ttext")))).over(w))
+        .filter(col("s.kind") === "media")
+        .select(col("doc_id"), col("s.media_ref").as("media_ref"),
+          col("nxt.ttext").as("caption"),
+          (col("nxt.tpos") - col("pos")).cast("int").as("dist"))
+    }),
+
     "q_html_entities" -> ((s, dir) => {
       val d = docs(s, dir)
       val html = concat(lit("<p>"),
@@ -2647,6 +2684,26 @@ object SparkEntry {
         |SELECT doc_id, 'text' AS kind, btxt AS span_text,
         |       CAST(52 + esrc + elng AS INT) AS offset
         |FROM e WHERE ${sqlNotWsOnly("btxt")}""".stripMargin
+    },
+
+    // replay by construction: span order is text(P1+text), media a,
+    // text(C1+lang), media b, media c, text(F1+source), media z — so
+    // a->C1 dist 1, b->F1 dist 2, c->F1 dist 1, z->NULL; captions ride
+    // the in-body view, the P1/C1/F1 prefixes keep every text span
+    // non-ws-only (no span ever drops)
+    "q_caption_pairs" -> {
+      s"""WITH e AS (SELECT doc_id,
+        |  ${sqlBodyText("coalesce(lang, '')")} AS c1,
+        |  ${sqlBodyText("coalesce(source, '')")} AS f1
+        |  FROM documents)
+        |SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/a' AS media_ref,
+        |  'C1' || c1 AS caption, 1 AS dist FROM e
+        |UNION ALL SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/b',
+        |  'F1' || f1, 2 FROM e
+        |UNION ALL SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/c',
+        |  'F1' || f1, 1 FROM e
+        |UNION ALL SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/z',
+        |  NULL, NULL FROM e""".stripMargin
     },
 
     "q_html_entities" ->

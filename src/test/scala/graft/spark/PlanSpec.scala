@@ -394,4 +394,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(user_id"),
       s"expected a user_id hash partitioning:\n$plan")
   }
+
+  test("caption-pair window partitions by doc_id — never a corpus window") {
+    val plan = graft.SparkEntry.queries("q_caption_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide window detected:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"expected a doc_id hash partitioning:\n$plan")
+  }
 }
