@@ -794,6 +794,32 @@ object SparkEntry {
         "src", "dst", maxHops = 64)
     }),
 
+    // JSONL interchange round trip (round 7 cont.): training pipelines
+    // ship shards as JSON lines — this pins that Spark's to_json /
+    // from_json round trip is LOSSLESS on real corpus strings (quotes,
+    // control chars, astral planes, NULs — the adversarial corpus is
+    // the point) and that null fields survive (to_json omits them,
+    // from_json restores null). A corrupt-line family (%7==2, leading
+    // junk byte — unparseable from position 0, so PERMISSIVE mode can
+    // never partially fill fields) pins the malformed-line verdict:
+    // the row is flagged not dropped (audit shape). ok keys off the
+    // parsed doc_id (always present in a valid line). Pure per-row
+    // codegen'd built-ins — zero shuffle.
+    "q_jsonl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val line = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source")))
+      val wire = when(pmod(col("doc_id"), lit(7L)) === 2,
+        concat(lit("x"), col("l"))).otherwise(col("l"))
+      val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+      d.withColumn("l", line)
+        .select(col("doc_id"), from_json(wire, schema,
+          Map.empty[String, String]).as("p"))
+        .select(col("doc_id"), col("p.doc_id").isNotNull.as("ok"),
+          col("p.doc_id").as("doc_id2"), col("p.text").as("text2"),
+          col("p.lang").as("lang2"), col("p.source").as("source2"))
+    }),
+
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -3128,6 +3154,17 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY $h) AS is_canonical
         |FROM documents""".stripMargin
     },
+
+    // round-trip identity: valid lines restore every field verbatim
+    // (any Spark-side escaping loss would hash-mismatch here), corrupt
+    // lines flag ok=false with all-NULL payload
+    "q_jsonl" ->
+      """SELECT doc_id, doc_id % 7 <> 2 AS ok,
+        |  CASE WHEN doc_id % 7 <> 2 THEN doc_id END AS doc_id2,
+        |  CASE WHEN doc_id % 7 <> 2 THEN text END AS text2,
+        |  CASE WHEN doc_id % 7 <> 2 THEN lang END AS lang2,
+        |  CASE WHEN doc_id % 7 <> 2 THEN source END AS source2
+        |FROM documents""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id,
