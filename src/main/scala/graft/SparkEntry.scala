@@ -2462,6 +2462,33 @@ object SparkEntry {
         (!blocked && allowed).as("fetch"))
     }),
 
+    // robots.txt non-rule directives (round 7 cont.): Sitemap values in
+    // file order (the discovery hand-off to q_sitemap) + the
+    // group-scoped Crawl-delay politeness knob (specific group beats *,
+    // null when absent). The %9==4 family pins the empty/absent path;
+    // the agent split pins group selection on both delay values.
+    "q_robots_meta" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val sm = pmod(col("doc_id"), lit(10L)).cast("string")
+      val full = concat(
+        lit("User-agent: graftbot\nCrawl-delay: 10\nDisallow: /x\n\n" +
+          "User-agent: *\nCrawl-delay: 5\nDisallow: /y\n" +
+          "Sitemap: https://ex"), hub, lit(".com/sitemap-"), sm,
+        lit(".xml\nSitemap: https://ex"), hub, lit(".com/news.xml\n"))
+      val robots = when(pmod(col("doc_id"), lit(9L)) === 4,
+        lit("User-agent: *\nDisallow:\n")).otherwise(full)
+      val agent = when(pmod(col("doc_id"), lit(2L)) === 0, "graftbot/1.0")
+        .otherwise("otherbot/2.0")
+      d.select(col("doc_id"),
+          call_function("graft_robots_meta", robots, agent).as("m"))
+        .select(col("doc_id"),
+          size(col("m.sitemaps")).as("n_sitemaps"),
+          concat_ws("|", col("m.sitemaps")).as("sitemaps"),
+          col("m.crawl_delay").as("crawl_delay"))
+    }),
+
     "q_robots" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
@@ -4692,6 +4719,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY domain ORDER BY i ASC) AS rn
         |  FROM t)
         |WHERE rn <= 40""".stripMargin,
+
+    // replay by construction: two sitemap urls in file order joined by
+    // '|', delay '10' for the specific-group agent, '5' for the
+    // wildcard group, NULL/empty on the directive-less family
+    "q_robots_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 9 = 4 THEN 0 ELSE 2 END AS INT)
+        |    AS n_sitemaps,
+        |  CASE WHEN doc_id % 9 = 4 THEN ''
+        |    ELSE 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/sitemap-'
+        |      || CAST(doc_id % 10 AS VARCHAR) || '.xml|https://ex'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.com/news.xml' END AS sitemaps,
+        |  CASE WHEN doc_id % 9 = 4 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN '10' ELSE '5' END AS crawl_delay
+        |FROM documents""".stripMargin,
 
     "q_robots" ->
       """SELECT doc_id,

@@ -121,6 +121,58 @@ object Robots {
     rules
   }
 
+  /** Non-rule directives a frontier also consumes: every `Sitemap:`
+    * value in FILE order (location-independent per sitemaps.org — the
+    * discovery hand-off to the sitemap parser), plus the group-scoped
+    * `Crawl-delay` politeness knob (de-facto extension, not RFC 9309:
+    * first value in a specific-matching group beats first in a `*`
+    * group; null when absent). Group tracking mirrors [[allows]]'
+    * parser exactly — consecutive User-agent lines share a group, any
+    * other key ends the agent run. Total on malformed input. */
+  def meta(robots: String, agent: String): (Seq[String], String) = {
+    if (robots == null || robots.isEmpty) return (Nil, null)
+    val agentLower =
+      (if (agent == null) "" else agent).toLowerCase(java.util.Locale.ROOT)
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var specificDelay: String = null
+    var wildcardDelay: String = null
+    var groupSpecific = false
+    var groupWildcard = false
+    var inAgentRun = false
+    robots.linesIterator.foreach { raw =>
+      val noComment = raw.indexOf('#') match {
+        case -1 => raw
+        case i  => raw.substring(0, i)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) { groupSpecific = false; groupWildcard = false }
+            inAgentRun = true
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            if (v == "*") groupWildcard = true
+            else if (v.nonEmpty && agentLower.contains(v)) groupSpecific = true
+          case "sitemap" =>
+            inAgentRun = false
+            if (value.nonEmpty) sitemaps += value
+          case "crawl-delay" =>
+            inAgentRun = false
+            if (value.nonEmpty) {
+              if (groupSpecific && specificDelay == null) specificDelay = value
+              if (groupWildcard && wildcardDelay == null) wildcardDelay = value
+            }
+          case _ =>
+            inAgentRun = false
+        }
+      }
+    }
+    (sitemaps.toSeq, if (specificDelay != null) specificDelay else wildcardDelay)
+  }
+
   /** The crawl verdict: may `agent` fetch `path` under this robots
     * body? */
   def allows(robots: String, agent: String, path: String): Boolean = {

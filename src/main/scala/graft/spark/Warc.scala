@@ -474,6 +474,41 @@ case class GraftRobotsAllows(first: Expression, second: Expression,
   override def prettyName: String = "graft_robots_allows"
 }
 
+/** Static shape for [[GraftRobotsMeta]] (codegen calls it directly). */
+object RobotsMetaUdf {
+  val structType: StructType = StructType(Seq(
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("crawl_delay", StringType, nullable = true)
+  ))
+
+  def meta(robots: UTF8String, agent: UTF8String): InternalRow = {
+    val (sitemaps, delay) =
+      graft.ops.Robots.meta(robots.toString, agent.toString)
+    InternalRow(
+      new GenericArrayData(sitemaps.map(UTF8String.fromString).toArray[Any]),
+      if (delay == null) null else UTF8String.fromString(delay))
+  }
+}
+
+/** `graft_robots_meta(robots_txt, agent)` → struct(sitemaps
+  * array<string>, crawl_delay string) — the non-rule directives a
+  * frontier consumes (see [[graft.ops.Robots.meta]]: Sitemap values in
+  * file order, group-scoped Crawl-delay, null when absent). */
+case class GraftRobotsMeta(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = RobotsMetaUdf.structType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(r: Any, a: Any): Any =
+    RobotsMetaUdf.meta(r.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a) => s"graft.spark.RobotsMetaUdf.meta($r, $a)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftRobotsMeta =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_robots_meta"
+}
+
 /** `graft_warc_records(blob)` → array of parsed WARC records (see
   * [[WarcUdfs.splitRecords]] for the framing + totality contract). */
 case class GraftWarcRecords(child: Expression) extends UnaryExpression {

@@ -101,6 +101,8 @@ object GraftSql {
       args => GraftMarkdown(args.head)),
     ("graft_robots_allows", "graft.spark.GraftRobotsAllows",
       args => GraftRobotsAllows(args(0), args(1), args(2))),
+    ("graft_robots_meta", "graft.spark.GraftRobotsMeta",
+      args => GraftRobotsMeta(args(0), args(1))),
     // multimodal: real image-container header decode (round 4)
     ("graft_image_header", "graft.spark.GraftImageHeader",
       args => GraftImageHeader(args.head)),

@@ -60,6 +60,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allows("User-agent: *\nDisallow: /x\n", "bot", null)) // null path → "/"
   }
 
+  test("meta: sitemap file order, group-scoped crawl-delay, totality") {
+    val r = "Sitemap: https://e.com/a.xml # first\n" +
+      "User-agent: bot\nCrawl-delay: 7\nCrawl-delay: 9\nDisallow: /x\n" +
+      "User-agent: *\nCrawl-delay: 3\n" +
+      "Sitemap: https://e.com/b.xml\nSITEMAP: https://e.com/c.xml\n"
+    // sitemaps are location-independent, file order, case-insensitive key
+    assert(Robots.meta(r, "botty/1.0") == ((Seq("https://e.com/a.xml",
+      "https://e.com/b.xml", "https://e.com/c.xml"), "7"))) // FIRST specific
+    assert(Robots.meta(r, "other/2.0")._2 == "3")           // wildcard group
+    assert(Robots.meta("User-agent: *\nDisallow:\n", "b") == ((Nil, null)))
+    assert(Robots.meta("", "b") == ((Nil, null)))
+    assert(Robots.meta(null, "b") == ((Nil, null)))
+    assert(Robots.meta("Sitemap:\nno colon\n: x\n", "b") == ((Nil, null)))
+    // a crawl-delay OUTSIDE any matching group is invisible
+    assert(Robots.meta("User-agent: z\nCrawl-delay: 4\n", "b") == ((Nil, null)))
+  }
+
   test("a user-agent line after rules starts a NEW group (does not extend)") {
     val r = "User-agent: a\nDisallow: /a-only\nUser-agent: b\nDisallow: /b-only\n"
     assert(!Robots.allows(r, "a", "/a-only") && Robots.allows(r, "a", "/b-only"))

@@ -361,7 +361,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_audio_header", "graft_video_header", "graft_pdf_info", "graft_pdf_text",
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
-      "graft_robots_allows", "graft_repetition_ok",
+      "graft_robots_allows", "graft_robots_meta", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
       "graft_page_meta", "graft_table_cells", "graft_sitemap", "graft_feed",
