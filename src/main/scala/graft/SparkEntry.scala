@@ -421,6 +421,46 @@ object SparkEntry {
           col("n.attrs").as("nattrs"), col("n.offset").as("offset"))
     }),
 
+    // Document dating (round 7 cont.): the recency stamp mixtures and
+    // dedup tie-breaks consume — priority fold over three signals:
+    // article:published_time meta (FIRST pre-order, property match
+    // ASCII-case-insensitive — the uppercase construction pins it) >
+    // first <time datetime> > URL path pattern /YYYY/MM/ (replayable
+    // RE2-safe regex built-in on both sides) > none. The HTML-side
+    // firsts come from ONE graft_pub_date kernel pass; the fold and
+    // the regex live in the query.
+    "q_pub_date" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = (pmod(col("doc_id"), lit(9L)) + 1).cast("string")
+      val fam = pmod(col("doc_id"), lit(4L))
+      val metaTag = concat(
+        lit("<meta PROPERTY=\"Article:Published_Time\" content=\"2024-0"),
+        m, lit("-01T00:00:00Z\">"))
+      val timeTag = concat(lit("<time datetime=\"2023-0"), m,
+        lit("-15\">then</time>"))
+      val html = concat(lit("<html><head>"),
+        when(fam === 0, metaTag).otherwise(lit("")),
+        lit("</head><body><p>x</p>"),
+        when(fam <= 1, timeTag).otherwise(lit("")),
+        lit("</body></html>"))
+      val url = when(fam === 2,
+          concat(lit("https://ex.com/blog/2022/0"), m, lit("/post-"),
+            col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://ex.com/p/"),
+          col("doc_id").cast("string")))
+      val urlY = regexp_extract(col("u"), "/(20[0-9]{2})/([0-9]{2})/", 1)
+      val urlM = regexp_extract(col("u"), "/(20[0-9]{2})/([0-9]{2})/", 2)
+      d.select(col("doc_id"),
+          call_function("graft_pub_date", html).as("p"), url.as("u"))
+        .select(col("doc_id"),
+          coalesce(col("p.meta_time"), col("p.time_attr"),
+            when(urlY =!= "", concat(urlY, lit("-"), urlM))).as("pub_date"),
+          when(col("p.meta_time").isNotNull, "meta")
+            .when(col("p.time_attr").isNotNull, "time")
+            .when(urlY =!= "", "url")
+            .otherwise("none").as("date_source"))
+    }),
+
     // Link extraction (round 7): attribute_by_key (FIRST match,
     // api.h:1240) + descendant-text aggregation per <a> — the
     // reference's classic extraction composition. The href rides the
@@ -2866,6 +2906,20 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 6, 5, 3, '#text', 'html', 'text', 'z', '',
         |  CAST(36 + ua + ut AS INT) FROM u""".stripMargin
     },
+
+    // replay by construction: fam 0 = meta wins over the also-present
+    // time element (priority pin), fam 1 = time, fam 2 = url pattern
+    // normalized to YYYY-MM, fam 3 = none
+    "q_pub_date" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 9 + 1 AS VARCHAR) AS m,
+        |  CAST(doc_id % 4 AS INT) AS fam FROM documents)
+        |SELECT doc_id,
+        |  CASE fam WHEN 0 THEN '2024-0' || m || '-01T00:00:00Z'
+        |    WHEN 1 THEN '2023-0' || m || '-15'
+        |    WHEN 2 THEN '2022-0' || m ELSE NULL END AS pub_date,
+        |  CASE fam WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+        |    WHEN 2 THEN 'url' ELSE 'none' END AS date_source
+        |FROM b""".stripMargin,
 
     // one link row per doc: the a-with-href is pre-order node 5 by
     // construction ('L' guarantees the anchor text node exists, so ids

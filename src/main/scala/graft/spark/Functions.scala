@@ -647,6 +647,55 @@ object HtmlUdfs {
     }
   }
 
+  /** Publication-date signals: `graft_pub_date(html)` → struct(
+    * meta_time, time_attr) — the two HTML-side signals a document-dating
+    * stage reads before falling back to URL patterns (recency mixtures
+    * and dedup tie-breaks both consume the stamp). meta_time = content
+    * of the FIRST pre-order `<meta property="article:published_time">`
+    * (property match ASCII-case-insensitive, the TextNorm canon;
+    * attr lookup first-on-the-verbatim-chain, api.h:1240); time_attr =
+    * datetime attribute of the first `<time>`. NULL when absent; the
+    * priority fold (meta > time > url-pattern) lives in the QUERY so
+    * the URL regex stays a replayable built-in. */
+  val pubDateStructType: StructType = StructType(Seq(
+    StructField("meta_time", StringType, nullable = true),
+    StructField("time_attr", StringType, nullable = true)
+  ))
+
+  val pubDateEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def pubDate(html: UTF8String): InternalRow = {
+    pubDateEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      var metaTime: String = null
+      var timeAttr: String = null
+      def walk(n: Node): Unit = {
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
+          if (n.name == "meta" && metaTime == null) {
+            val prop = firstAttrVal(n, "property")
+            if (prop != null && graft.ops.TextNorm.asciiLower(prop) ==
+                "article:published_time") {
+              val c = firstAttrVal(n, "content")
+              if (c != null) metaTime = c
+            }
+          } else if (n.name == "time" && timeAttr == null) {
+            val dt = firstAttrVal(n, "datetime")
+            if (dt != null) timeAttr = dt
+          }
+        }
+        var c = n.firstChild
+        while (c != null && (metaTime == null || timeAttr == null)) {
+          walk(c); c = c.next
+        }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      @inline def s(x: String) =
+        if (x == null) null else UTF8String.fromString(x)
+      InternalRow(s(metaTime), s(timeAttr))
+    }
+  }
+
   /** HTML → Markdown: `graft_markdown(html)` → one markdown string —
     * the standard pretraining-corpus extraction step that keeps
     * document STRUCTURE (headings, lists, links, emphasis, code,
@@ -1430,6 +1479,21 @@ case class GraftFeed(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftFeed =
     copy(child = newChild)
   override def prettyName: String = "graft_feed"
+}
+
+/** Publication-date signals: `graft_pub_date(html)` → struct(meta_time,
+  * time_attr) — one parse per row; access fields by projection. */
+case class GraftPubDate(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.pubDateStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.pubDate(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.pubDate($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftPubDate =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pub_date"
 }
 
 /** HTML → Markdown: `graft_markdown(html)` — see [[HtmlUdfs.markdown]]
