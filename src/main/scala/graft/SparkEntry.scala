@@ -773,6 +773,26 @@ object SparkEntry {
 
     // the annotate variant (keep every row, flag canonicals) — one
     // hash exchange consumed by both the stats aggregate and the join
+    // Edit-distance candidate verification (round 7 cont.): the exact
+    // second stage of the two-stage near-dup pipeline — confirm LSH
+    // candidates by levenshtein similarity before dropping anything.
+    // Both engines count codepoints; sim_pct is the integer floor
+    // percent. Construction: identical / lightly-edited / unrelated
+    // md5-hex pair families against an 80% threshold.
+    "q_editdist_verify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = repeat(md5(col("doc_id").cast("string").cast("binary")), 3)
+      val b = when(pmod(col("doc_id"), lit(3L)) === 0, a)
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+          concat(lit("zz"), substring(a, 5, 1000)))
+        .otherwise(repeat(md5((col("doc_id") + 7)
+          .cast("string").cast("binary")), 3))
+      Dedup.verifyPairs(d.select(col("doc_id"), a.as("a"), b.as("b")),
+          "a", "b", minSimPct = 80)
+        .select(col("doc_id"), col("lev"), col("max_len"), col("sim_pct"),
+          col("verified"))
+    }),
+
     "q_dedup_flags" -> ((s, dir) =>
       Dedup.exact(docs(s, dir).select("doc_id", "source"), "doc_id", "source")
         .select(col("doc_id"), col("text_hash"), col("dup_count"),
@@ -3227,6 +3247,23 @@ object SparkEntry {
         |  CASE WHEN o.osrc IS NULL THEN CAST(l.hops AS BIGINT) END AS hops,
         |  o.osrc IS NOT NULL AS cyclic
         |FROM last l LEFT JOIN outs o ON l.cur = o.osrc""".stripMargin,
+
+    // DuckDB recomputes levenshtein independently — cross-engine
+    // equality IS the gate; sim replayed as integer floor division
+    "q_editdist_verify" ->
+      """WITH p AS (SELECT doc_id,
+        |  repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS a,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN repeat(md5(CAST(doc_id AS VARCHAR)), 3)
+        |    WHEN 1 THEN 'zz' || substr(repeat(md5(CAST(doc_id AS VARCHAR)), 3), 5)
+        |    ELSE repeat(md5(CAST(doc_id + 7 AS VARCHAR)), 3) END AS b
+        |  FROM documents),
+        |v AS (SELECT doc_id, CAST(levenshtein(a, b) AS INT) AS lev,
+        |  CAST(greatest(len(a), len(b)) AS INT) AS max_len FROM p)
+        |SELECT doc_id, lev, max_len,
+        |  CAST((100 * (max_len - lev)) // max_len AS INT) AS sim_pct,
+        |  (100 * (max_len - lev)) // max_len >= 80 AS verified
+        |FROM v""".stripMargin,
 
     "q_dedup_flags" -> {
       val h = s"coalesce(md5(${TextNorm.sqlLower(TextNorm.sqlTrim("source"))}), '')"

@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Candidate-pair VERIFICATION by edit similarity — the second stage
+    * of the classic two-stage near-dup pipeline (MinHash/LSH generates
+    * candidates cheaply; an exact edit-distance pass confirms before
+    * anything is dropped). Adds (lev, max_len, sim_pct, verified):
+    * sim_pct = integer percent (100·(max_len−lev)) div max_len —
+    * INTEGER floor division, never a float (the oracle-alphabet rule),
+    * 100 for two empty strings (identical); verified = sim_pct ≥
+    * minSimPct. levenshtein counts CODEPOINTS in both Spark and DuckDB
+    * (the canonical length alphabet).
+    *
+    * Scale shape: pure per-row compute on an already-bucketed candidate
+    * frame — no shuffle. The O(|a|·|b|) distance is the reason this
+    * runs on CANDIDATES, never all pairs; cap text lengths upstream if
+    * a pathological pair could pin a task. */
+  def verifyPairs(pairs: DataFrame, aCol: String, bCol: String,
+                  minSimPct: Int): DataFrame = {
+    val a = coalesce(col(aCol), lit(""))
+    val b = coalesce(col(bCol), lit(""))
+    val lev = levenshtein(a, b)
+    val maxLen = greatest(length(a), length(b))
+    // floor((100·(max−lev))/max) == the integer division: numerator
+    // < 2^38, denominator < 2^31, and an int-ratio double division can
+    // only land on an integer when the quotient IS that integer
+    pairs.withColumn("lev", lev)
+      .withColumn("max_len", maxLen)
+      .withColumn("sim_pct", when(col("max_len") === 0, lit(100))
+        .otherwise(floor((lit(100) * (col("max_len") - col("lev"))) /
+          col("max_len")).cast("int")))
+      .withColumn("verified", col("sim_pct") >= minSimPct)
+  }
+
   /** Exact dedup on a normalized text hash. Returns the input plus
     * (text_hash, dup_count, is_canonical). Formulated as groupBy +
     * shuffle-join on the hash key — NOT a Window.partitionBy over the
