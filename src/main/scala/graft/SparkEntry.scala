@@ -1708,6 +1708,35 @@ object SparkEntry {
         hdr.getField("depth").as("depth"))
     }),
 
+    // MP3 decode (round 7 cont.): the most common audio format on the
+    // web — MPEG Layer III frame header with real bitrate/sample-rate
+    // TABLE lookups over three version families (V1/V2 + an
+    // ID3v2-prefixed family pinning the syncsafe tag skip), a mono/
+    // stereo mode split, and a truncation family (unknown verdict).
+    // The oracle restates both tables as list lookups.
+    "q_audio_mp3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val br = (pmod(col("doc_id"), lit(14)) + 1).cast("int")
+      val sr = pmod(col("doc_id"), lit(3)).cast("int")
+      val fam = pmod(col("doc_id"), lit(3L))
+      val b2 = lpad(hex(br * 16 + sr * 4), 2, "0")
+      val b3 = when(pmod(col("doc_id"), lit(2L)) === 0, "00")
+        .otherwise("C0")
+      val frame = concat(lit("FF"),
+        when(fam === 1, "F3").otherwise("FB"), b2, b3)
+      val full = when(fam === 2,
+        concat(lit("494433030000" + "0000000A" + "00000000000000000000"),
+          frame)).otherwise(frame)
+      val hexStr = when(pmod(col("doc_id"), lit(11L)) === 3,
+        substring(full, 1, 6)).otherwise(full)
+      val h = call_function("graft_mp3_header", unhex(hexStr))
+      d.select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"), col("h.version").as("version"),
+          col("h.bitrate_kbps").as("bitrate_kbps"),
+          col("h.sample_rate").as("sample_rate"),
+          col("h.channels").as("channels"), col("h.ok").as("ok"))
+    }),
+
     // WEBP decode (round 7 cont.): the third-most-common web image
     // format, all three container variants built as REAL bytes in-query
     // — VP8 lossy (start code + 14-bit LE dims), VP8L lossless (packed
@@ -4153,6 +4182,31 @@ object SparkEntry {
         |    ELSE -1 END AS INT) AS depth
         |FROM tr""".stripMargin
     },
+
+    // the MPEG Layer III tables restated as list lookups; truncation
+    // (3 bytes) is the unknown family
+    "q_audio_mp3" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(doc_id % 14 + 1 AS INT) AS br, CAST(doc_id % 3 AS INT) AS sr,
+        |  CAST(doc_id % 3 AS INT) AS fam,
+        |  doc_id % 11 = 3 AS tr, doc_id % 2 = 0 AS st FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN tr THEN 'unknown' WHEN fam = 1 THEN '2' ELSE '1' END
+        |    AS version,
+        |  CAST(CASE WHEN tr THEN -1 WHEN fam = 1 THEN
+        |      list_extract([0,8,16,24,32,40,48,56,64,80,96,112,128,144,160],
+        |        br + 1)
+        |    ELSE
+        |      list_extract([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |        br + 1) END AS INT) AS bitrate_kbps,
+        |  CAST(CASE WHEN tr THEN -1 WHEN fam = 1 THEN
+        |      list_extract([22050,24000,16000], sr + 1)
+        |    ELSE list_extract([44100,48000,32000], sr + 1) END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN tr THEN -1 WHEN st THEN 2 ELSE 1 END AS INT)
+        |    AS channels,
+        |  NOT tr AS ok
+        |FROM b""".stripMargin,
 
     // independent hex re-parse at the documented WEBP byte offsets
     // (payload starts at hex position 41 after RIFF/size/WEBP/fourcc/

@@ -109,6 +109,8 @@ object GraftSql {
       args => GraftImageHeader(args.head)),
     ("graft_audio_header", "graft.spark.GraftAudioHeader",
       args => GraftAudioHeader(args.head)),
+    ("graft_mp3_header", "graft.spark.GraftMp3Header",
+      args => GraftMp3Header(args.head)),
     ("graft_video_header", "graft.spark.GraftVideoHeader",
       args => GraftVideoHeader(args.head)),
     // PDF structure + text extraction (round 4 — north rule "PDF/layout parse")
