@@ -1289,6 +1289,40 @@ object SparkEntry {
         .filter(col("keep")).select(col("id"), col("cluster"))
     }),
 
+    // Fuzzy dedup with the VERIFY stage (round 7 cont.): the production
+    // two-stage shape — LSH candidates are cheap and approximate, so an
+    // exact edit-similarity pass confirms every pair BEFORE clustering
+    // drops documents. Construction: the q_fuzzy_dedup planted corpus
+    // (exact dup sim 100, near dup = one 33-char insertion over 989
+    // chars → sim_pct 96, both above the 90 threshold; distinct docs
+    // never become candidates), so the verified cluster set equals the
+    // unverified one BY CONSTRUCTION and the v1 oracle replays.
+    "q_fuzzy_dedup_v2" -> ((s, dir) => {
+      val base = md5Corpus(docs(s, dir))
+      val corpus = base.select((col("doc_id") * 10).as("id"), col("t"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id"), col("t")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 10 + 2).as("id"),
+            concat(col("t"), lit(" "),
+              md5(concat(col("doc_id").cast("string"), lit("-x")))).as("t")))
+      val pairs = Dedup.minhashCandidates(corpus, "id", "t",
+        k = 32, bands = 8, jaccardThreshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      val withTexts = pairs
+        .join(corpus.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+        .join(corpus.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      val confirmed = Dedup.verifyPairs(withTexts, "ta", "tb",
+          minSimPct = 90)
+        .filter(col("verified")).select(col("id_a"), col("id_b"))
+      val cl = Dedup.clusters(corpus.select(col("id")), "id", confirmed,
+        maxIterations = 8)
+      val scored = cl.select(col("id"), col("cluster"),
+        pmod(col("id"), lit(3)).cast("long").as("quality"))
+      Dedup.keepBest(scored, "id", "cluster", "quality")
+        .filter(col("keep")).select(col("id"), col("cluster"))
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 5)
@@ -3807,6 +3841,22 @@ object SparkEntry {
     // tokens never cross documents), winner = min id among max-quality
     // members — the same window form as q_dedup_keep_best
     "q_fuzzy_dedup" ->
+      s"""WITH base AS ($md5CorpusSql),
+        |ids AS (
+        |  SELECT doc_id*10 AS id FROM base
+        |  UNION ALL SELECT doc_id*10+1 FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id*10+2 FROM base WHERE doc_id % 7 = 0),
+        |t AS (SELECT id, (id//10)*10 AS cluster, id % 3 AS quality FROM ids),
+        |m AS (SELECT *, max(quality) OVER (PARTITION BY cluster) AS mx FROM t),
+        |k AS (SELECT *, min(CASE WHEN quality = mx THEN id END)
+        |  OVER (PARTITION BY cluster) AS kid FROM m)
+        |SELECT id, cluster FROM k WHERE id = kid""".stripMargin,
+
+    // identical replay to q_fuzzy_dedup: the verify stage keeps every
+    // planted pair (exact 100, near 96, threshold 90) and candidates
+    // never cross planted clusters, so verified clustering == planted
+    // clustering by construction
+    "q_fuzzy_dedup_v2" ->
       s"""WITH base AS ($md5CorpusSql),
         |ids AS (
         |  SELECT doc_id*10 AS id FROM base
