@@ -549,6 +549,41 @@ object SparkEntry {
           col("cnt"), col("rank"))
     }),
 
+    // Subtitle parsing (round 7 cont.): WebVTT/SRT cues — the
+    // audio/video-text alignment format a multimodal pipeline mines
+    // for ASR pairs. Families: VTT (header + metadata skip, dot millis,
+    // a settings-suffixed timing line, an identifier line), SRT (index
+    // lines, comma millis, a MALFORMED cue that must drop without
+    // renumber gaps), and a cue-less junk family (zero rows). Embedded
+    // text is newline-sanitized on both sides (a blank line would
+    // split the cue).
+    "q_subtitles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def san(c: Column) = regexp_replace(c, "[\\r\\n]+", " ")
+      val tx = san(substring(coalesce(col("text"), lit("")), 1, 16))
+      val lg = san(coalesce(col("lang"), lit("")))
+      val sc = san(substring(coalesce(col("source"), lit("")), 1, 16))
+      val mm = lpad(pmod(col("doc_id"), lit(60L)).cast("string"), 2, "0")
+      val ss = lpad(pmod(col("doc_id"), lit(53L)).cast("string"), 2, "0")
+      val fam = pmod(col("doc_id"), lit(3L))
+      val vtt = concat(
+        lit("WEBVTT\nKind: captions\n\n1\n00:"), mm, lit(":"), ss,
+        lit(".250 --> 01:"), mm, lit(":"), ss, lit(",750\nA"), tx,
+        lit("\n\nx1\n00:05.500 --> 00:07.250 align:start\nB"), lg)
+      val srt = concat(
+        lit("1\r\n00:00:01,000 --> 00:00:02,500\r\nC"), sc,
+        lit("\r\n\r\n2\r\nBAD --> 00:00:03,000\r\ndropped\r\n\r\n"),
+        lit("3\r\n00:01:00,000 --> 00:01:01,000\r\nD"), lg)
+      val body = when(fam === 0, vtt).when(fam === 1, srt)
+        .otherwise(lit("no cues in this document at all"))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_subtitles", body)).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), col("c.cue_id").as("cue_id"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+          col("c.text").as("cue_text"))
+    }),
+
     // Feed extraction (round 7 cont.): RSS/Atom through the HTML parser
     // — the discovery companion to q_sitemap. RSS items pin the VOID
     // <link> recovery (the URL text lands as a following sibling of the
@@ -3057,6 +3092,29 @@ object SparkEntry {
         |FROM (SELECT domain, anchor, cnt, row_number() OVER (
         |    PARTITION BY domain ORDER BY cnt DESC, anchor ASC) AS rn FROM c)
         |WHERE rn <= 5""".stripMargin,
+
+    // replay by construction: VTT docs emit cues 0/1 (stamp arithmetic
+    // + fixed cue), SRT docs 0/1 (the malformed middle cue drops and
+    // ids stay gapless), junk docs zero rows; cue text replays the
+    // newline sanitize on the same substrings
+    "q_subtitles" -> {
+      def san(e: String) = s"regexp_replace($e, '[\\r\\n]+', ' ', 'g')"
+      s"""WITH e AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS fam,
+        |  ${san("substr(coalesce(text, ''), 1, 16)")} AS tx,
+        |  ${san("coalesce(lang, '')")} AS lg,
+        |  ${san("substr(coalesce(source, ''), 1, 16)")} AS sc
+        |  FROM documents)
+        |SELECT doc_id, 0 AS cue_id,
+        |  CAST((doc_id % 60) * 60000 + (doc_id % 53) * 1000 + 250 AS BIGINT)
+        |    AS start_ms,
+        |  CAST(3600000 + (doc_id % 60) * 60000 + (doc_id % 53) * 1000 + 750
+        |    AS BIGINT) AS end_ms,
+        |  'A' || tx AS cue_text
+        |FROM e WHERE fam = 0
+        |UNION ALL SELECT doc_id, 1, 5500, 7250, 'B' || lg FROM e WHERE fam = 0
+        |UNION ALL SELECT doc_id, 0, 1000, 2500, 'C' || sc FROM e WHERE fam = 1
+        |UNION ALL SELECT doc_id, 1, 60000, 61000, 'D' || lg FROM e WHERE fam = 1""".stripMargin
+    },
 
     // replay by construction: RSS docs emit entries 0/1 (the second all
     // NULL except updated), Atom docs entry 0; titles ride the RCDATA

@@ -647,6 +647,84 @@ object HtmlUdfs {
     }
   }
 
+  /** Subtitle parsing: `graft_subtitles(text)` → array<struct<cue_id,
+    * start_ms,end_ms,text>> — WebVTT and SRT cues (the audio/video-text
+    * alignment format a multimodal pipeline mines for ASR training
+    * pairs). Conventions:
+    *  - CRLF/CR normalize to LF; a leading "WEBVTT" header line (and
+    *    anything before the first blank line after it) is skipped;
+    *  - cues separate on blank lines; within a cue an optional
+    *    identifier line (any line without "-->") precedes the timing
+    *    line; remaining lines join with '\n' as the cue text;
+    *  - timestamps are [HH:]MM:SS.mmm with '.' (VTT) or ',' (SRT)
+    *    before the millis; parsed to integer ms;
+    *  - a cue whose timing line fails to parse is SKIPPED (never a
+    *    throw); cue_id numbers the EMITTED cues 0-based. */
+  val subtitleStructType: StructType = StructType(Seq(
+    StructField("cue_id", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)
+  ))
+  val subtitleArrayType: ArrayType =
+    ArrayType(subtitleStructType, containsNull = false)
+
+  val subtitleEvals = new java.util.concurrent.atomic.AtomicLong
+
+  /** [HH:]MM:SS(.|,)mmm → ms, or -1 when malformed. */
+  private def parseStamp(s: String): Long = {
+    val t = s.trim
+    val parts = t.split(':')
+    if (parts.length < 2 || parts.length > 3) return -1L
+    val secMs = parts(parts.length - 1)
+    val dot = secMs.indexWhere(c => c == '.' || c == ',')
+    if (dot < 0) return -1L
+    val secStr = secMs.substring(0, dot)
+    val msStr = secMs.substring(dot + 1)
+    def num(x: String): Long =
+      if (x.isEmpty || !x.forall(_.isDigit) || x.length > 9) -1L else x.toLong
+    val h = if (parts.length == 3) num(parts(0)) else 0L
+    val m = num(parts(if (parts.length == 3) 1 else 0))
+    val sec = num(secStr)
+    val ms = if (msStr.length == 3) num(msStr) else -1L
+    if (h < 0 || m < 0 || sec < 0 || ms < 0) return -1L
+    ((h * 60 + m) * 60 + sec) * 1000 + ms
+  }
+
+  def subtitleTable(text: UTF8String): ArrayData = {
+    subtitleEvals.incrementAndGet()
+    val norm = text.toString.replace("\r\n", "\n").replace('\r', '\n')
+    val rows = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var cueId = 0
+    val blocks = norm.split("\n{2,}")
+    var bi = 0
+    var first = true
+    while (bi < blocks.length) {
+      val lines = blocks(bi).split('\n').filter(_.nonEmpty)
+      val isHeader = first && lines.nonEmpty && lines(0).startsWith("WEBVTT")
+      first = false
+      if (!isHeader && lines.nonEmpty) {
+        val ti = lines.indexWhere(_.contains("-->"))
+        if (ti >= 0) {
+          val arrow = lines(ti).indexOf("-->")
+          val a = parseStamp(lines(ti).substring(0, arrow))
+          // settings after the end stamp (e.g. "align:start") are cut
+          // at the first space past the arrow
+          val rest = lines(ti).substring(arrow + 3).trim
+          val sp = rest.indexOf(' ')
+          val b = parseStamp(if (sp < 0) rest else rest.substring(0, sp))
+          if (a >= 0 && b >= 0) {
+            val txt = lines.drop(ti + 1).mkString("\n")
+            rows += InternalRow(cueId, a, b, UTF8String.fromString(txt))
+            cueId += 1
+          }
+        }
+      }
+      bi += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
   /** Publication-date signals: `graft_pub_date(html)` → struct(
     * meta_time, time_attr) — the two HTML-side signals a document-dating
     * stage reads before falling back to URL patterns (recency mixtures
@@ -1561,6 +1639,22 @@ case class GraftFeed(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftFeed =
     copy(child = newChild)
   override def prettyName: String = "graft_feed"
+}
+
+/** Subtitle parsing: `graft_subtitles(text)` → array<struct<cue_id,
+  * start_ms,end_ms,text>> — WebVTT/SRT cues; explode with the
+  * outer+isNotNull discipline. */
+case class GraftSubtitles(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.subtitleArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.subtitleTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.subtitleTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftSubtitles =
+    copy(child = newChild)
+  override def prettyName: String = "graft_subtitles"
 }
 
 /** Publication-date signals: `graft_pub_date(html)` → struct(meta_time,

@@ -29,6 +29,7 @@ object GraftSql {
     ("graft_sitemap", "graft.spark.GraftSitemap", args => GraftSitemap(args.head)),
     ("graft_feed", "graft.spark.GraftFeed", args => GraftFeed(args.head)),
     ("graft_pub_date", "graft.spark.GraftPubDate", args => GraftPubDate(args.head)),
+    ("graft_subtitles", "graft.spark.GraftSubtitles", args => GraftSubtitles(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",
