@@ -915,6 +915,40 @@ object SparkEntry {
           col("p.lang").as("lang2"), col("p.source").as("source2"))
     }),
 
+    // Recrawl-priority scheduling (round 7 cont.): the consumer of the
+    // snapshot delta — changed/added pages become recrawl candidates
+    // (removed excluded), get a deterministic integer priority
+    // (class weight × 1000 − id%997 — a replayable age proxy), and a
+    // per-domain fetch quota via the bounded TopK (the crawl-frontier
+    // cap discipline). Pure composition of gated operators; oracle =
+    // the snapshot-B mutation replay + the same arithmetic + QUALIFY
+    // row_number.
+    "q_recrawl_priority" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val changedText = when(pmod(col("doc_id"), lit(13L)) === 2,
+        concat(coalesce(col("text"), lit("")), lit("!")))
+        .otherwise(coalesce(col("text"), lit("")))
+      val b = d.filter(pmod(col("doc_id"), lit(17L)) =!= 3)
+        .select(col("doc_id"), changedText.as("text"), col("lang"), col("source"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(19L)) === 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            coalesce(col("text"), lit("")).as("text"), col("lang"), col("source")))
+      val cand = SnapshotDiff.delta(a, b, "doc_id", Seq("text", "lang", "source"))
+        .filter(col("change") =!= "removed")
+      val scored = cand.select(col("doc_id"), col("change"),
+        (when(col("change") === "changed", 3L).otherwise(2L) * 1000L -
+          pmod(col("doc_id"), lit(997L))).as("priority"),
+        concat(lit("d"), pmod(col("doc_id"), lit(7L)).cast("string"))
+          .as("domain"))
+      val capped = Sample.capPerKey(
+        scored.withColumn("score", col("priority").cast("double")),
+        "domain", "doc_id", "score", k = 20)
+      scored.join(capped, Seq("domain", "doc_id"))
+        .select(col("domain"), col("doc_id"), col("change"),
+          col("priority"), col("rank"))
+    }),
+
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -3393,6 +3427,25 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY $h) AS is_canonical
         |FROM documents""".stripMargin
     },
+
+    // the snapshot mutation replayed: candidates = added (new ids) +
+    // changed-but-not-removed; priority and the per-domain quota are
+    // pure arithmetic + QUALIFY row_number over (priority desc, id asc)
+    "q_recrawl_priority" ->
+      """WITH cand AS (
+        |  SELECT doc_id + 10000000 AS id, 'added' AS change
+        |  FROM documents WHERE doc_id % 19 = 5
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM documents
+        |  WHERE doc_id % 13 = 2 AND doc_id % 17 <> 3),
+        |sc AS (SELECT id, change,
+        |  CAST((CASE change WHEN 'changed' THEN 3 ELSE 2 END) * 1000
+        |    - id % 997 AS BIGINT) AS priority,
+        |  'd' || CAST(id % 7 AS VARCHAR) AS domain FROM cand)
+        |SELECT domain, id AS doc_id, change, priority, CAST(rn AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY priority DESC, id ASC) AS rn FROM sc)
+        |WHERE rn <= 20""".stripMargin,
 
     // round-trip identity: valid lines restore every field verbatim
     // (any Spark-side escaping loss would hash-mismatch here), corrupt
