@@ -956,6 +956,27 @@ object SparkEntry {
         TextOps.alphaChars(col("text")).as("n_alpha"),
         TextOps.charCount(col("text")).as("n_chars2"))),
 
+    // Shard integrity manifest (round 7 cont.): the dataset-release
+    // companion to q_training_shard — per shard, doc count, canonical
+    // token total, and an ORDER-INSENSITIVE id digest (sum of each
+    // id's md5-prefix as an integer — commutative, so it map-side
+    // combines; a sorted-concat digest would serialize 10^10 ids
+    // through one string at corpus scale). One aggregate, replayed
+    // exactly by DuckDB's own md5.
+    "q_shard_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idHash = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      d.select(pmod(col("doc_id"), lit(16L)).as("shard"),
+          coalesce(TextNorm.tokenCountCol(col("text")), lit(0L)).as("ntok"),
+          idHash.as("ih"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("ih")).as("id_check"))
+    }),
+
     "q_embed_norm" -> ((s, dir) =>
       embs(s, dir).select(col("vec_id"),
         round(Similarity.l2Norm(col("embedding")), 2).as("norm2"))),
@@ -3465,6 +3486,22 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
         |  CAST(length(text) AS BIGINT) AS n_chars2
         |FROM documents""".stripMargin,
+
+    // sums CAST AS BIGINT (the HUGEINT rule); the id digest replays
+    // DuckDB's own md5 prefix as an integer — commutative on both sides
+    "q_shard_manifest" -> {
+      def hx2i(e: String): String =
+        "list_reduce(list_transform(regexp_split_to_array(" + e +
+          ", ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+      s"""WITH b AS (SELECT doc_id % 16 AS shard,
+        |  coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS ntok,
+        |  ${hx2i("substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")} AS ih
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ih) AS BIGINT) AS id_check
+        |FROM b GROUP BY shard""".stripMargin
+    },
 
     "q_embed_norm" ->
       """SELECT vec_id,
