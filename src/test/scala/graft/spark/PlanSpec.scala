@@ -308,6 +308,12 @@ class PlanSpec extends AnyFunSuite {
       .write.format("noop").mode("overwrite").save()
     assert(HtmlUdfs.sitemapEvals.get == n,
       s"sitemap must parse once per row: ${HtmlUdfs.sitemapEvals.get} for $n rows")
+    HtmlUdfs.feedEvals.set(0)
+    graft.SparkEntry.queries("q_feed")(spark, sf)
+      .filter(col("kind") === "item")
+      .write.format("noop").mode("overwrite").save()
+    assert(HtmlUdfs.feedEvals.get == n,
+      s"feed must parse once per row: ${HtmlUdfs.feedEvals.get} for $n rows")
   }
 
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
