@@ -263,6 +263,43 @@ object SparkEntry {
           (col("nxt.tpos") - col("pos")).cast("int").as("dist"))
     }),
 
+    // Section extraction (round 7 cont.): structure-aware chunking for
+    // RAG — split the span stream at heading spans; each section keeps
+    // its heading and the ordered body text. The section id is a
+    // running conditional sum over the PER-DOC window (the
+    // caption-pairs discipline), the body rebuild is a
+    // sort_array(collect_list(struct(pos, text))) — deterministic and
+    // bounded per section (collect_list alone is order-unstable after
+    // a shuffle). Construction plants a heading-less preamble, a
+    // multi-paragraph section, and a trailing EMPTY section.
+    "q_sections" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val html = concat(
+        lit("<p>P"), escTxt(substring(coalesce(col("text"), lit("")), 1, 10)),
+        lit("</p><h1>H"), escTxt(coalesce(col("lang"), lit(""))),
+        lit("</h1><p>B1"), escTxt(substring(coalesce(col("text"), lit("")), 11, 10)),
+        lit("</p><p>B2</p><h2>G"),
+        escTxt(substring(coalesce(col("source"), lit("")), 1, 8)),
+        lit("</h2><p>B3</p><h3>E</h3>"))
+      val spans = d.select(col("doc_id"),
+          posexplode_outer(GraftFunctions.parse_html_spans(html))
+            .as(Seq("pos", "s")))
+        .filter(col("s").isNotNull)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spans.withColumn("section_id",
+          sum(when(col("s.kind") === "heading", 1L).otherwise(0L)).over(w)
+            .cast("int"))
+        .groupBy(col("doc_id"), col("section_id"))
+        .agg(max(when(col("s.kind") === "heading", col("s.text")))
+            .as("heading"),
+          concat_ws("\n", transform(
+            sort_array(collect_list(when(col("s.kind") =!= "heading",
+              struct(col("pos"), col("s.text").as("t"))))),
+            x => x.getField("t"))).as("body"))
+    }),
+
     "q_html_entities" -> ((s, dir) => {
       val d = docs(s, dir)
       val html = concat(lit("<p>"),
@@ -2951,6 +2988,24 @@ object SparkEntry {
         |       CAST(52 + esrc + elng AS INT) AS offset
         |FROM e WHERE ${sqlNotWsOnly("btxt")}""".stripMargin
     },
+
+    // replay by construction: sections 0 (preamble, NULL heading) /
+    // 1 (two body paragraphs joined by \n) / 2 (one) / 3 (trailing
+    // empty body); all embedded text rides the in-body view, prefixes
+    // keep every span non-ws-only
+    "q_sections" ->
+      s"""WITH e AS (SELECT doc_id,
+        |  ${sqlBodyText("substr(coalesce(text, ''), 1, 10)")} AS p1,
+        |  ${sqlBodyText("coalesce(lang, '')")} AS h1,
+        |  ${sqlBodyText("substr(coalesce(text, ''), 11, 10)")} AS b1,
+        |  ${sqlBodyText("substr(coalesce(source, ''), 1, 8)")} AS g1
+        |  FROM documents)
+        |SELECT doc_id, 0 AS section_id, NULL AS heading, 'P' || p1 AS body
+        |FROM e
+        |UNION ALL SELECT doc_id, 1, 'H' || h1, 'B1' || b1 || chr(10) || 'B2'
+        |FROM e
+        |UNION ALL SELECT doc_id, 2, 'G' || g1, 'B3' FROM e
+        |UNION ALL SELECT doc_id, 3, 'E', '' FROM e""".stripMargin,
 
     // replay by construction: span order is text(P1+text), media a,
     // text(C1+lang), media b, media c, text(F1+source), media z — so
