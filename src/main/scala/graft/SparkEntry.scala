@@ -741,6 +741,41 @@ object SparkEntry {
           col("c.is_header").as("is_header"), col("c.text").as("cell_text"))
     }),
 
+    // Table → CSV export (round 7 cont.): the consumer surface of the
+    // cell table — per (doc, table), RFC 4180 lines: fields in grid
+    // order, a field quotes iff it contains comma/quote/newline (inner
+    // quotes doubled; CR can never appear — the parser normalized it
+    // away). Both rebuilds are sort_array-over-collected-structs
+    // (bounded per table, deterministic after the shuffle). Document
+    // text rides the cells, so the adversarial corpus exercises the
+    // quoting rule on both sides.
+    "q_table_csv" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = escTxt(substring(coalesce(col("text"), lit("")), 1, 6))
+      val b = escTxt(coalesce(col("source"), lit("")))
+      val html = concat(
+        lit("<table><tr><th>H</th><th>I</th></tr><tr><td colspan=\"2\">A"), a,
+        lit("</td><td>B"), b,
+        lit("</td></tr></table><p>gap</p>"),
+        lit("<table><tr><td>X<table><tr><td>Y</td></tr></table></td></tr></table>"))
+      def q(f: Column) = when(f.rlike("[\",\n\r]"),
+        concat(lit("\""), regexp_replace(f, "\"", "\"\""), lit("\"")))
+        .otherwise(f)
+      val cells = d.select(col("doc_id"),
+          explode_outer(call_function("graft_table_cells", html)).as("c"))
+        .filter(col("c").isNotNull)
+      val rows = cells.groupBy(col("doc_id"), col("c.table_id").as("table_id"),
+          col("c.row_id").as("row_id"))
+        .agg(concat_ws(",", transform(
+          sort_array(collect_list(struct(col("c.col_id"),
+            q(col("c.text")).as("f")))),
+          x => x.getField("f"))).as("line"))
+      rows.groupBy(col("doc_id"), col("table_id"))
+        .agg(concat_ws("\n", transform(
+          sort_array(collect_list(struct(col("row_id"), col("line").as("l")))),
+          x => x.getField("l"))).as("csv"))
+    }),
+
     // HTML → Markdown (round 7 cont.): structure-preserving extraction
     // (graft_markdown) — one block per feature family: heading,
     // paragraph with strong/em/code, nested ul + ol numbering,
@@ -3295,6 +3330,23 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 0, 1, 2, 0, 'B' || $b FROM documents
         |UNION ALL SELECT doc_id, 1, 0, 0, 0, 'XY' FROM documents
         |UNION ALL SELECT doc_id, 2, 0, 0, 0, 'Y' FROM documents""".stripMargin
+    },
+
+    // the cell-table replay fed through the RFC 4180 quote rule; CR
+    // never survives parsing so only comma/quote/LF can trigger quoting
+    "q_table_csv" -> {
+      val a = sqlBodyText("substr(coalesce(text,''),1,6)")
+      val b = sqlBodyText("coalesce(source,'')")
+      def q(f: String) =
+        s"""CASE WHEN regexp_matches($f, '[",\\n\\r]')
+           | THEN '"' || regexp_replace($f, '"', '""', 'g') || '"'
+           | ELSE $f END""".stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, 0 AS table_id,
+        |  'H,I' || chr(10) || ${q(s"'A' || $a")} || ',' || ${q(s"'B' || $b")}
+        |    AS csv
+        |FROM documents
+        |UNION ALL SELECT doc_id, 1, 'XY' FROM documents
+        |UNION ALL SELECT doc_id, 2, 'Y' FROM documents""".stripMargin
     },
 
     // markdown replay by construction arithmetic: tokens a/b are the
