@@ -987,6 +987,38 @@ object SparkEntry {
           col("p.lang").as("lang2"), col("p.source").as("source2"))
     }),
 
+    // Page-history tracking (round 7 cont.): the multi-snapshot ledger
+    // behind the delta — per page across THREE deterministic crawl
+    // snapshots: first/last seen, presence count, and distinct content
+    // versions. The version count is a TWO-PHASE distinct (collapse
+    // (id, hash) first, then count) — never a count-distinct Expand on
+    // the wide union (the q_link_graph discipline). Content collapses
+    // to md5 in the scan like SnapshotDiff.
+    "q_page_history" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t1 = coalesce(col("text"), lit(""))
+      val t2 = when(pmod(col("doc_id"), lit(13L)) === 2,
+        concat(t1, lit("!"))).otherwise(t1)
+      val t3 = when(pmod(col("doc_id"), lit(5L)) === 1,
+        concat(t2, lit("?"))).otherwise(t2)
+      val s1 = d.select(col("doc_id"), lit(1).as("snap"),
+        md5(t1.cast("binary")).as("h"))
+      val s2 = d.filter(pmod(col("doc_id"), lit(17L)) =!= 3)
+        .select(col("doc_id"), lit(2).as("snap"), md5(t2.cast("binary")).as("h"))
+      val s3 = d.filter(pmod(col("doc_id"), lit(17L)) =!= 3 &&
+          pmod(col("doc_id"), lit(11L)) =!= 7)
+        .select(col("doc_id"), lit(3).as("snap"), md5(t3.cast("binary")).as("h"))
+      val per = s1.unionAll(s2).unionAll(s3)
+      val spans2 = per.groupBy(col("doc_id"))
+        .agg(min(col("snap")).as("first_seen"), max(col("snap")).as("last_seen"),
+          count(lit(1)).as("n_snaps"))
+      val vers = per.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_versions"))
+      spans2.join(vers, Seq("doc_id"))
+        .select(col("doc_id"), col("first_seen"), col("last_seen"),
+          col("n_snaps"), col("n_versions"))
+    }),
+
     // Recrawl-priority scheduling (round 7 cont.): the consumer of the
     // snapshot delta — changed/added pages become recrawl candidates
     // (removed excluded), get a deterministic integer priority
@@ -3555,6 +3587,22 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY $h) AS is_canonical
         |FROM documents""".stripMargin
     },
+
+    // pure family arithmetic: presence p2/p3 from the drop rules,
+    // versions from the mutation rules (counts CAST AS BIGINT)
+    "q_page_history" ->
+      """WITH b AS (SELECT doc_id,
+        |  doc_id % 17 <> 3 AS p2,
+        |  doc_id % 17 <> 3 AND doc_id % 11 <> 7 AS p3,
+        |  doc_id % 13 = 2 AS c2, doc_id % 5 = 1 AS c3
+        |  FROM documents)
+        |SELECT doc_id, 1 AS first_seen,
+        |  CAST(CASE WHEN NOT p2 THEN 1 WHEN NOT p3 THEN 2 ELSE 3 END AS INT)
+        |    AS last_seen,
+        |  CAST(1 + CAST(p2 AS INT) + CAST(p3 AS INT) AS BIGINT) AS n_snaps,
+        |  CAST(1 + CAST(p2 AND c2 AS INT) + CAST(p3 AND c3 AS INT) AS BIGINT)
+        |    AS n_versions
+        |FROM b""".stripMargin,
 
     // the snapshot mutation replayed: candidates = added (new ids) +
     // changed-but-not-removed; priority and the per-domain quota are
