@@ -498,6 +498,35 @@ object SparkEntry {
             .otherwise("none").as("date_source"))
     }),
 
+    // Canonical-URL dedup (round 7 cont.): the AMP/tracking-URL dedup
+    // stage — pages declaring the same rel=canonical collapse to one
+    // winner (quality desc, id asc — the keepBest convention); a page
+    // WITHOUT a canonical is SELF-canonical (a unique self: key, never
+    // the ''-group trap where every canonical-less page would dedupe
+    // against every other). Extraction rides the one-parse page-meta
+    // kernel; construction groups ids by div 3 with a %9==4
+    // canonical-less family.
+    "q_canonical_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val grp = expr("doc_id div 3").cast("string")
+      val link = concat(lit("<link rel=\"canonical\" href=\"https://ex.com/c/"),
+        grp, lit("\">"))
+      val html = concat(lit("<html><head>"),
+        when(pmod(col("doc_id"), lit(9L)) === 4, lit("")).otherwise(link),
+        lit("</head><body><p>x</p></body></html>"))
+      val keyed = d
+        .select(col("doc_id"),
+          call_function("graft_page_meta", html).getField("canonical")
+            .as("c0"))
+        .select(col("doc_id"),
+          when(col("c0") === "",
+            concat(lit("self:"), col("doc_id").cast("string")))
+            .otherwise(col("c0")).as("canonical"),
+          pmod(col("doc_id"), lit(7L)).as("quality"))
+      Dedup.keepBest(keyed, "doc_id", "canonical", "quality")
+        .select(col("doc_id"), col("canonical"), col("keep"))
+    }),
+
     // Link extraction (round 7): attribute_by_key (FIRST match,
     // api.h:1240) + descendant-text aggregation per <a> — the
     // reference's classic extraction composition. The href rides the
@@ -3215,6 +3244,20 @@ object SparkEntry {
         |  CASE fam WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
         |    WHEN 2 THEN 'url' ELSE 'none' END AS date_source
         |FROM b""".stripMargin,
+
+    // the keepBest window replay over the construction keys: max
+    // quality per canonical group, min id among the maxima; self:
+    // singletons always keep
+    "q_canonical_dedup" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN 'self:' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'https://ex.com/c/' || CAST(doc_id // 3 AS VARCHAR)
+        |  END AS canonical,
+        |  doc_id % 7 AS q FROM documents),
+        |m AS (SELECT *, max(q) OVER (PARTITION BY canonical) AS mx FROM b),
+        |k AS (SELECT *, min(CASE WHEN q = mx THEN doc_id END)
+        |  OVER (PARTITION BY canonical) AS kid FROM m)
+        |SELECT doc_id, canonical, doc_id = kid AS keep FROM k""".stripMargin,
 
     // one link row per doc: the a-with-href is pre-order node 5 by
     // construction ('L' guarantees the anchor text node exists, so ids
