@@ -1791,6 +1791,42 @@ object SparkEntry {
           col("copies_so_far"))
     }),
 
+    // Streaming incremental CDC (round 7 cont.): two mtime-ordered
+    // recrawl batches stream against the STATIC baseline corpus —
+    // per batch, added/changed verdicts only (unchanged drop; removed
+    // is a full-snapshot question). Stateless per batch, so batch ==
+    // stream exactly; batch_id = file order. Mutations are family
+    // arithmetic the oracle replays with its own md5: batch 0 carries
+    // the even ids ('!'-append changes at %6==0, +2e7 additions at
+    // %10==1), batch 1 the odd ids ('?'-appends at %7==1, +3e7
+    // additions at %10==3).
+    "q_stream_cdc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t0 = coalesce(col("text"), lit(""))
+      val baseline = d.select(col("doc_id"), t0.as("text"),
+        col("lang"), col("source"))
+      def adds(fam: Long, off: Long) =
+        d.filter(pmod(col("doc_id"), lit(10L)) === fam)
+          .select((col("doc_id") + off).as("doc_id"), t0.as("text"),
+            col("lang"), col("source"))
+      val b0 = d.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(6L)) === 0, concat(t0, lit("!")))
+            .otherwise(t0).as("text"),
+          col("lang"), col("source"))
+        .unionAll(adds(1L, 20000000L))
+      val b1 = d.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7L)) === 1, concat(t0, lit("?")))
+            .otherwise(t0).as("text"),
+          col("lang"), col("source"))
+        .unionAll(adds(3L, 30000000L))
+      graft.streaming.StreamingExtract.cdcDrain(baseline, Seq(b0, b1),
+          "doc_id", Seq("text", "lang", "source"))
+        .select(col("batch_id"), col("doc_id"), col("change"),
+          col("old_hash"), col("new_hash"))
+    }),
+
     // Gap-based sessionization over the events table (first consumer of
     // that table): 30-min inactivity gap, per-user KEY-partitioned
     // window (bounded by a user's events, never the corpus), integer
@@ -4497,6 +4533,27 @@ object SparkEntry {
       """SELECT 1700000010 + (doc_id // 30) * 30 AS w_start,
         |  coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n
         |FROM documents WHERE doc_id < 300 GROUP BY 1, 2""".stripMargin,
+
+    // per-batch replay with DuckDB's own md5 over the chr(31) canon:
+    // changed rows pair old/new hashes, added rows have old_hash ''
+    "q_stream_cdc" ->
+      """WITH e AS (SELECT doc_id,
+        |  coalesce(text, '') AS t, coalesce(lang, '') AS l,
+        |  coalesce(source, '') AS s FROM documents),
+        |h AS (SELECT doc_id,
+        |  md5(t || chr(31) || l || chr(31) || s) AS oh,
+        |  md5(t || '!' || chr(31) || l || chr(31) || s) AS hb,
+        |  md5(t || '?' || chr(31) || l || chr(31) || s) AS hq
+        |  FROM e)
+        |SELECT 0 AS batch_id, doc_id, 'changed' AS change,
+        |  oh AS old_hash, hb AS new_hash
+        |FROM h WHERE doc_id % 6 = 0
+        |UNION ALL SELECT 0, doc_id + 20000000, 'added', '', oh
+        |FROM h WHERE doc_id % 10 = 1
+        |UNION ALL SELECT 1, doc_id, 'changed', oh, hq
+        |FROM h WHERE doc_id % 7 = 1 AND doc_id % 2 = 1
+        |UNION ALL SELECT 1, doc_id + 30000000, 'added', '', oh
+        |FROM h WHERE doc_id % 10 = 3""".stripMargin,
 
     "q_stream_dedup" -> {
       val h = s"md5(${TextNorm.sqlLower(TextNorm.sqlTrim("coalesce(source, '')"))})"

@@ -27,18 +27,21 @@ import org.apache.spark.sql.functions._
   * fans out and one physical page reports multiple verdicts. */
 object SnapshotDiff {
 
+  private def hashed(df: DataFrame, idCol: String,
+                     contentCols: Seq[String], as: String): DataFrame = {
+    val parts = contentCols.map(n => coalesce(col(n).cast("string"), lit("")))
+    val joined = parts.tail.foldLeft(parts.head) { (acc, c) =>
+      concat(acc, lit("\u001f"), c)
+    }
+    df.select(col(idCol), md5(joined.cast("binary")).as(as))
+  }
+
   def delta(oldDf: DataFrame, newDf: DataFrame, idCol: String,
             contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshot delta needs >= 1 content column")
-    def hashed(df: DataFrame, as: String): DataFrame = {
-      val parts = contentCols.map(n => coalesce(col(n).cast("string"), lit("")))
-      val joined = parts.tail.foldLeft(parts.head) { (acc, c) =>
-        concat(acc, lit("\u001f"), c)
-      }
-      df.select(col(idCol), md5(joined.cast("binary")).as(as))
-    }
-    hashed(oldDf, "old_hash")
-      .join(hashed(newDf, "new_hash"), Seq(idCol), "full_outer")
+    hashed(oldDf, idCol, contentCols, "old_hash")
+      .join(hashed(newDf, idCol, contentCols, "new_hash"),
+        Seq(idCol), "full_outer")
       .withColumn("change",
         when(col("old_hash").isNull, "added")
           .when(col("new_hash").isNull, "removed")
@@ -47,5 +50,27 @@ object SnapshotDiff {
       .select(col(idCol), col("change"),
         coalesce(col("old_hash"), lit("")).as("old_hash"),
         coalesce(col("new_hash"), lit("")).as("new_hash"))
+  }
+
+  /** Per-batch incremental CDC: verdicts for the BATCH's rows against
+    * a baseline — 'added' (id not in the baseline) or 'changed'
+    * (content hash differs); unchanged rows drop. 'removed' is
+    * deliberately absent: a partial batch cannot witness absence — that
+    * verdict belongs to the full-snapshot [[delta]]. Same hash canon
+    * (chr(31)-joined coalesced content columns, collapsed IN THE SCAN),
+    * one left equi-join keyed on the id; output is |batch delta|, so an
+    * unchanged-heavy recrawl batch costs its scan and nothing more. */
+  def incremental(batch: DataFrame, baseline: DataFrame, idCol: String,
+                  contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "incremental CDC needs >= 1 content column")
+    hashed(batch, idCol, contentCols, "new_hash")
+      .join(hashed(baseline, idCol, contentCols, "old_hash"), Seq(idCol), "left")
+      .withColumn("change",
+        when(col("old_hash").isNull, "added")
+          .when(col("old_hash") =!= col("new_hash"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"),
+        coalesce(col("old_hash"), lit("")).as("old_hash"),
+        col("new_hash"))
   }
 }

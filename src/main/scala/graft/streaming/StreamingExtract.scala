@@ -417,6 +417,54 @@ object StreamingExtract {
     }
   }
 
+  /** Streaming incremental CDC: each arriving file-batch of
+    * (re)crawled rows compares against a STATIC baseline snapshot —
+    * per batch, 'added'/'changed' verdicts via
+    * [[graft.ops.SnapshotDiff.incremental]] (unchanged rows drop;
+    * 'removed' is a full-snapshot question and deliberately absent).
+    * Stateless per batch (the baseline is the only history), so
+    * batch == stream semantics hold exactly; batch_id = file mtime
+    * order under maxFilesPerTrigger=1 + AvailableNow (the segments
+    * identity convention). */
+  def cdcDrain(baseline: DataFrame, batches: Seq[DataFrame],
+               idCol: String, contentCols: Seq[String]): DataFrame = {
+    val spark = batches.head.sparkSession
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
+    val inDir = new java.io.File(base.toFile, "in")
+    inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(base.toFile, s"part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet file written for batch $i"))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val outDir = new java.io.File(base.toFile, "out")
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          graft.ops.SnapshotDiff.incremental(b, baseline, idCol, contentCols)
+            .withColumn("batch_id", lit(batchId.toInt))
+            .write.mode("append").parquet(outDir.toString)
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(outDir.toString).localCheckpoint()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
+
   /** Per-hash dedup state: how many copies seen, which doc won. */
   final case class DedupState(first_doc_id: String, copies: Long)
   /** Dedup verdict row emitted per input doc. */

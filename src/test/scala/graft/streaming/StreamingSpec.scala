@@ -110,6 +110,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("streaming CDC: drain equals the per-batch incremental; verdicts pinned") {
+    import spark.implicits._
+    import graft.ops.SnapshotDiff
+    val baseline = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val b0 = Seq((1L, "a"), (2L, "B!"), (9L, "new")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "c?"), (1L, "a")).toDF("doc_id", "text")
+    val got = StreamingExtract.cdcDrain(baseline, Seq(b0, b1),
+        "doc_id", Seq("text")).collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[String]("change")).toMap
+    // unchanged rows (1,'a') never surface; adds/changes verdict per batch
+    assert(got == Map((0, 2L) -> "changed", (0, 9L) -> "added",
+      (1, 3L) -> "changed"))
+    // batch == stream: the drain is the union of per-batch incrementals
+    val batchSide = Seq(b0, b1).zipWithIndex.flatMap { case (b, i) =>
+      SnapshotDiff.incremental(b, baseline, "doc_id", Seq("text"))
+        .collect().map(r => (i, r.getLong(0)) -> r.getString(1))
+    }.toMap
+    assert(batchSide == got)
+  }
+
   test("streaming stateful dedup: first doc per hash wins across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
