@@ -498,6 +498,33 @@ object SparkEntry {
             .otherwise("none").as("date_source"))
     }),
 
+    // hreflang alternates (round 7 cont.): the multilingual
+    // page-cluster declaration a bitext-mining pipeline joins
+    // translated pairs on. Construction pins rel case-insensitivity
+    // ("Alternate"), whitespace-token containment ("alternate
+    // stylesheet"), x-default verbatim, an href-less link (skipped),
+    // and a rel-mismatched link (skipped) — 3 alternates per doc.
+    "q_hreflang" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val idStr = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><link rel=\"Alternate\" hreflang=\"en\" href=\"https://ex"),
+        hub, lit(".com/en/"), idStr,
+        lit("\"><link rel=\"alternate stylesheet\" hreflang=\"fr-CA\" href=\"https://ex"),
+        hub, lit(".com/fr/"), idStr,
+        lit("\"><link rel=\"alternate\" hreflang=\"x-default\" href=\"https://ex"),
+        hub, lit(".com/"), idStr,
+        lit("\"><link rel=\"alternate\" hreflang=\"de\">"),
+        lit("<link rel=\"stylesheet\" hreflang=\"zz\" href=\"/x\">"),
+        lit("</head><body>x</body></html>"))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_hreflang", html)).as("a"))
+        .filter(col("a").isNotNull)
+        .select(col("doc_id"), col("a.alt_id").as("alt_id"),
+          col("a.lang").as("lang_tag"), col("a.href").as("href"))
+    }),
+
     // Canonical-URL dedup (round 7 cont.): the AMP/tracking-URL dedup
     // stage — pages declaring the same rel=canonical collapse to one
     // winner (quality desc, id asc — the keepBest convention); a page
@@ -3280,6 +3307,22 @@ object SparkEntry {
         |  CASE fam WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
         |    WHEN 2 THEN 'url' ELSE 'none' END AS date_source
         |FROM b""".stripMargin,
+
+    // three emitted alternates per doc in pre-order; the skipped
+    // href-less and rel-mismatched links never shift alt ids
+    "q_hreflang" ->
+      """SELECT doc_id, 0 AS alt_id, 'en' AS lang_tag,
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/en/'
+        |    || CAST(doc_id AS VARCHAR) AS href
+        |FROM documents
+        |UNION ALL SELECT doc_id, 1, 'fr-CA',
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/fr/'
+        |    || CAST(doc_id AS VARCHAR)
+        |FROM documents
+        |UNION ALL SELECT doc_id, 2, 'x-default',
+        |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/'
+        |    || CAST(doc_id AS VARCHAR)
+        |FROM documents""".stripMargin,
 
     // the keepBest window replay over the construction keys: max
     // quality per canonical group, min id among the maxima; self:

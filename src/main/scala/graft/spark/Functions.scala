@@ -647,6 +647,63 @@ object HtmlUdfs {
     }
   }
 
+  /** hreflang alternates: `graft_hreflang(html)` → array<struct<alt_id,
+    * lang,href>> — the multilingual page-cluster declaration
+    * (`<link rel="alternate" hreflang=.. href=..>`), the signal a
+    * bitext-mining pipeline joins translated page pairs on. One parse
+    * per row; conventions: rel matching is ASCII-case-insensitive
+    * whitespace-token containment (the page-meta canonical rule), a
+    * link missing EITHER hreflang or href is skipped, attr lookup is
+    * first-on-the-verbatim-chain (api.h:1240), alt_id = 0-based
+    * pre-order ordinal of the EMITTED alternates, lang is kept
+    * verbatim (x-default included — normalization is the caller's
+    * lowercase/BCP-47 problem). */
+  val hreflangStructType: StructType = StructType(Seq(
+    StructField("alt_id", IntegerType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("href", StringType, nullable = false)
+  ))
+  val hreflangArrayType: ArrayType =
+    ArrayType(hreflangStructType, containsNull = false)
+
+  val hreflangEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def hreflangTable(html: UTF8String): ArrayData = {
+    hreflangEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](4)
+      var nextId = 0
+      def relHasAlternate(rel: String): Boolean = {
+        val toks = graft.ops.TextNorm.tokens(graft.ops.TextNorm.asciiLower(rel))
+        var i = 0
+        while (i < toks.length) {
+          if (toks(i) == "alternate") return true
+          i += 1
+        }
+        false
+      }
+      def walk(n: Node): Unit = {
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML && n.name == "link") {
+          val rel = firstAttrVal(n, "rel")
+          if (rel != null && relHasAlternate(rel)) {
+            val lang = firstAttrVal(n, "hreflang")
+            val href = firstAttrVal(n, "href")
+            if (lang != null && href != null) {
+              rows += InternalRow(nextId, UTF8String.fromString(lang),
+                UTF8String.fromString(href))
+              nextId += 1
+            }
+          }
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** Subtitle parsing: `graft_subtitles(text)` → array<struct<cue_id,
     * start_ms,end_ms,text>> — WebVTT and SRT cues (the audio/video-text
     * alignment format a multimodal pipeline mines for ASR training
@@ -1639,6 +1696,22 @@ case class GraftFeed(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftFeed =
     copy(child = newChild)
   override def prettyName: String = "graft_feed"
+}
+
+/** hreflang alternates: `graft_hreflang(html)` → array<struct<alt_id,
+  * lang,href>> — one parse per row; explode with the outer+isNotNull
+  * discipline. */
+case class GraftHreflang(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.hreflangArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.hreflangTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.hreflangTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftHreflang =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hreflang"
 }
 
 /** Subtitle parsing: `graft_subtitles(text)` → array<struct<cue_id,
