@@ -2839,6 +2839,37 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Discovery chain (round 7 cont.): the crawl-discovery loop
+    // composed end-to-end from three gated kernels — robots.txt
+    // declares the sitemap (graft_robots_meta), the fetched sitemap
+    // lists candidate urls (graft_sitemap), and the SAME robots rules
+    // gate each candidate's path (graft_robots_allows). Construction:
+    // each doc's robots carries one Sitemap directive + a /priv
+    // disallow; its sitemap lists an allowed and a disallowed url.
+    "q_discovery_chain" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val hub = pmod(col("doc_id"), lit(7L)).cast("string")
+      val idStr = col("doc_id").cast("string")
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /priv\nSitemap: https://ex"), hub,
+        lit(".com/sm-"), idStr, lit(".xml\n"))
+      val smUrl = call_function("graft_robots_meta", robots,
+        lit("graftbot/1.0")).getField("sitemaps").getItem(0)
+      val xml = concat(
+        lit("<urlset><url><loc>https://ex"), hub, lit(".com/p/"), idStr,
+        lit("</loc></url><url><loc>https://ex"), hub, lit(".com/priv/"),
+        idStr, lit("</loc></url></urlset>"))
+      d.select(col("doc_id"), smUrl.as("sitemap_url"),
+          explode_outer(call_function("graft_sitemap", xml)).as("e"),
+          robots.as("r"))
+        .filter(col("e").isNotNull)
+        .select(col("doc_id"), col("sitemap_url"),
+          col("e.loc").as("loc"),
+          GraftFunctions.graft_robots_allows(col("r"), lit("graftbot/1.0"),
+            UrlOps.path(col("e.loc"))).as("allowed"))
+    }),
+
     // robots.txt evaluation (round 5): RFC 9309 longest-match with
     // wildcards/$-anchors and specific-agent-over-* group selection;
     // six path families × two agents hit every decision branch, and the
@@ -5360,6 +5391,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY domain ORDER BY i ASC) AS rn
         |  FROM t)
         |WHERE rn <= 40""".stripMargin,
+
+    // construction replay: the sitemap url from the directive, two
+    // locs per doc, the /priv loc disallowed by the same rule set
+    "q_discovery_chain" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+        |  CAST(doc_id AS VARCHAR) AS i FROM documents)
+        |SELECT doc_id,
+        |  'https://ex' || k || '.com/sm-' || i || '.xml' AS sitemap_url,
+        |  'https://ex' || k || '.com/p/' || i AS loc, true AS allowed
+        |FROM b
+        |UNION ALL SELECT doc_id,
+        |  'https://ex' || k || '.com/sm-' || i || '.xml',
+        |  'https://ex' || k || '.com/priv/' || i, false
+        |FROM b""".stripMargin,
 
     // replay by construction: two sitemap urls in file order joined by
     // '|', delay '10' for the specific-group agent, '5' for the
