@@ -34,7 +34,7 @@ object ScaleProbe {
     "q_image_webp", "q_feed", "q_caption_pairs", "q_jsonl", "q_robots_meta",
     "q_pub_date", "q_editdist_verify", "q_audio_mp3", "q_subtitles",
     "q_recrawl_priority", "q_shard_manifest", "q_sections", "q_table_csv",
-    "q_page_history", "q_canonical_dedup", "q_stream_cdc", "q_hreflang",
+    "q_page_history", "q_canonical_dedup", "q_stream_cdc", "q_hreflang", "q_discovery_chain",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",
