@@ -35,6 +35,7 @@ object ScaleProbe {
     "q_pub_date", "q_editdist_verify", "q_audio_mp3", "q_subtitles",
     "q_recrawl_priority", "q_shard_manifest", "q_sections", "q_table_csv",
     "q_page_history", "q_canonical_dedup", "q_stream_cdc", "q_hreflang", "q_discovery_chain",
+    "q_image_exif",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",

@@ -2097,6 +2097,71 @@ object SparkEntry {
         hdr.getField("depth").as("depth"))
     }),
 
+    // EXIF/TIFF IFD walk (round 7 cont., SURVEY §16 lever 3): REAL TIFF
+    // bytes built in-query across BOTH byte orders (II/MM), SHORT vs
+    // LONG dimension types (left-justified 4-byte value fields), a
+    // skipped offset-valued ASCII entry family (the walk must stride,
+    // never dereference), a JPEG APP1 "Exif\0\0" wrapper family, and a
+    // truncation family (unknown verdict). The oracle independently
+    // rebuilds the bytes from the same arithmetic and re-parses every
+    // field at the documented hex offsets (the q_image_webp discipline).
+    "q_image_exif" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = (pmod(col("doc_id"), lit(300)) + 16).cast("int")
+      val h = (pmod(col("n_chars"), lit(200)) + 8).cast("int")
+      val o = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      def hb(v: Column, k: Int) =
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le16h(v: Column) = concat(hb(v, 0), hb(v, 1))
+      def be16h(v: Column) = concat(hb(v, 1), hb(v, 0))
+      def le32h(v: Column) = concat(hb(v, 0), hb(v, 1), hb(v, 2), hb(v, 3))
+      def be32h(v: Column) = concat(hb(v, 3), hb(v, 2), hb(v, 1), hb(v, 0))
+      val isLong = pmod(col("n_chars"), lit(2)) === 0
+      val extra = pmod(col("doc_id"), lit(5)) === 2
+      val wrap = pmod(col("doc_id"), lit(3)) === 0
+      def tiff(le: Boolean): Column = {
+        def e16(v: Column) = if (le) le16h(v) else be16h(v)
+        // value fields are left-justified in their 4 bytes in BOTH orders
+        def dim(v: Column) = when(isLong, if (le) le32h(v) else be32h(v))
+          .otherwise(concat(e16(v), lit("0000")))
+        val typ = when(isLong, lit(if (le) "0400" else "0004"))
+          .otherwise(lit(if (le) "0300" else "0003"))
+        val one32 = lit(if (le) "01000000" else "00000001")
+        val entW = concat(lit(if (le) "0001" else "0100"), typ, one32, dim(w))
+        val entH = concat(lit("0101"), typ, one32, dim(h))
+        // Make (0x010F, ASCII count 20): value field is a DANGLING
+        // offset — the walk must skip it by stride, never read it
+        val entM = lit((if (le) "0F01" else "010F") +
+          (if (le) "0200" else "0002") +
+          (if (le) "14000000" else "00000014") +
+          (if (le) "62000000" else "00000062"))
+        val entO = concat(lit(if (le) "1201" else "0112"),
+          lit(if (le) "0300" else "0003"), one32,
+          concat(e16(o), lit("0000")))
+        val cnt = when(extra, lit(if (le) "0400" else "0004"))
+          .otherwise(lit(if (le) "0300" else "0003"))
+        concat(lit(if (le) "49492A00" + "08000000" else "4D4D002A" + "00000008"),
+          cnt, entW, entH, when(extra, entM).otherwise(lit("")), entO,
+          lit("00000000"))
+      }
+      val tiffHex = when(pmod(col("doc_id"), lit(2)) === 0, tiff(true))
+        .otherwise(tiff(false))
+      // APP1 length = 2 (itself) + 6 (Exif\0\0) + 50/62 TIFF bytes
+      val fullHex = when(wrap, concat(lit("FFD8FFE1"),
+        when(extra, lit("0046")).otherwise(lit("003A")),
+        lit("457869660000"), tiffHex)).otherwise(tiffHex)
+      val hexStr = when(pmod(col("doc_id"), lit(11)) === 3,
+        substring(fullHex, 1, 16)).otherwise(fullHex)
+      val x = call_function("graft_exif", unhex(hexStr))
+      d.select(col("doc_id"),
+        x.getField("byte_order").as("byte_order"),
+        x.getField("width").as("width"),
+        x.getField("height").as("height"),
+        x.getField("orientation").as("orientation"),
+        x.getField("entries").as("entries"),
+        x.getField("ok").as("ok"))
+    }),
+
     // REAL audio-container decode: valid RIFF/WAVE bytes built in-query
     // (PCM fmt chunk; a JUNK-chunk family with odd sizes forces a
     // genuine word-aligned chunk walk; a truncation family must yield
@@ -4782,6 +4847,87 @@ object SparkEntry {
         |    END AS INT) AS height,
         |  CAST(CASE WHEN format = 'unknown' THEN -1 ELSE 8 END AS INT) AS depth
         |FROM tr""".stripMargin
+    },
+
+    // independent byte rebuild + re-parse at the documented TIFF
+    // offsets: count at tiff byte 8 (hex pre+17), width value at 18
+    // (pre+37), height at 30 (pre+61), orientation at 42 or 54 with the
+    // extra skipped entry (pre+85/109); pre = 24 hex for the JPEG APP1
+    // wrapper. SHORT values read 2 bytes left-justified, LONG all 4,
+    // each in the row's byte order.
+    "q_image_exif" -> {
+      def hx2i(e: String): String =
+        "list_reduce(list_transform(regexp_split_to_array(" + e +
+          ", ''), c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+      def b(p: String) = hx2i(s"substr(s, $p, 2)")
+      def sle(p: String) = s"(${b(p)} + 256 * ${b(s"$p + 2")})"
+      def sbe(p: String) = s"(256 * ${b(p)} + ${b(s"$p + 2")})"
+      def lle(p: String) = s"(${b(p)} + 256 * ${b(s"$p + 2")} + 65536 * ${b(s"$p + 4")} + 16777216 * ${b(s"$p + 6")})"
+      def lbe(p: String) = s"(16777216 * ${b(p)} + 65536 * ${b(s"$p + 2")} + 256 * ${b(s"$p + 4")} + ${b(s"$p + 6")})"
+      def leHex(e: String, n: Int): String =
+        (0 until n).map(k =>
+          s"lpad(hex(($e // ${1L << (8 * k)}) % 256), 2, '0')").mkString(" || ")
+      def beHex(e: String, n: Int): String =
+        (0 until n).reverse.map(k =>
+          s"lpad(hex(($e // ${1L << (8 * k)}) % 256), 2, '0')").mkString(" || ")
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 300 + 16 AS INT) AS w,
+        |    CAST(n_chars % 200 + 8 AS INT) AS h,
+        |    CAST(doc_id % 8 + 1 AS INT) AS o,
+        |    doc_id % 2 = 0 AS le, n_chars % 2 = 0 AS lng,
+        |    doc_id % 5 = 2 AS extra, doc_id % 3 = 0 AS wrap,
+        |    doc_id % 11 = 3 AS cut
+        |  FROM documents),
+        |t AS (SELECT *,
+        |  CASE WHEN le THEN
+        |    '49492A0008000000' ||
+        |    CASE WHEN extra THEN '0400' ELSE '0300' END ||
+        |    '0001' || CASE WHEN lng THEN '0400' ELSE '0300' END || '01000000' ||
+        |    CASE WHEN lng THEN ${leHex("w", 4)}
+        |         ELSE ${leHex("w", 2)} || '0000' END ||
+        |    '0101' || CASE WHEN lng THEN '0400' ELSE '0300' END || '01000000' ||
+        |    CASE WHEN lng THEN ${leHex("h", 4)}
+        |         ELSE ${leHex("h", 2)} || '0000' END ||
+        |    CASE WHEN extra THEN '0F0102001400000062000000' ELSE '' END ||
+        |    '1201030001000000' || ${leHex("o", 2)} || '0000' || '00000000'
+        |  ELSE
+        |    '4D4D002A00000008' ||
+        |    CASE WHEN extra THEN '0004' ELSE '0003' END ||
+        |    '0100' || CASE WHEN lng THEN '0004' ELSE '0003' END || '00000001' ||
+        |    CASE WHEN lng THEN ${beHex("w", 4)}
+        |         ELSE ${beHex("w", 2)} || '0000' END ||
+        |    '0101' || CASE WHEN lng THEN '0004' ELSE '0003' END || '00000001' ||
+        |    CASE WHEN lng THEN ${beHex("h", 4)}
+        |         ELSE ${beHex("h", 2)} || '0000' END ||
+        |    CASE WHEN extra THEN '010F00020000001400000062' ELSE '' END ||
+        |    '0112000300000001' || ${beHex("o", 2)} || '0000' || '00000000'
+        |  END AS tf FROM base),
+        |fx AS (SELECT *, CASE WHEN wrap THEN
+        |    'FFD8FFE1' || CASE WHEN extra THEN '0046' ELSE '003A' END ||
+        |    '457869660000' || tf ELSE tf END AS s0 FROM t),
+        |tr AS (SELECT *, CASE WHEN cut THEN substr(s0, 1, 16) ELSE s0 END AS s,
+        |  CASE WHEN wrap THEN 24 ELSE 0 END AS pre FROM fx),
+        |p AS (SELECT *, pre + 37 AS pw, pre + 61 AS ph,
+        |  pre + CASE WHEN extra THEN 109 ELSE 85 END AS po FROM tr)
+        |SELECT doc_id,
+        |  CASE WHEN cut THEN ''
+        |    WHEN substr(s, pre + 1, 2) = '49' THEN 'II' ELSE 'MM' END
+        |    AS byte_order,
+        |  CAST(CASE WHEN cut THEN -1
+        |    WHEN lng AND le THEN ${lle("pw")} WHEN lng THEN ${lbe("pw")}
+        |    WHEN le THEN ${sle("pw")} ELSE ${sbe("pw")} END AS INT) AS width,
+        |  CAST(CASE WHEN cut THEN -1
+        |    WHEN lng AND le THEN ${lle("ph")} WHEN lng THEN ${lbe("ph")}
+        |    WHEN le THEN ${sle("ph")} ELSE ${sbe("ph")} END AS INT) AS height,
+        |  CAST(CASE WHEN cut THEN -1
+        |    WHEN le THEN ${sle("po")} ELSE ${sbe("po")} END AS INT)
+        |    AS orientation,
+        |  CAST(CASE WHEN cut THEN -1
+        |    WHEN le THEN ${sle("pre + 17")} ELSE ${sbe("pre + 17")} END
+        |    AS INT) AS entries,
+        |  NOT cut AS ok
+        |FROM p""".stripMargin
     },
 
     "q_video_headers" ->

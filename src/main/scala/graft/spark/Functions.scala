@@ -1458,6 +1458,104 @@ object MediaUdfs {
     val (brand, ts, dur, ok) = decodeVideoHeader(b)
     InternalRow(UTF8String.fromString(brand), ts, dur, ok)
   }
+
+  val exifStructType: StructType = StructType(Seq(
+    StructField("byte_order", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("entries", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)
+  ))
+
+  /** REAL EXIF/TIFF IFD0 walk (TIFF 6.0 + EXIF 2.3): accepts a bare
+    * TIFF blob (`II*\0` / `MM\0*`) or a JPEG whose marker walk reaches
+    * an APP1 segment with the `Exif\0\0` identifier. Honors BOTH byte
+    * orders end-to-end (header magic, IFD offset, entry count, tags,
+    * types, values); reads single-count SHORT(3)/LONG(4) values inline
+    * from the left-justified 4-byte value field (left-justified in both
+    * orders per TIFF 6.0 §2) for ImageWidth(0x0100)/ImageLength(0x0101)/
+    * Orientation(0x0112); every other entry — strings, rationals,
+    * offset-valued fields — is SKIPPED by the 12-byte entry stride,
+    * never dereferenced. The whole entry table plus the next-IFD
+    * pointer must be in bounds (APP1-length-bounded in the JPEG case)
+    * or the verdict is unknown. Total function: malformed input →
+    * ("", -1, -1, -1, -1, false), never a throw. */
+  def decodeExif(b: Array[Byte]): (String, Int, Int, Int, Int, Boolean) = {
+    val BAD = ("", -1, -1, -1, -1, false)
+    if (b == null || b.length < 8) return BAD
+    @inline def u(i: Int): Int = b(i) & 0xFF
+    // locate the TIFF region: bare, or inside a JPEG APP1 "Exif\0\0"
+    var base = 0
+    var to = b.length
+    if (u(0) == 0xFF && u(1) == 0xD8) {
+      @inline def jbe16(i: Int): Int = (u(i) << 8) | u(i + 1)
+      var i = 2
+      var found = false
+      while (!found && i + 3 < b.length) {
+        if (u(i) != 0xFF) return BAD
+        var j = i
+        while (j < b.length && u(j) == 0xFF) j += 1 // fill bytes
+        if (j >= b.length) return BAD
+        val m = u(j)
+        if (m == 0xD9) return BAD // EOI before any Exif APP1
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i = j + 1
+        else {
+          if (j + 2 >= b.length) return BAD
+          val len = jbe16(j + 1)
+          if (len < 2) return BAD
+          if (m == 0xE1 && len >= 8 && j + 8 < b.length &&
+              u(j + 3) == 'E' && u(j + 4) == 'x' && u(j + 5) == 'i' &&
+              u(j + 6) == 'f' && u(j + 7) == 0 && u(j + 8) == 0) {
+            base = j + 9
+            to = math.min(b.length, j + len + 1) // APP1 bounds the TIFF
+            found = true
+          } else i = j + 1 + len
+        }
+      }
+      if (!found) return BAD
+    }
+    if (base + 8 > to) return BAD
+    val le =
+      if (u(base) == 0x49 && u(base + 1) == 0x49) true
+      else if (u(base) == 0x4D && u(base + 1) == 0x4D) false
+      else return BAD
+    @inline def r16(i: Int): Int =
+      if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+    @inline def r32(i: Int): Long =
+      if (le) (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+      else (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    if (r16(base + 2) != 42) return BAD
+    val ifdOff = r32(base + 4)
+    if (ifdOff < 8 || base + ifdOff + 2 > to) return BAD
+    val ifd = base + ifdOff.toInt
+    val count = r16(ifd)
+    // the full entry table plus the next-IFD pointer must fit
+    if (ifd + 2 + count * 12 + 4 > to) return BAD
+    var width = -1; var height = -1; var orient = -1
+    var k = 0
+    while (k < count) {
+      val e = ifd + 2 + k * 12
+      val tag = r16(e)
+      val typ = r16(e + 2)
+      val n = r32(e + 4)
+      if (n == 1L && (typ == 3 || typ == 4)) {
+        val v: Long = if (typ == 3) r16(e + 8).toLong else r32(e + 8)
+        if (v >= 0 && v <= Int.MaxValue) {
+          if (tag == 0x0100) width = v.toInt
+          else if (tag == 0x0101) height = v.toInt
+          else if (tag == 0x0112) orient = v.toInt
+        }
+      }
+      k += 1
+    }
+    (if (le) "II" else "MM", width, height, orient, count, true)
+  }
+
+  def exifHeader(b: Array[Byte]): InternalRow = {
+    val (bo, w, h, o, n, ok) = decodeExif(b)
+    InternalRow(UTF8String.fromString(bo), w, h, o, n, ok)
+  }
 }
 
 /** Native expression: `graft_image_header(binary)` →
@@ -1514,6 +1612,20 @@ case class GraftVideoHeader(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftVideoHeader =
     copy(child = newChild)
   override def prettyName: String = "graft_video_header"
+}
+
+/** Native expression: `graft_exif(binary)` →
+  * struct<byte_order,width,height,orientation,entries,ok>. */
+case class GraftExif(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaUdfs.exifStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MediaUdfs.exifHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.MediaUdfs.exifHeader($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftExif =
+    copy(child = newChild)
+  override def prettyName: String = "graft_exif"
 }
 
 /** Native Catalyst expression: parse_html_spans(html). Codegen emits a
@@ -2228,6 +2340,7 @@ object GraftFunctions {
   def graft_image_header(c: Column): Column = call_function("graft_image_header", c)
   def graft_audio_header(c: Column): Column = call_function("graft_audio_header", c)
   def graft_video_header(c: Column): Column = call_function("graft_video_header", c)
+  def graft_exif(c: Column): Column = call_function("graft_exif", c)
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
   def graft_warc_records(c: Column): Column = call_function("graft_warc_records", c)

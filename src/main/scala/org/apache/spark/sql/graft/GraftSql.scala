@@ -115,6 +115,8 @@ object GraftSql {
       args => GraftMp3Header(args.head)),
     ("graft_video_header", "graft.spark.GraftVideoHeader",
       args => GraftVideoHeader(args.head)),
+    ("graft_exif", "graft.spark.GraftExif",
+      args => GraftExif(args.head)),
     // PDF structure + text extraction (round 4 — north rule "PDF/layout parse")
     ("graft_pdf_info", "graft.spark.GraftPdfInfo",
       args => GraftPdfInfo(args.head)),
