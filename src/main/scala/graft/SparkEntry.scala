@@ -1784,6 +1784,46 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
     }),
 
+    // OPQ-style permuted PQ (round 7, SURVEY §16 ANN frontier; Ge et
+    // al. CVPR'13 restricted to a permutation): corpus vectors use an
+    // INTERLEAVED original layout — dims [x0..x3, y0..y3] where
+    // codeword s is the PAIR (x_s, y_s) — so a contiguous subvector
+    // split is NOT codeword-aligned (identity-perm PQ is lossy there;
+    // ScaleGuardSpec pins the contrast). The fixed deterministic
+    // interleave permutation [0,4,1,5,2,6,3,7] gathers each codeword
+    // into one subspace, restoring the q_ann_pq lossless plant (corpus
+    // subvectors ARE codewords → ADC == exact cosine bit-for-bit), and
+    // because a permutation is orthonormal the reported cosine equals
+    // the cosine of the UNPERMUTED vectors — which is what the oracle
+    // scores, with no permutation anywhere in the SQL.
+    "q_ann_opq" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val xs = Seq(1f, 0f, 3f, 4f)
+      val ys = Seq(0f, 2f, 4f, 3f)
+      def cw(sub: Int) = (pmod(shiftright(col("doc_id"), 2 * sub), lit(4)) + 1).cast("int")
+      val cvec = array(((0 until 4).map(sub => element_at(typedlit(xs), cw(sub))) ++
+        (0 until 4).map(sub => element_at(typedlit(ys), cw(sub)))): _*)
+      val corpus = d.select(col("doc_id").as("vec_id"), cvec.as("embedding"))
+      // original-layout query: permuteVec(qvec, perm) is exactly
+      // q_ann_pq's query vector
+      val qvec = array(
+        (pmod(col("doc_id"), lit(2)) + 1).cast("float"), lit(0f), lit(3f),
+        lit(1f), lit(2f), lit(1f),
+        pmod(col("doc_id"), lit(3)).cast("float"), lit(2f))
+      val queries = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), qvec.as("qvec"))
+      val perm = Array(0, 4, 1, 5, 2, 6, 3, 7)
+      val coarse = Array.tabulate(4) { c =>
+        val v = new Array[Float](8); v(2 * c) = 1f; v
+      }
+      val codebooks = Array.fill(4)(Array(
+        Array(1f, 0f), Array(0f, 2f), Array(3f, 4f), Array(4f, 3f)))
+      Similarity.opqPqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", perm, coarse, codebooks, k = 5, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    }),
+
     "q_multimodal_stub" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(
@@ -4569,6 +4609,35 @@ object SparkEntry {
         |q AS (SELECT doc_id AS query_id,
         |  [CAST(doc_id % 2 + 1 AS DOUBLE), 2, 0, 1, 3,
         |   CAST(doc_id % 3 AS DOUBLE), 1, 2] AS qv
+        |  FROM documents WHERE doc_id < 5),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |  list_sum(list_transform(generate_series(1, 8), i -> qv[i] * cv[i]))
+        |  / greatest(sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |           * sqrt(list_sum(list_transform(cv, x -> x*x))), 1e-12) AS cosine
+        |  FROM q CROSS JOIN corpus c)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin
+    },
+
+    // OPQ permuted-PQ oracle: plain exact-cosine top-5 over the
+    // UNPERMUTED interleaved construction — valid because the
+    // permutation is orthonormal (norms/dots invariant) and the
+    // permuted corpus subvectors ARE codewords (ADC exact, integer
+    // floats; the q_ann_pq discipline). No permutation in the SQL.
+    "q_ann_opq" -> {
+      val xs = Seq(1, 0, 3, 4)
+      val ys = Seq(0, 2, 4, 3)
+      def cw(sub: Int, t: Seq[Int]) =
+        s"CAST(CASE (doc_id >> ${2 * sub}) & 3 WHEN 0 THEN ${t(0)} " +
+          s"WHEN 1 THEN ${t(1)} WHEN 2 THEN ${t(2)} ELSE ${t(3)} END AS DOUBLE)"
+      val cv = ((0 until 4).map(s => cw(s, xs)) ++
+        (0 until 4).map(s => cw(s, ys))).mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id AS vec_id, [$cv] AS cv FROM documents),
+        |q AS (SELECT doc_id AS query_id,
+        |  [CAST(doc_id % 2 + 1 AS DOUBLE), 0, 3, 1, 2, 1,
+        |   CAST(doc_id % 3 AS DOUBLE), 2] AS qv
         |  FROM documents WHERE doc_id < 5),
         |sc AS (SELECT q.query_id, c.vec_id,
         |  list_sum(list_transform(generate_series(1, 8), i -> qv[i] * cv[i]))

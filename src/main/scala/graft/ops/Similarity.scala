@@ -300,6 +300,82 @@ object Similarity {
     TopK.perQueryTopK(scored, k)
   }
 
+  /** OPQ's rotation restricted to a PERMUTATION: reorder dimensions so
+    * correlated components land in the same PQ subspace (Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013 — the eigenvalue-
+    * allocation half of OPQ; a permutation matrix is orthonormal, so
+    * norms and dot products — hence cosine and the ADC identity — are
+    * invariant, which is exactly what makes the construction
+    * SQL-replayable: the oracle scores the UNPERMUTED vectors).
+    * `perm(i)` = the original dimension that lands at permuted slot i.
+    * Indices must stay within the vector (element_at is ANSI-strict). */
+  def permuteVec(v: Column, perm: Array[Int]): Column =
+    when(v.isNotNull, array(perm.map(i => element_at(v, lit(i + 1))): _*))
+
+  /** OPQ-style subspace allocation, trained from data: order dimensions
+    * by variance (desc, index asc on ties — deterministic) and greedily
+    * assign each to the not-yet-full subspace with the smallest
+    * accumulated variance. This balances per-subspace information the
+    * way OPQ's eigenvalue allocation does, without a dense rotation the
+    * oracle could not replay. Driver cost: one dim-row aggregate —
+    * bounded by the DIMENSION, never the data (the Sample.toMixture
+    * collect discipline). Returns subspace-major order (each subspace's
+    * dims ascending) ready for `permuteVec`/`opqPqTopK`. */
+  def trainOpqPermutation(corpus: DataFrame, vecCol: String, m: Int): Array[Int] = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(dim <= 65536, s"per-dim aggregate must stay dimension-bounded (dim=$dim)")
+    val stats = corpus.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("double")).as("s"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("ss"))
+      .collect()
+    val varByDim = new Array[Double](dim)
+    stats.foreach { r =>
+      val pos = r.getInt(0)
+      val n = r.getLong(1).toDouble
+      if (n > 0 && pos < dim) {
+        val mean = r.getDouble(2) / n
+        varByDim(pos) = math.max(0.0, r.getDouble(3) / n - mean * mean)
+      }
+    }
+    val dsub = dim / m
+    val acc = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    varByDim.zipWithIndex.sortBy { case (v, i) => (-v, i) }.foreach { case (v, i) =>
+      val tgt = (0 until m).filter(s => buckets(s).length < dsub)
+        .minBy(s => (acc(s), s))
+      acc(tgt) += v
+      buckets(tgt) += i
+    }
+    buckets.flatMap(_.sorted).toArray
+  }
+
+  /** OPQ-PQ top-k: `ivfPqTopK` over permuted vectors — coarse centroids
+    * and codebooks live in PERMUTED space (train them on
+    * `permuteVec`-projected vectors); reported cosine is the ORIGINAL
+    * cosine because a permutation preserves norms and dots. When the
+    * permutation gathers each codeword's components into one subspace,
+    * the lossless-plant ADC identity holds exactly as in q_ann_pq —
+    * with the identity permutation the same corpus is quantization-
+    * lossy (ScaleGuardSpec pins both sides of that contrast). */
+  def opqPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                perm: Array[Int],
+                coarse: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                k: Int = 10, nprobe: Int = 4,
+                residual: Boolean = false): DataFrame = {
+    require(perm.sorted.sameElements(Array.range(0, perm.length)),
+      s"perm must be a permutation of 0..${perm.length - 1}")
+    val pc = corpus.select(col(corpusId),
+      permuteVec(col(corpusVec), perm).as(corpusVec))
+    val pq = queries.select(col(queryId),
+      permuteVec(col(queryVec), perm).as(queryVec))
+    ivfPqTopK(pc, corpusId, corpusVec, pq, queryId, queryVec,
+      coarse, codebooks, k, nprobe, residual)
+  }
+
   /** IVF ANN: assign every corpus vector to its nearest trained centroid
     * (the inverted file), probe the `nprobe` nearest lists per query,
     * exact cosine + bounded top-k within the candidates. The classic

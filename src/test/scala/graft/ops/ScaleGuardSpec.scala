@@ -431,6 +431,68 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(rRes >= 0.60, f"residual recall floor: $rRes%.4f")
   }
 
+  test("OPQ permutation: lossless where identity-perm PQ is lossy; trained allocation deterministic") {
+    import spark.implicits._
+    // interleaved ORIGINAL layout [x0..x3, y0..y3]: codeword s is the
+    // PAIR (x_s, y_s), so contiguous-split subvectors (x0,x1)... are
+    // NOT codewords — the permutation is what restores the lossless
+    // plant (the q_ann_opq contract)
+    val cb = Array.fill(4)(Array(
+      Array(1f, 0f), Array(0f, 2f), Array(3f, 4f), Array(4f, 3f)))
+    val lc = (0 until 64).map { i =>
+      val pick = (0 until 4).map(s => cb(s)((i >> (2 * s)) & 3))
+      (i.toLong, (pick.map(_(0)) ++ pick.map(_(1))).toArray)
+    }
+    val lcorpus = lc.toDF("vec_id", "embedding")
+    val lq = lc.take(6).map { case (id, v) => (id + 1000L, v) }.toDF("qid", "qvec")
+    val one = Array(Array.fill(8)(0f).updated(0, 1f))
+    val perm = Array(0, 4, 1, 5, 2, 6, 3, 7)
+    val byId = lc.toMap
+    val got = Similarity.opqPqTopK(lcorpus, "vec_id", "embedding",
+        lq, "qid", "qvec", perm, one, cb, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    lq.collect().foreach { r =>
+      val qid = r.getLong(0); val qv = byId(qid - 1000L)
+      val truth = lc.map { case (id, v) => (id, cosF(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      truth.zipWithIndex.foreach { case ((tid, tcos), ix) =>
+        val (gid, gcos) = got((qid, ix + 1))
+        assert(gid == tid && gcos == tcos,
+          s"permuted ADC must equal exact cosine of the ORIGINAL vectors: " +
+            s"q=$qid rank=${ix + 1} got ($gid,$gcos) want ($tid,$tcos)")
+      }
+    }
+    // identity permutation on the SAME corpus: contiguous subvectors
+    // are not codewords, so at least one reported ADC score must
+    // diverge from exact cosine (this is WHY OPQ exists)
+    val gotId = Similarity.opqPqTopK(lcorpus, "vec_id", "embedding",
+        lq, "qid", "qvec", (0 until 8).toArray, one, cb, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val divergent = gotId.count { case (qid, vid, c) =>
+      math.abs(c - cosF(byId(qid - 1000L), byId(vid))) > 1e-9
+    }
+    info(s"identity-perm ADC divergence: $divergent of ${gotId.length} reported pairs")
+    assert(divergent > 0,
+      "identity-perm PQ on the interleaved corpus must be lossy — if not, the plant is broken")
+    // trained allocation: integer-valued planted dims (exact sums →
+    // fully deterministic) with variance growing in dim index; the
+    // greedy balance must put the top-two-variance dims in DIFFERENT
+    // subspaces, and the permutation must be partitioning-invariant
+    val tr = (0 until 400).map { row =>
+      (row.toLong, Array.tabulate(8)(d => ((row + d) % (d + 2)).toFloat))
+    }
+    def permAt(parts: Int): Array[Int] =
+      Similarity.trainOpqPermutation(
+        tr.toDF("vec_id", "v").repartition(parts), "v", m = 2)
+    val p2 = permAt(2)
+    assert(p2.sorted.sameElements(0 until 8), s"not a permutation: ${p2.mkString(",")}")
+    assert(p2.sameElements(permAt(7)) && p2.sameElements(permAt(32)),
+      "trained permutation must be partition-invariant (integer-exact sums)")
+    val sub = p2.zipWithIndex.map { case (d, i) => d -> i / 4 }.toMap
+    assert(sub(7) != sub(6),
+      s"top-two-variance dims must split across subspaces: ${p2.mkString(",")}")
+  }
+
   test("pack: distributed prefix sum equals the naive cumsum at every partition count") {
     import spark.implicits._
     // adversarial sizes: zeros, giants spanning many chunks, exact-budget

@@ -46,6 +46,9 @@ FLOAT_ALLOW = {
     # subvectors ARE codewords (all-integer floats; round-5 construction)
     "q_ann_pq": {"cosine"},
     "q_ann_pqr": {"cosine"},
+    # permutation preserves norms/dots, so the OPQ ADC score IS the
+    # q_ann_pq lossless-plant cosine (all-integer floats, exact)
+    "q_ann_opq": {"cosine"},
     # planted duplicate vectors: identical or power-of-two scaled -> the
     # norm ratio / cosine is exact; jaccard on md5-token texts is a ratio
     # of small ints, exact in binary64
