@@ -2202,6 +2202,48 @@ object SparkEntry {
         x.getField("ok").as("ok"))
     }),
 
+    // Byte-level blockhash near-dup grouping (round 7 cont., SURVEY §16
+    // lever 3): the decode-free perceptual-hash analog. Payloads are
+    // md5-built 64-byte families; a pure family (doc_id%3==0) shares the
+    // exact base payload (guaranteed dup groups), the rest splice ONE
+    // perturbed byte at a doc-specific offset (hamming to the family
+    // base stays small but is NOT forced to zero — the oracle replays
+    // the full block-sum/median/bit arithmetic, so whatever grouping
+    // falls out is replayed identically), and an empty family pins the
+    // null-verdict path. group_n rides ONE hash-partitioned window on
+    // the hash (never a corpus-wide sort); ham consumes the post-window
+    // attribute so the kernel runs exactly twice per row (payload +
+    // family base), OpsSpec-pinned.
+    "q_image_blockhash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val f = pmod(col("doc_id"), lit(50)).cast("int")
+      def m5(off: Int) = md5(concat(lit("bh"), (f + off).cast("string")))
+      val base = concat(m5(0), m5(1), m5(2), m5(3))
+      val p = pmod(col("doc_id"), lit(64)).cast("int")
+      val dv = pmod(col("doc_id"), lit(7)).cast("int")
+      val orig = conv(substr(base, p * 2 + 1, lit(2)), 16, 10).cast("int")
+      val nb = pmod(orig + 1 + dv, lit(256))
+      val spliced = concat(substr(base, lit(1), p * 2),
+        lpad(hex(nb), 2, "0"), substr(base, p * 2 + 3, lit(256)))
+      val payload = when(pmod(col("doc_id"), lit(97)) === 5, lit(""))
+        .when(pmod(col("doc_id"), lit(3)) === 0, base)
+        .otherwise(spliced)
+      val hashed = d.select(col("doc_id"),
+        GraftFunctions.graft_blockhash(unhex(payload)).as("bhash"),
+        GraftFunctions.graft_blockhash(unhex(base)).as("base_hash"))
+      val w = Window.partitionBy("bhash")
+      hashed
+        .withColumn("group_n",
+          when(col("bhash").isNull, lit(0L)).otherwise(count(lit(1)).over(w)))
+        .select(col("doc_id"), col("bhash"),
+          GraftFunctions.graft_hamming_hex(col("bhash"), col("base_hash"))
+            .as("ham_base"),
+          when(GraftFunctions.graft_hamming_hex(col("bhash"), col("base_hash"))
+            .leq(2), 1).otherwise(0).cast("int").as("is_near"),
+          col("group_n"))
+    }),
+
     // REAL audio-container decode: valid RIFF/WAVE bytes built in-query
     // (PCM fmt chunk; a JUNK-chunk family with odd sizes forces a
     // genuine word-aligned chunk walk; a truncation family must yield
@@ -4997,6 +5039,62 @@ object SparkEntry {
         |    AS INT) AS entries,
         |  NOT cut AS ok
         |FROM p""".stripMargin
+    },
+
+    // Full replay of the blockhash arithmetic: per-byte sums over the
+    // 64 floor-arithmetic blocks, lower-median threshold (sorted index
+    // 32, 1-based), MSB-first nibble packing — then the same window
+    // count and nibble-popcount hamming. Everything integer; list_sum
+    // results are CAST before comparison/output (the HUGEINT rule).
+    "q_image_blockhash" -> {
+      def hx2i(e: String): String =
+        "list_reduce(list_transform(regexp_split_to_array(upper(" + e +
+          "), ''), c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+      def sums(col: String): String =
+        s"list_transform(range(0,64), i -> CAST(coalesce(list_sum(list_transform(" +
+          s"range(i*(len($col)//2)//64, (i+1)*(len($col)//2)//64), " +
+          s"j -> ${hx2i(s"substr($col, CAST(2*j+1 AS INT), 2)")})), 0) AS BIGINT))"
+      def hashOf(su: String, col: String): String =
+        s"CASE WHEN len($col) = 0 THEN NULL ELSE " +
+          s"list_reduce(list_transform(range(0,16), k -> substr('0123456789abcdef', " +
+          s"CAST(1 + 8*(CASE WHEN $su[4*k+1] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
+          s" + 4*(CASE WHEN $su[4*k+2] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
+          s" + 2*(CASE WHEN $su[4*k+3] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN $su[4*k+4] > list_sort($su)[32] THEN 1 ELSE 0 END) AS INT), 1)), " +
+          s"(a,b) -> a || b) END"
+      s"""WITH fam AS (
+        |  SELECT doc_id, CAST(doc_id % 50 AS INT) AS f,
+        |    CAST(doc_id % 64 AS INT) AS p, CAST(doc_id % 7 AS INT) AS dv
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT *, md5('bh' || CAST(f AS VARCHAR)) ||
+        |    md5('bh' || CAST(f + 1 AS VARCHAR)) ||
+        |    md5('bh' || CAST(f + 2 AS VARCHAR)) ||
+        |    md5('bh' || CAST(f + 3 AS VARCHAR)) AS base
+        |  FROM fam),
+        |sp AS (
+        |  SELECT *, CASE WHEN doc_id % 97 = 5 THEN ''
+        |    WHEN doc_id % 3 = 0 THEN base
+        |    ELSE substr(base, 1, 2*p) ||
+        |      lpad(hex((${hx2i("substr(base, 2*p+1, 2)")} + 1 + dv) % 256), 2, '0') ||
+        |      substr(base, 2*p+3) END AS s
+        |  FROM b0),
+        |su AS (SELECT *, ${sums("s")} AS ss, ${sums("base")} AS sb FROM sp),
+        |h AS (SELECT doc_id, ${hashOf("ss", "s")} AS bhash,
+        |             ${hashOf("sb", "base")} AS base_hash FROM su),
+        |g AS (SELECT doc_id, bhash,
+        |    CASE WHEN bhash IS NULL THEN CAST(0 AS BIGINT)
+        |      ELSE count(*) OVER (PARTITION BY bhash) END AS group_n,
+        |    CASE WHEN bhash IS NULL THEN NULL ELSE CAST(list_sum(
+        |      list_transform(range(0,16), i -> bit_count(xor(
+        |        CAST(strpos('0123456789abcdef', substr(bhash, CAST(i+1 AS INT), 1)) - 1 AS BIGINT),
+        |        CAST(strpos('0123456789abcdef', substr(base_hash, CAST(i+1 AS INT), 1)) - 1 AS BIGINT)))))
+        |      AS INT) END AS ham_base
+        |  FROM h)
+        |SELECT doc_id, bhash, ham_base,
+        |  CAST(CASE WHEN ham_base <= 2 THEN 1 ELSE 0 END AS INT) AS is_near,
+        |  group_n
+        |FROM g""".stripMargin
     },
 
     "q_video_headers" ->

@@ -1556,6 +1556,66 @@ object MediaUdfs {
     val (bo, w, h, o, n, ok) = decodeExif(b)
     InternalRow(UTF8String.fromString(bo), w, h, o, n, ok)
   }
+
+  val blockhashEvals = new java.util.concurrent.atomic.AtomicLong
+
+  /** Byte-level blockhash (the decode-free perceptual-hash analog,
+    * SURVEY §16 lever 3): 64 equal byte blocks by floor arithmetic
+    * (block i = [i*len/64, (i+1)*len/64)), per-block unsigned byte sum,
+    * threshold strictly above the LOWER MEDIAN (sorted sums index 31),
+    * bits packed MSB-first into 16 lowercase hex nibbles. Empty/null
+    * payload → null (the caller expression must be nullable). Total:
+    * never throws; block boundaries use Long arithmetic so 2 GiB
+    * payloads can't overflow. The q_image_blockhash oracle replays the
+    * identical arithmetic over the construction hex in DuckDB. */
+  def blockhash(b: Array[Byte]): UTF8String = {
+    blockhashEvals.incrementAndGet()
+    if (b == null || b.length == 0) return null
+    val len = b.length.toLong
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      var j = (i * len / 64).toInt
+      val end = ((i + 1) * len / 64).toInt
+      var s = 0L
+      while (j < end) { s += (b(j) & 0xFF); j += 1 }
+      sums(i) = s
+      i += 1
+    }
+    val sorted = sums.clone(); java.util.Arrays.sort(sorted)
+    val m = sorted(31)
+    val out = new Array[Char](16)
+    var k = 0
+    while (k < 16) {
+      var nib = 0
+      var t = 0
+      while (t < 4) {
+        nib = (nib << 1) | (if (sums(4 * k + t) > m) 1 else 0)
+        t += 1
+      }
+      out(k) = "0123456789abcdef".charAt(nib)
+      k += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** Hamming distance between two equal-length hex strings (nibble
+    * popcount; accepts either case). Total: length mismatch or a
+    * non-hex character → -1, never a throw. ASCII-only by definition
+    * (hex alphabet), so char-wise == codepoint-wise. */
+  def hammingHex(a: UTF8String, b: UTF8String): Int = {
+    val sa = a.toString; val sb = b.toString
+    if (sa.length != sb.length) return -1
+    var i = 0; var d = 0
+    while (i < sa.length) {
+      val x = Character.digit(sa.charAt(i), 16)
+      val y = Character.digit(sb.charAt(i), 16)
+      if (x < 0 || y < 0) return -1
+      d += Integer.bitCount(x ^ y)
+      i += 1
+    }
+    d
+  }
 }
 
 /** Native expression: `graft_image_header(binary)` →
@@ -1626,6 +1686,45 @@ case class GraftExif(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftExif =
     copy(child = newChild)
   override def prettyName: String = "graft_exif"
+}
+
+/** Native expression: `graft_blockhash(binary)` → 16-hex-char byte
+  * blockhash, or NULL for an empty payload (nullable=true is mandatory:
+  * codegen needs the isNull slot — CLAUDE.md round-1 rule). */
+case class GraftBlockhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // empty payload → null
+  override protected def nullSafeEval(input: Any): Any =
+    MediaUdfs.blockhash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      UTF8String ${ev.value}_bh = graft.spark.MediaUdfs.blockhash($c);
+      if (${ev.value}_bh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_bh; }
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): GraftBlockhash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_blockhash"
+}
+
+/** Native expression: `graft_hamming_hex(a, b)` → nibble-popcount
+  * Hamming distance between equal-length hex strings; -1 on length
+  * mismatch or non-hex input (total, never a throw). */
+case class GraftHammingHex(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MediaUdfs.hammingHex(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spark.MediaUdfs.hammingHex($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftHammingHex =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_hamming_hex"
 }
 
 /** Native Catalyst expression: parse_html_spans(html). Codegen emits a
@@ -2341,6 +2440,11 @@ object GraftFunctions {
   def graft_audio_header(c: Column): Column = call_function("graft_audio_header", c)
   def graft_video_header(c: Column): Column = call_function("graft_video_header", c)
   def graft_exif(c: Column): Column = call_function("graft_exif", c)
+
+  def graft_blockhash(c: Column): Column = call_function("graft_blockhash", c)
+
+  def graft_hamming_hex(a: Column, b: Column): Column =
+    call_function("graft_hamming_hex", a, b)
   def graft_pdf_info(c: Column): Column = call_function("graft_pdf_info", c)
   def graft_pdf_text(c: Column): Column = call_function("graft_pdf_text", c)
   def graft_warc_records(c: Column): Column = call_function("graft_warc_records", c)

@@ -117,6 +117,10 @@ object GraftSql {
       args => GraftVideoHeader(args.head)),
     ("graft_exif", "graft.spark.GraftExif",
       args => GraftExif(args.head)),
+    ("graft_blockhash", "graft.spark.GraftBlockhash",
+      args => GraftBlockhash(args.head)),
+    ("graft_hamming_hex", "graft.spark.GraftHammingHex",
+      args => GraftHammingHex(args.head, args(1))),
     // PDF structure + text extraction (round 4 — north rule "PDF/layout parse")
     ("graft_pdf_info", "graft.spark.GraftPdfInfo",
       args => GraftPdfInfo(args.head)),

@@ -365,7 +365,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_compress_ratio",
       "graft_fingerprint64", "graft_lang_id", "graft_image_header",
       "graft_audio_header", "graft_mp3_header", "graft_video_header",
-      "graft_exif", "graft_pdf_info", "graft_pdf_text",
+      "graft_exif", "graft_blockhash", "graft_hamming_hex",
+      "graft_pdf_info", "graft_pdf_text",
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
       "graft_robots_allows", "graft_robots_meta", "graft_repetition_ok",
