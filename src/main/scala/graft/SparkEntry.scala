@@ -263,6 +263,52 @@ object SparkEntry {
           (col("nxt.tpos") - col("pos")).cast("int").as("dist"))
     }),
 
+    // OG-image → caption join (round 7 cont., SURVEY §16 backlog): the
+    // social-preview metadata path a multimodal pipeline mines when a
+    // body image has no inline caption. One page_meta parse + one span
+    // parse per row; a caption-less trailing image falls back to the
+    // og:title (attr view), a no-og family pins the 'none' verdict, a
+    // case-variant duplicate og:image meta pins pre-order-FIRST +
+    // ASCII-case-insensitive property matching.
+    "q_og_caption" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val idStr = col("doc_id").cast("string")
+      val hasOg = pmod(col("doc_id"), lit(7)) =!= 3
+      val headOg = when(hasOg,
+        concat(lit("<meta property=\"og:title\" content=\"T"),
+          escAttr(coalesce(col("source"), lit(""))), lit("\">")))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head>"), headOg,
+        lit("<meta property=\"og:image\" content=\"/og/"), idStr,
+        lit(".jpg\"><meta property=\"OG:Image\" content=\"/dup.jpg\">"),
+        lit("</head><body><img src=\"/i/"), idStr,
+        lit("/a\"><p>C1"), escTxt(coalesce(col("lang"), lit(""))),
+        lit("</p><img src=\"/i/"), idStr, lit("/z\"></body></html>"))
+      val m = call_function("graft_page_meta", html)
+      val spans = d.select(col("doc_id"),
+          m.getField("og_title").as("og_title"),
+          m.getField("og_image").as("og_image"),
+          posexplode_outer(GraftFunctions.parse_html_spans(html))
+            .as(Seq("pos", "s")))
+        .filter(col("s").isNotNull)
+      val w = Window.partitionBy("doc_id").orderBy(col("pos").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spans.withColumn("nxt",
+          min(when(col("s.kind") =!= "media",
+            struct(col("pos").as("tpos"), col("s.text").as("ttext")))).over(w))
+        .filter(col("s.kind") === "media")
+        .select(col("doc_id"), col("s.media_ref").as("media_ref"),
+          when(col("nxt.ttext").isNotNull, col("nxt.ttext"))
+            .when(col("og_title") =!= "", col("og_title"))
+            .otherwise(lit(null)).as("caption"),
+          when(col("nxt.ttext").isNotNull, "inline")
+            .when(col("og_title") =!= "", "og")
+            .otherwise("none").as("cap_src"),
+          col("og_image"))
+    }),
+
     // Section extraction (round 7 cont.): structure-aware chunking for
     // RAG — split the span stream at heading spans; each section keeps
     // its heading and the ordered body text. The section id is a
@@ -3363,6 +3409,24 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/z',
         |  NULL, NULL FROM e""".stripMargin
     },
+
+    // replay by construction: image a has the inline C1 caption, image
+    // z falls back to the og:title attr view ('T'+source) unless the
+    // no-og family (doc_id%7=3) makes it 'none'; og_image is the FIRST
+    // og:image meta (the /dup.jpg case-variant never wins)
+    "q_og_caption" ->
+      s"""WITH e AS (SELECT doc_id,
+        |  ${sqlTokText("coalesce(source,'')")} AS ot,
+        |  ${sqlBodyText("coalesce(lang,'')")} AS c1,
+        |  doc_id % 7 <> 3 AS has_og
+        |  FROM documents)
+        |SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/a' AS media_ref,
+        |  'C1' || c1 AS caption, 'inline' AS cap_src,
+        |  '/og/' || CAST(doc_id AS VARCHAR) || '.jpg' AS og_image FROM e
+        |UNION ALL SELECT doc_id, '/i/' || CAST(doc_id AS VARCHAR) || '/z',
+        |  CASE WHEN has_og THEN 'T' || ot END,
+        |  CASE WHEN has_og THEN 'og' ELSE 'none' END,
+        |  '/og/' || CAST(doc_id AS VARCHAR) || '.jpg' FROM e""".stripMargin,
 
     "q_html_entities" ->
       s"""SELECT doc_id,

@@ -343,6 +343,8 @@ object HtmlUdfs {
     StructField("description", StringType, nullable = false),
     StructField("robots", StringType, nullable = false),
     StructField("og_title", StringType, nullable = false),
+    StructField("og_image", StringType, nullable = false),
+    StructField("og_description", StringType, nullable = false),
     StructField("meta_count", IntegerType, nullable = false)
   ))
 
@@ -354,7 +356,8 @@ object HtmlUdfs {
       var title: String = null; var lang: String = null
       var base: String = null; var canonical: String = null
       var descr: String = null; var robots: String = null
-      var og: String = null; var metaCount = 0
+      var og: String = null; var ogImage: String = null
+      var ogDescr: String = null; var metaCount = 0
       def relHasToken(rel: String, tok: String): Boolean = {
         val toks = graft.ops.TextNorm.tokens(graft.ops.TextNorm.asciiLower(rel))
         var i = 0
@@ -391,9 +394,13 @@ object HtmlUdfs {
                   else if (ln == "robots" && robots == null) robots = content
                 }
                 val prop = firstAttrVal(n, "property")
-                if (prop != null && og == null &&
-                    graft.ops.TextNorm.asciiLower(prop) == "og:title")
-                  og = content
+                if (prop != null) {
+                  val lp = graft.ops.TextNorm.asciiLower(prop)
+                  if (lp == "og:title" && og == null) og = content
+                  else if (lp == "og:image" && ogImage == null) ogImage = content
+                  else if (lp == "og:description" && ogDescr == null)
+                    ogDescr = content
+                }
               }
             case _ =>
           }
@@ -405,7 +412,7 @@ object HtmlUdfs {
       while (c != null) { walk(c); c = c.next }
       @inline def s(x: String) = UTF8String.fromString(if (x == null) "" else x)
       InternalRow(s(title), s(lang), s(base), s(canonical), s(descr),
-        s(robots), s(og), metaCount)
+        s(robots), s(og), s(ogImage), s(ogDescr), metaCount)
     }
   }
 
