@@ -102,6 +102,45 @@ object SparkEntry {
         md5(col("redacted")).as("clean_key"))
   }
 
+  // Section extraction (round 7 cont.): structure-aware chunking for
+  // RAG — split the span stream at heading spans; each section keeps
+  // its heading and the ordered body text. The section id is a
+  // running conditional sum over the PER-DOC window (the
+  // caption-pairs discipline), the body rebuild is a
+  // sort_array(collect_list(struct(pos, text))) — deterministic and
+  // bounded per section (collect_list alone is order-unstable after
+  // a shuffle). Construction plants a heading-less preamble, a
+  // multi-paragraph section, and a trailing EMPTY section. Shared by
+  // q_sections and q_wet_sections (one construction, two consumers —
+  // their oracles replay the same section arithmetic in lockstep).
+  private def sectionsFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val html = concat(
+      lit("<p>P"), escTxt(substring(coalesce(col("text"), lit("")), 1, 10)),
+      lit("</p><h1>H"), escTxt(coalesce(col("lang"), lit(""))),
+      lit("</h1><p>B1"), escTxt(substring(coalesce(col("text"), lit("")), 11, 10)),
+      lit("</p><p>B2</p><h2>G"),
+      escTxt(substring(coalesce(col("source"), lit("")), 1, 8)),
+      lit("</h2><p>B3</p><h3>E</h3>"))
+    val spans = d.select(col("doc_id"),
+        posexplode_outer(GraftFunctions.parse_html_spans(html))
+          .as(Seq("pos", "s")))
+      .filter(col("s").isNotNull)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.withColumn("section_id",
+        sum(when(col("s.kind") === "heading", 1L).otherwise(0L)).over(w)
+          .cast("int"))
+      .groupBy(col("doc_id"), col("section_id"))
+      .agg(max(when(col("s.kind") === "heading", col("s.text")))
+          .as("heading"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(when(col("s.kind") =!= "heading",
+            struct(col("pos"), col("s.text").as("t"))))),
+          x => x.getField("t"))).as("body"))
+  }
+
   // ------------------------------------------------------------------
   // Parser-visible views of raw column text, for the HTML oracles
   // (round 6 — the adversarial corpus exposes these; each cites the
@@ -309,41 +348,45 @@ object SparkEntry {
           col("og_image"))
     }),
 
-    // Section extraction (round 7 cont.): structure-aware chunking for
-    // RAG — split the span stream at heading spans; each section keeps
-    // its heading and the ordered body text. The section id is a
-    // running conditional sum over the PER-DOC window (the
-    // caption-pairs discipline), the body rebuild is a
-    // sort_array(collect_list(struct(pos, text))) — deterministic and
-    // bounded per section (collect_list alone is order-unstable after
-    // a shuffle). Construction plants a heading-less preamble, a
-    // multi-paragraph section, and a trailing EMPTY section.
-    "q_sections" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    // Structure-aware section chunking (see sectionsFrame above).
+    "q_sections" -> ((s, dir) => sectionsFrame(s, dir)),
+
+    // WET-from-sections (round 7 cont., SURVEY §16 backlog): one WET
+    // conversion record PER SECTION — the chunk-level WET variant a
+    // RAG corpus builder ships (CommonCrawl WET is page-level; section
+    // records keep the heading structure). The payload is
+    // heading + blank line + body (body-only when the preamble has no
+    // heading, heading-only for the trailing empty section); the
+    // refers-to id comes from the doc-level composed response record
+    // (compose conventions stay in ONE kernel — the query never
+    // restates the header layout), joined back on doc_id.
+    "q_wet_sections" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
       val d = docs(s, dir)
-      val html = concat(
-        lit("<p>P"), escTxt(substring(coalesce(col("text"), lit("")), 1, 10)),
-        lit("</p><h1>H"), escTxt(coalesce(col("lang"), lit(""))),
-        lit("</h1><p>B1"), escTxt(substring(coalesce(col("text"), lit("")), 11, 10)),
-        lit("</p><p>B2</p><h2>G"),
-        escTxt(substring(coalesce(col("source"), lit("")), 1, 8)),
-        lit("</h2><p>B3</p><h3>E</h3>"))
-      val spans = d.select(col("doc_id"),
-          posexplode_outer(GraftFunctions.parse_html_spans(html))
-            .as(Seq("pos", "s")))
-        .filter(col("s").isNotNull)
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spans.withColumn("section_id",
-          sum(when(col("s.kind") === "heading", 1L).otherwise(0L)).over(w)
-            .cast("int"))
-        .groupBy(col("doc_id"), col("section_id"))
-        .agg(max(when(col("s.kind") === "heading", col("s.text")))
-            .as("heading"),
-          concat_ws("\n", transform(
-            sort_array(collect_list(when(col("s.kind") =!= "heading",
-              struct(col("pos"), col("s.text").as("t"))))),
-            x => x.getField("t"))).as("body"))
+      val secs = sectionsFrame(s, dir)
+      val html = concat(lit("<html><body><p>"),
+        md5(coalesce(col("text"), lit("")).cast("binary")),
+        lit("</p></body></html>"))
+      val uri = concat(lit("https://w.ex/"), col("doc_id").cast("string"))
+      val date = lit("2026-02-02T00:00:00Z")
+      val rec = call_function("graft_warc_compose", uri, date, html)
+      val refs = d.select(col("doc_id"),
+        element_at(call_function("graft_warc_records", encode(rec, "UTF-8")), 1)
+          .getField("record_id").as("refers"))
+      val j = secs.join(refs, "doc_id")
+      val uriS = concat(lit("https://w.ex/"), col("doc_id").cast("string"),
+        lit("#s"), col("section_id").cast("string"))
+      val payload = when(col("heading").isNull, col("body"))
+        .when(col("body") === "", col("heading"))
+        .otherwise(concat(col("heading"), lit("\n\n"), col("body")))
+      val wet = call_function("graft_warc_compose_wet",
+        uriS, date, col("refers"), payload)
+      val w0 = element_at(
+        call_function("graft_warc_records", encode(wet, "UTF-8")), 1)
+      j.select(col("doc_id"), col("section_id"), wet.as("wet_record"),
+        w0.getField("uri").as("rt_uri"),
+        w0.getField("body").as("rt_text"),
+        w0.getField("ok").cast("int").as("rt_ok"))
     }),
 
     "q_html_entities" -> ((s, dir) => {
@@ -5318,6 +5361,51 @@ object SparkEntry {
         |  'Content-Length: ' || strlen(txt) || $cr || $cr ||
         |  txt || $cr || $cr AS wet_record,
         |  'conversion' AS rt_type, uri AS rt_uri, txt AS rt_text, 1 AS rt_ok
+        |FROM m""".stripMargin
+    },
+
+    // the q_sections replay fed through the composeWet record layout
+    // (same header conventions as q_warc_wet — both move in lockstep
+    // with the composer); refers-to is the doc-level response record id
+    "q_wet_sections" -> {
+      val cr = "chr(13) || chr(10)"
+      def uuid(h: String) =
+        s"substr($h, 1, 8) || '-' || substr($h, 9, 4) || '-' || " +
+          s"substr($h, 13, 4) || '-' || substr($h, 17, 4) || '-' || substr($h, 21, 12)"
+      s"""WITH e AS (SELECT doc_id,
+        |  ${sqlBodyText("substr(coalesce(text, ''), 1, 10)")} AS p1,
+        |  ${sqlBodyText("coalesce(lang, '')")} AS h1,
+        |  ${sqlBodyText("substr(coalesce(text, ''), 11, 10)")} AS b1,
+        |  ${sqlBodyText("substr(coalesce(source, ''), 1, 8)")} AS g1,
+        |  '<urn:uuid:' || ${uuid(
+            "md5('https://w.ex/' || CAST(doc_id AS VARCHAR) || ' 2026-02-02T00:00:00Z')")} || '>'
+        |    AS refers
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 0 AS section_id, 'P' || p1 AS payload, refers FROM e
+        |  UNION ALL SELECT doc_id, 1,
+        |    'H' || h1 || chr(10) || chr(10) || 'B1' || b1 || chr(10) || 'B2',
+        |    refers FROM e
+        |  UNION ALL SELECT doc_id, 2,
+        |    'G' || g1 || chr(10) || chr(10) || 'B3', refers FROM e
+        |  UNION ALL SELECT doc_id, 3, 'E', refers FROM e),
+        |m AS (SELECT *, 'https://w.ex/' || CAST(doc_id AS VARCHAR) ||
+        |    '#s' || CAST(section_id AS VARCHAR) AS uri,
+        |  md5('https://w.ex/' || CAST(doc_id AS VARCHAR) || '#s' ||
+        |    CAST(section_id AS VARCHAR) ||
+        |    ' 2026-02-02T00:00:00Z conversion') AS ch FROM s)
+        |SELECT doc_id, section_id,
+        |  'WARC/1.0' || $cr ||
+        |  'WARC-Type: conversion' || $cr ||
+        |  'WARC-Record-ID: <urn:uuid:' || ${uuid("ch")} || '>' || $cr ||
+        |  'WARC-Date: 2026-02-02T00:00:00Z' || $cr ||
+        |  'WARC-Target-URI: ' || uri || $cr ||
+        |  'WARC-Refers-To: ' || refers || $cr ||
+        |  'WARC-Block-Digest: md5:' || md5(payload) || $cr ||
+        |  'Content-Type: text/plain' || $cr ||
+        |  'Content-Length: ' || strlen(payload) || $cr || $cr ||
+        |  payload || $cr || $cr AS wet_record,
+        |  uri AS rt_uri, payload AS rt_text, 1 AS rt_ok
         |FROM m""".stripMargin
     },
 
