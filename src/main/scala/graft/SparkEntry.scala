@@ -1671,6 +1671,24 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // HNSW ANN (round 7 cont., SURVEY §16 lever 2): per-shard
+    // hierarchical navigable-small-world graphs + beam search, merged
+    // by the bounded TopK aggregator. Hash-oracle-able because the
+    // level-0 graph contains the insertion-order chain (provable
+    // connectivity) and efSearch 512 >= any possible shard of the
+    // 500-row gate corpus — the beam visits every node, so the merged
+    // result EQUALS brute-force top-k (the q_ann_topk oracle replay).
+    // Production-ef (64) recall is floor-pinned in ScaleGuardSpec.
+    "q_ann_hnsw" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.hnswTopK(e, "vec_id", "embedding", q, "qid", "qvec",
+          k = 5, m = 8, efSearch = 512, shards = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+          col("rank"))
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // planted twin per query: vec_id+100000 carries 2× the query vector
       // — exactly cosine 1.0 (power-of-two scaling is float-exact) and
@@ -4579,6 +4597,21 @@ object SparkEntry {
         |SELECT id, cluster FROM k WHERE id = kid""".stripMargin,
 
     "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid AS query_id, e.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |  / greatest(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+        |           * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x))), 1e-12) AS cosine
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // the beam covers every shard at gate scale (ef >= shard rows +
+    // chain connectivity), so the HNSW result is the exact brute-force
+    // top-5 — the same replay as q_ann_topk
+    "q_ann_hnsw" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT q.qid AS query_id, e.vec_id,
         |  list_sum(list_transform(generate_series(1, len(e.embedding)),

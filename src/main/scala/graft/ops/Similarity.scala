@@ -450,4 +450,225 @@ object Similarity {
     // no dedup shuffle needed even with multiprobe
     TopK.perQueryTopK(scored, k)
   }
+
+  /** Per-shard navigable small-world ANN — the HNSW scale path (SURVEY
+    * §16 lever 2; Malkov & Yashunin 2016, public paper). Distributed
+    * shape: hash-shard the corpus, build a hierarchical graph PER SHARD
+    * inside mapPartitions (the genuinely imperative per-partition case —
+    * incremental graph construction has no relational form; SURVEY §7.3
+    * option (d) applies), broadcast the small query set, beam-search
+    * every shard, merge with the bounded TopK aggregator (only |Q|·k
+    * rows cross the wire — the scatter-gather shape every distributed
+    * HNSW serving system uses).
+    *
+    * Determinism (the oracle contract — every choice is a pure function
+    * of (vec_id, vectors)):
+    *  - shard membership = repartition(shards, vec_id);
+    *  - insert order = ascending vec_id within the shard;
+    *  - level(id) = trailing zeros of byteswap64(id) (geometric 1/2),
+    *    capped at 16;
+    *  - similarity = the VecUdfs.cosine arithmetic (index-order double
+    *    accumulation, 1e-12 denom guard); NaN and length-mismatch map
+    *    to -Inf (rank below everything, never a throw); the candidate
+    *    order (cosine desc, insert-index asc) is a strict total order;
+    *  - neighbor selection = m best candidates from the efC beam;
+    *    back-links prune to 2m by the same order;
+    *  - the LEVEL-0 GRAPH IMPLICITLY CONTAINS THE INSERTION-ORDER CHAIN
+    *    (index i expands i-1, i+1): provable connectivity, zero storage.
+    *    With ef >= shard rows the beam therefore visits EVERY node and
+    *    the result EQUALS brute-force top-k — that is what makes
+    *    q_ann_hnsw hash-oracle-able (the gate corpus is 500 rows, the
+    *    query passes efSearch 512 >= any possible shard). At production
+    *    ef (64) it is genuine sublinear beam search; ScaleGuardSpec pins
+    *    the recall floor vs brute truth on a seeded corpus.
+    */
+  def hnswTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+               queries: DataFrame, queryId: String, queryVec: String,
+               k: Int = 10, m: Int = 8, efSearch: Int = 64,
+               shards: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries.select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(qArr.length <= 65536,
+      s"hnswTopK broadcasts the query side; got ${qArr.length} queries — " +
+        "shard the query set and union the results instead")
+    val qB = spark.sparkContext.broadcast(qArr)
+    val ef = math.max(efSearch, k)
+    val scored = corpus
+      .select(col(corpusId).cast("long").as("vec_id"), col(corpusVec).as("vec"))
+      .where(col("vec").isNotNull)
+      .repartition(shards, col("vec_id"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val nodes = it.toArray.sortBy(_._1)
+        val qs = qB.value
+        if (nodes.isEmpty || qs.isEmpty) Iterator.empty
+        else {
+          val g = new HnswShard(nodes.map(_._1), nodes.map(_._2), m)
+          g.build()
+          qs.iterator.flatMap { case (qid, qv) =>
+            if (qv == null) Iterator.empty
+            else g.topK(qv, k, ef).iterator
+              .map { case (i, s) => (qid, nodes(i)._1, s) }
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "cosine")
+    TopK.perQueryTopK(scored, k)
+  }
+
+  /** One shard's hierarchical navigable-small-world graph. All state is
+    * shard-local (built and dropped inside one task); sizes are bounded
+    * by the shard row count. See hnswTopK for the determinism contract. */
+  private final class HnswShard(ids: Array[Long], vecs: Array[Array[Float]],
+                                m: Int) extends Serializable {
+    private val n = ids.length
+    private val mMax0 = 2 * m
+    private val efC = math.max(2 * m, 16)
+    private val levels: Array[Int] = Array.tabulate(n) { i =>
+      val h = scala.util.hashing.byteswap64(ids(i))
+      math.min(java.lang.Long.numberOfTrailingZeros(h), 16)
+    }
+    // adj(i)(l) = neighbor indices of node i at level l (0..levels(i))
+    private val adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]] =
+      Array.tabulate(n)(i => Array.fill(levels(i) + 1)(
+        new scala.collection.mutable.ArrayBuffer[Int](m + 1)))
+    private var entry = -1
+    private var maxLevel = -1
+
+    /** VecUdfs.cosine's arithmetic over raw float arrays; NaN and
+      * length mismatch collapse to -Inf for a strict total order. */
+    private def sim(a: Array[Float], b: Array[Float]): Double = {
+      if (a.length != b.length) return Double.NegativeInfinity
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+      if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+    }
+
+    /** (cosine desc, index asc) — the strict total candidate order. */
+    @inline private def better(sa: Double, ia: Int, sb: Double, ib: Int): Boolean =
+      sa > sb || (sa == sb && ia < ib)
+
+    /** Beam search at one level over the first `limit` inserted nodes.
+      * Returns (index, sim) best-first. At level 0 the neighbor
+      * expansion includes the insertion-order chain (i±1). */
+    private def beam(q: Array[Float], ep: Int, level: Int, ef: Int,
+                     limit: Int): Array[(Int, Double)] = {
+      val visited = new java.util.BitSet(limit)
+      val ord = Ordering.fromLessThan[(Int, Double)]((a, b) =>
+        better(b._2, b._1, a._2, a._1)) // max-heap on "better"
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](ord)
+      // res is worst-first so the head is the eviction candidate
+      val res = scala.collection.mutable.PriorityQueue.empty[(Int, Double)](ord.reverse)
+      val s0 = sim(q, vecs(ep))
+      visited.set(ep); cand.enqueue((ep, s0)); res.enqueue((ep, s0))
+      while (cand.nonEmpty) {
+        val (c, cs) = cand.dequeue()
+        val (wIdx, wSim) = res.head
+        if (res.size >= ef && !better(cs, c, wSim, wIdx)) {
+          cand.clear()
+        } else {
+          def expand(nb: Int): Unit =
+            if (nb >= 0 && nb < limit && !visited.get(nb)) {
+              visited.set(nb)
+              val s = sim(q, vecs(nb))
+              val (w2, ws2) = res.head
+              if (res.size < ef || better(s, nb, ws2, w2)) {
+                cand.enqueue((nb, s)); res.enqueue((nb, s))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+          val nbs = adj(c)(level)
+          var j = 0
+          while (j < nbs.length) { expand(nbs(j)); j += 1 }
+          if (level == 0) { expand(c - 1); expand(c + 1) }
+        }
+      }
+      res.dequeueAll.reverse.toArray // best-first
+    }
+
+    /** Greedy descent at an upper level (ef-1 search): move to the best
+      * neighbor while it strictly improves the total order. */
+    private def descend(q: Array[Float], ep0: Int, level: Int,
+                        limit: Int): Int = {
+      var ep = ep0
+      var epSim = sim(q, vecs(ep))
+      var moved = true
+      while (moved) {
+        moved = false
+        val nbs = adj(ep)(level)
+        var j = 0
+        var best = ep; var bestSim = epSim
+        while (j < nbs.length) {
+          val nb = nbs(j)
+          if (nb < limit) {
+            val s = sim(q, vecs(nb))
+            if (better(s, nb, bestSim, best)) { best = nb; bestSim = s }
+          }
+          j += 1
+        }
+        if (best != ep) { ep = best; epSim = bestSim; moved = true }
+      }
+      ep
+    }
+
+    /** Prune a node's neighbor list at one level back to `cap`, keeping
+      * the best by (sim-to-node desc, index asc). */
+    private def prune(node: Int, level: Int, cap: Int): Unit = {
+      val nbs = adj(node)(level)
+      if (nbs.length > cap) {
+        val kept = nbs.toArray
+          .map(nb => (nb, sim(vecs(node), vecs(nb))))
+          .sortWith((a, b) => better(a._2, a._1, b._2, b._1))
+          .take(cap).map(_._1)
+        nbs.clear(); nbs ++= kept
+      }
+    }
+
+    def build(): Unit = {
+      var i = 0
+      while (i < n) {
+        val lvl = levels(i)
+        if (entry < 0) { entry = i; maxLevel = lvl }
+        else {
+          var ep = entry
+          var l = maxLevel
+          while (l > lvl) { ep = descend(vecs(i), ep, l, i); l -= 1 }
+          while (l >= 0) {
+            val cands = beam(vecs(i), ep, l, efC, i)
+            val sel = cands.take(m)
+            var j = 0
+            while (j < sel.length) {
+              val c = sel(j)._1
+              adj(i)(l) += c
+              adj(c)(l) += i
+              prune(c, l, if (l == 0) mMax0 else m)
+              j += 1
+            }
+            ep = cands.head._1
+            l -= 1
+          }
+          if (lvl > maxLevel) { maxLevel = lvl; entry = i }
+        }
+        i += 1
+      }
+    }
+
+    /** Top-k for one query: greedy upper-level descent, level-0 beam
+      * of width ef, then the k best by (cosine desc, id asc). Ids are
+      * ascending with index, so index order IS id order. */
+    def topK(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {
+      var ep = entry
+      var l = maxLevel
+      while (l > 0) { ep = descend(q, ep, l, n); l -= 1 }
+      beam(q, ep, 0, math.max(ef, k), n).take(k)
+    }
+  }
 }

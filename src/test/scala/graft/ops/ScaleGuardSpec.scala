@@ -285,6 +285,48 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(p2 >= 0.85, f"hamming-2 planted-partner recall regressed: $p2%.4f")
   }
 
+  test("hnswTopK: exhaustive-beam exactness + production-ef recall floor") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    def truthTop(q: Array[Float], k: Int): Seq[Long] =
+      all.map { case (id, v) => (id, cosF(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    def run(ef: Int): Map[Long, Seq[Long]] =
+      Similarity.hnswTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, m = 8, efSearch = ef, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // 1) the oracle-scale property: ef >= shard rows + the insertion
+    //    chain make the beam exhaustive, so the result IS brute force —
+    //    ORDERED equality per query (this is what makes q_ann_hnsw
+    //    hash-oracle-able; if this pin breaks, the oracle breaks)
+    val exact = run(512)
+    queryRows.foreach { case (qid, qv) =>
+      assert(exact(qid) == truthTop(qv, 10),
+        s"exhaustive beam must equal brute-force top-10 for $qid")
+    }
+    // 2) production ef: genuine beam search; deterministic corpus +
+    //    deterministic algorithm -> the recall is an exact repo
+    //    constant, pinned like every other floor here
+    def recallAt(ef: Int): Double = {
+      val got = run(ef)
+      queryRows.map { case (qid, qv) =>
+        val t = truthTop(qv, 10).toSet
+        (got.getOrElse(qid, Seq.empty).toSet & t).size.toDouble / t.size
+      }.sum / queryRows.size
+    }
+    val r64 = recallAt(64)
+    val r16 = recallAt(16) // genuinely sublinear: beam 16 over 75-row shards
+    info(f"hnswTopK recall@10: ef=64 → $r64%.4f, ef=16 → $r16%.4f")
+    assert(r64 >= r16, f"wider beams must not lose recall: $r64%.4f < $r16%.4f")
+    assert(r64 >= 0.95, f"hnsw ef=64 recall regressed: $r64%.4f (measured 1.0)")
+    assert(r16 >= 0.95, f"hnsw ef=16 recall regressed: $r16%.4f (measured 1.0)")
+  }
+
   test("int8 quantized cosine tracks f32: distortion bound + top-10 recall floor") {
     import spark.implicits._
     val all = gradedEmbeddings

@@ -38,6 +38,9 @@ FLOAT_ALLOW = {
     # with b,c small ints — exact in binary64 division both sides)
     "q_ann_self": {"cosine"},
     "q_ann_topk": {"cosine"},
+    # same replay as q_ann_topk: the HNSW beam covers the shard at gate
+    # scale, so the output IS the brute-force cosine ranking (round-4)
+    "q_ann_hnsw": {"cosine"},
     "q_ann_i8": {"cosine"},
     "q_ann_lsh": {"cosine"},
     "q_ann_graded": {"cosine"},
