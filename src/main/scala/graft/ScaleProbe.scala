@@ -35,13 +35,13 @@ object ScaleProbe {
     "q_pub_date", "q_editdist_verify", "q_audio_mp3", "q_subtitles",
     "q_recrawl_priority", "q_shard_manifest", "q_sections", "q_table_csv",
     "q_page_history", "q_canonical_dedup", "q_stream_cdc", "q_hreflang", "q_discovery_chain",
-    "q_image_exif",
+    "q_image_exif", "q_image_blockhash", "q_og_caption", "q_wet_sections",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",
     // ANN over embeddings
     "q_ann_self", "q_ann_topk", "q_ann_i8", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm")
+    "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm", "q_ann_hnsw")
 
   def main(args: Array[String]): Unit = {
     val dirA = args(0)
