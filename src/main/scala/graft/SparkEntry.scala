@@ -614,6 +614,43 @@ object SparkEntry {
           col("a.lang").as("lang_tag"), col("a.href").as("href"))
     }),
 
+    // Bitext-pair mining (round 7 cont.): the parallel-corpus op an MT
+    // data pipeline runs over hreflang clusters — extract each page's
+    // declared alternates (one hreflang kernel parse/row), resolve
+    // every alternate against the corpus by URL (ONE hash join on the
+    // url key — never a family cross join), emit aligned (src, tgt)
+    // text pairs. Families of 5 langs by doc_id div 5; every linked
+    // doc declares all 5 alternates (self-reference dropped) plus an
+    // unresolvable 'pt' (the inner join pins the resolution miss); a
+    // no-links family (doc_id%97==11) emits no src rows but still
+    // resolves as a TARGET.
+    "q_parallel_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val langArr = Seq("en", "de", "fr", "ja", "ar")
+      def fam = (col("doc_id") / lit(5)).cast("long").cast("string")
+      def myLang = element_at(array(langArr.map(lit): _*),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      def selfUrl = concat(lit("https://ex.com/f"), fam, lit("/"), myLang)
+      def payload = substring(coalesce(col("text"), lit("")), 1, 16)
+      val links = (langArr :+ "pt").map(l => concat(
+        lit("<link rel=\"alternate\" hreflang=\"" + l +
+          "\" href=\"https://ex.com/f"), fam,
+        lit("/" + l + "\">"))).reduce(concat(_, _))
+      val html = concat(lit("<html><head>"),
+        when(pmod(col("doc_id"), lit(97)) === 11, lit("")).otherwise(links),
+        lit("</head><body>x</body></html>"))
+      val src = d.select(col("doc_id"), myLang.as("src_lang"),
+          selfUrl.as("self_url"), payload.as("src_text"),
+          explode_outer(call_function("graft_hreflang", html)).as("a"))
+        .filter(col("a").isNotNull)
+        .filter(col("a.href") =!= col("self_url"))
+      val tgt = d.select(selfUrl.as("t_url"), col("doc_id").as("tgt_id"),
+        myLang.as("tgt_lang"), payload.as("tgt_text"))
+      src.join(tgt, col("a.href") === col("t_url"))
+        .select(col("doc_id").as("src_id"), col("tgt_id"),
+          col("src_lang"), col("tgt_lang"), col("src_text"), col("tgt_text"))
+    }),
+
     // Canonical-URL dedup (round 7 cont.): the AMP/tracking-URL dedup
     // stage — pages declaring the same rel=canonical collapse to one
     // winner (quality desc, id asc — the keepBest convention); a page
@@ -3626,6 +3663,23 @@ object SparkEntry {
         |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/'
         |    || CAST(doc_id AS VARCHAR)
         |FROM documents""".stripMargin,
+
+    // independent replay: the hreflang URL join IS the family self-join
+    // on (fam, lang) — every cross-lang pair in a family resolves (the
+    // target exists whether or not IT declares links), 'pt' never does,
+    // and a no-links src emits nothing
+    "q_parallel_pairs" ->
+      """WITH d AS (SELECT doc_id, doc_id // 5 AS fam,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |    WHEN 2 THEN 'fr' WHEN 3 THEN 'ja' ELSE 'ar' END AS lang,
+        |  substr(coalesce(text, ''), 1, 16) AS payload,
+        |  doc_id % 97 <> 11 AS has_links
+        |  FROM documents)
+        |SELECT s.doc_id AS src_id, t.doc_id AS tgt_id,
+        |  s.lang AS src_lang, t.lang AS tgt_lang,
+        |  s.payload AS src_text, t.payload AS tgt_text
+        |FROM d s JOIN d t ON s.fam = t.fam AND s.lang <> t.lang
+        |WHERE s.has_links""".stripMargin,
 
     // the keepBest window replay over the construction keys: max
     // quality per canonical group, min id among the maxima; self:
