@@ -803,6 +803,65 @@ object SparkEntry {
           col("c.text").as("cue_text"))
     }),
 
+    // ASR training-pair extraction (round 7 cont.): join subtitle cues
+    // to their audio container — the multimodal alignment op that turns
+    // caption files into (audio_ref, t0, t1, text) supervision. One
+    // subtitles kernel pass + one audio-header decode per row; the pair
+    // hygiene gates replay on both sides: duration in [400, 30000] ms
+    // (cue 1's planted duration sweeps the lower bound, cue 2 always
+    // exceeds the upper), ws-only cue text drops (cue 3, the canonical
+    // explicit trim set), and an undecodable truncated WAV
+    // (doc_id%13==7) drops the doc's pairs entirely (no sample rate →
+    // no resample target). est_samples = dur·rate/1000, exact in
+    // integers because durations are multiples of 100 ms.
+    "q_asr_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def san(c: Column) = regexp_replace(c, "[\\r\\n]+", " ")
+      val tx = san(substring(coalesce(col("text"), lit("")), 1, 12))
+      val lg = san(coalesce(col("lang"), lit("")))
+      val end1 = (pmod(col("doc_id"), lit(40L)) * 100 + 1100).cast("long")
+      val e1s = lpad((end1 / 1000).cast("long").cast("string"), 2, "0")
+      val e1m = lpad(pmod(end1, lit(1000)).cast("string"), 3, "0")
+      val vtt = concat(
+        lit("WEBVTT\n\n1\n00:01.000 --> 00:"), e1s, lit("."), e1m,
+        lit("\nA"), tx,
+        lit("\n\n2\n00:10.000 --> 00:45.000\nLONG"),
+        lit("\n\n3\n01:00.000 --> 01:05.000\n "),
+        lit("\n\n4\n01:10.000 --> 01:12.000\nC"), lg)
+      val rate = when(pmod(col("doc_id"), lit(4)) === 0, 8000)
+        .when(pmod(col("doc_id"), lit(4)) === 1, 16000)
+        .when(pmod(col("doc_id"), lit(4)) === 2, 44100)
+        .otherwise(48000).cast("int")
+      def hb(v: Column, k: Int) =
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le16(v: Column) = concat(hb(v, 0), hb(v, 1))
+      def le32(v: Column) = concat(hb(v, 0), hb(v, 1), hb(v, 2), hb(v, 3))
+      val wavHex = concat(lit("5249464624000000" + "57415645" +
+        "666D742010000000" + "0100"), le16(lit(1)), le32(rate),
+        le32(rate * 2), le16(lit(2)), le16(lit(16)), lit("6461746100000000"))
+      val hexStr = when(pmod(col("doc_id"), lit(13)) === 7,
+        substring(wavHex, 1, 8)).otherwise(wavHex)
+      val sr = GraftFunctions.graft_audio_header(unhex(hexStr))
+        .getField("sample_rate")
+      val cues = d.select(col("doc_id"),
+          concat(lit("a/"), col("doc_id").cast("string"), lit(".wav"))
+            .as("audio_ref"),
+          sr.as("sample_rate"),
+          explode_outer(call_function("graft_subtitles", vtt)).as("c"))
+        .filter(col("c").isNotNull)
+      val dur = col("c.end_ms") - col("c.start_ms")
+      cues
+        .filter(col("sample_rate") > 0)
+        .filter(dur >= 400 && dur <= 30000)
+        .filter(trim(col("c.text"), " \t\n\f\r") =!= "")
+        .select(col("doc_id"), col("audio_ref"),
+          col("c.cue_id").as("cue_id"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+          dur.as("dur_ms"), col("c.text").as("cue_text"),
+          col("sample_rate"),
+          (dur * col("sample_rate") / lit(1000)).cast("long").as("est_samples"))
+    }),
+
     // Feed extraction (round 7 cont.): RSS/Atom through the HTML parser
     // — the discovery companion to q_sitemap. RSS items pin the VOID
     // <link> recovery (the URL text lands as a following sibling of the
@@ -3770,6 +3829,35 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 1, 5500, 7250, 'B' || lg FROM e WHERE fam = 0
         |UNION ALL SELECT doc_id, 0, 1000, 2500, 'C' || sc FROM e WHERE fam = 1
         |UNION ALL SELECT doc_id, 1, 60000, 61000, 'D' || lg FROM e WHERE fam = 1""".stripMargin
+    },
+
+    // replay by construction: four cues always parse (cue_ids 0..3);
+    // cue 0 survives iff its planted duration clears 400 ms, cue 1
+    // always exceeds 30 s, cue 2 is ws-only, cue 3 always survives;
+    // a truncated WAV (doc_id%13=7) drops the doc. est_samples is
+    // integer-exact (durations are multiples of 100 ms).
+    "q_asr_pairs" -> {
+      def san(e: String) = s"regexp_replace($e, '[\\r\\n]+', ' ', 'g')"
+      s"""WITH e AS (SELECT doc_id,
+        |  ${san("substr(coalesce(text, ''), 1, 12)")} AS tx,
+        |  ${san("coalesce(lang, '')")} AS lg,
+        |  CAST((doc_id % 40) * 100 + 100 AS BIGINT) AS dur1,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+        |  doc_id % 13 = 7 AS cut,
+        |  'a/' || CAST(doc_id AS VARCHAR) || '.wav' AS audio_ref
+        |  FROM documents)
+        |SELECT doc_id, audio_ref, 0 AS cue_id,
+        |  CAST(1000 AS BIGINT) AS start_ms,
+        |  CAST(1000 + dur1 AS BIGINT) AS end_ms,
+        |  dur1 AS dur_ms, 'A' || tx AS cue_text,
+        |  CAST(rate AS INT) AS sample_rate,
+        |  CAST(dur1 * rate // 1000 AS BIGINT) AS est_samples
+        |FROM e WHERE NOT cut AND dur1 >= 400
+        |UNION ALL SELECT doc_id, audio_ref, 3,
+        |  CAST(70000 AS BIGINT), CAST(72000 AS BIGINT), CAST(2000 AS BIGINT),
+        |  'C' || lg, CAST(rate AS INT), CAST(2000 * rate // 1000 AS BIGINT)
+        |FROM e WHERE NOT cut""".stripMargin
     },
 
     // replay by construction: RSS docs emit entries 0/1 (the second all
