@@ -2958,6 +2958,22 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // BM25 retrieval (round 7 cont.): lexical search over the canonical
+    // token alphabet — the rational single-division form (no libm, so
+    // the DOUBLE score replays bit-for-bit; FLOAT_ALLOW documents the
+    // argument). Query terms = the first canonical token of docs 0-2
+    // (deterministically extractable on both sides).
+    "q_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.GraftSql
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          element_at(GraftSql.column(graft.spark.GraftNgrams(
+            GraftSql.expressionOf(col("text")), 1)), 1).as("term"))
+        .filter(col("term").isNotNull)
+      TextOps.bm25(d, "doc_id", "text", q, "qid", "term", k = 10)
+    }),
+
     // Capped inverted index (round 7 cont.): df + first-5 postings per
     // canonical token, df in [2, 50] (hapax and stopword cuts). The
     // synthetic corpus vocabulary is ~31 near-universal tokens, so the
@@ -3376,6 +3392,19 @@ object SparkEntry {
           rates = Map("en" -> 0.9, "de" -> 0.5, "ja" -> 0.25),
           defaultRate = 0.125, oracleHash = true)
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Deterministic holdout split (round 7 cont.): train/valid/test by
+    // cumulative hash-fraction thresholds — disjoint-complete by
+    // construction, retry- and cluster-size-exact (the q_sample
+    // machinery). 90/5/5; the last split absorbs rounding.
+    "q_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        col("doc_id").cast("string").as("k"), col("lang"))
+      Sample.split(d, "k",
+          Seq(("train", 0.9), ("valid", 0.05), ("test", 0.05)),
+          oracleHash = true)
+        .select(col("doc_id"), col("lang"), col("split"))
     }),
 
     // target-mixture resampling (round 7 cont.): derive per-stratum
@@ -5789,6 +5818,35 @@ object SparkEntry {
         |  FROM tf JOIN dfs USING (tok))
         |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // the rational BM25 replay: identical BIGINT numerator/denominator
+    // then ONE double division (exactly rounded on both engines; no ln)
+    "q_bm25" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |  unnest(${TextNorm.sqlTokens(TextNorm.sqlLower("text"))}) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, tok),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY doc_id),
+        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY tok),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(dl) AS BIGINT) AS tt FROM dls),
+        |q AS (SELECT doc_id AS query_id,
+        |  list_extract(${TextNorm.sqlTokens(TextNorm.sqlLower("text"))}, 1) AS tok
+        |  FROM documents WHERE doc_id < 3),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |  CAST((2*nd - 2*df + 1) * 22 * tt * tf AS DOUBLE) /
+        |  CAST((2*df + 1) * (10*tt*tf + 3*tt + 9*dl*nd) AS DOUBLE) AS score
+        |  FROM q JOIN dfs ON q.tok = dfs.tok
+        |  JOIN tf ON tf.tok = q.tok
+        |  JOIN dls ON dls.doc_id = tf.doc_id
+        |  CROSS JOIN c
+        |  WHERE q.tok IS NOT NULL)
+        |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 10""".stripMargin,
+
     // the full cleaning chain replayed stage by stage: construction,
     // language allowlist, quality arithmetic, repetition integers with
     // the lexicographic top-bigram tie-break, the pii redaction chain,
@@ -6146,6 +6204,17 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
         |  < CASE lang WHEN 'en' THEN 15099494 WHEN 'de' THEN 8388608
         |              WHEN 'ja' THEN 4194304 ELSE 2097152 END""".stripMargin,
+
+    // cumulative thresholds: round(.9*2^24)=15099494, +round(.05*2^24=
+    // 838860.8)=15938355; the last split absorbs the remainder
+    "q_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) < 15099494 THEN 'train'
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) < 15938355 THEN 'valid'
+        |    ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     // replay of Sample.toMixture's integer threshold derivation: counts
     // over target strata only → T = min(n*W // w) → thr = min(2^24,

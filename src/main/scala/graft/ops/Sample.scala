@@ -42,6 +42,32 @@ object Sample {
     df.filter(hashBucket(col(keyCol), oracleHash) < thr)
   }
 
+  /** Deterministic train/valid/test assignment — the holdout-split op
+    * of a training pipeline. Same hash-fraction machinery as
+    * [[stratified]]: the row's 24-bit hash fraction walks the
+    * CUMULATIVE integer thresholds (round(f·2^24) per split, the LAST
+    * split absorbing the rounding remainder), so the assignment is a
+    * pure per-row projection — no shuffle, retry-exact,
+    * cluster-size-independent — and DISJOINT-COMPLETE by construction
+    * (the cumulative walk covers the whole [0, 2^24) fraction space:
+    * every row gets exactly one split, on every run). */
+  def split(df: DataFrame, keyCol: String, fractions: Seq[(String, Double)],
+            splitCol: String = "split", oracleHash: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    fractions.foreach { case (n, f) =>
+      require(f >= 0.0 && f <= 1.0, s"split fraction out of [0,1]: $n=$f") }
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val b = hashBucket(col(keyCol), oracleHash)
+    val cum = fractions.init
+      .scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * Denom) }.tail
+    val expr = fractions.init.zip(cum)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((name, _), thr), acc) => when(b < lit(thr), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Resample toward a TARGET mixture — the corpus-rebalance step of a
     * training pipeline ("60% en, 25% de, 15% fr"): derive per-stratum
     * keep rates from observed counts so the largest achievable sample

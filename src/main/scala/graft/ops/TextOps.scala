@@ -535,4 +535,55 @@ object TextOps {
       .select(col("token"), col("df"), col("s.vec_id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Single-term BM25 retrieval over the canonical token alphabet
+    * (graft_ngrams(·,1)) — the lexical-search counterpart of the ANN
+    * family (RAG's hybrid-retrieval second leg). k1 = 1.2, b = 0.75
+    * folded into ONE exact integer ratio per (query, doc):
+    *
+    *   idf·sat = (2N − 2df + 1)·22·TT·tf
+    *             ─────────────────────────────────────
+    *             (2df + 1)·(10·TT·tf + 3·TT + 9·dl·N)
+    *
+    * (rational Lucene-style idf (N−df+½)/(df+½) — never negative — and
+    * the k1/b saturation with avgdl = TT/N cleared of fractions). The
+    * numerator and denominator are exact BIGINTs on both engines and
+    * the score is ONE double division of <2^53 integers — exactly
+    * rounded IEEE, so DuckDB replays it bit-for-bit with no libm call
+    * anywhere (ln-based idf would be the cross-engine hazard). Callers
+    * must keep N·TT·tf_max under 2^53/22 — at larger corpus scale,
+    * shard the index and re-rank the per-shard top-k.
+    *
+    * One term per queries row (the oracle-able unit — multi-term
+    * queries union rows and re-rank downstream). Scale shape: the
+    * (small) query side broadcasts into the df/posting joins; ranking
+    * is the bounded TopK aggregator, never a corpus window. */
+  def bm25(df0: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qidCol: String, termCol: String,
+           k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    val toks = df0.select(col(idCol).as("doc_id"),
+        explode_outer(GraftSql.column(graft.spark.GraftNgrams(
+          GraftSql.expressionOf(col(textCol)), 1))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val keyed = Snapshot(toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    val dls = keyed.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfs = keyed.groupBy("tok").agg(count(lit(1)).as("df"))
+    val const = dls.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+    val q = queries.select(col(qidCol).as("query_id"), col(termCol).as("tok"))
+    val cand = dfs.join(broadcast(q), "tok")
+      .join(keyed, "tok")
+      .join(dls, "doc_id")
+      .join(broadcast(const))
+    val num = (lit(2L) * col("nd") - lit(2L) * col("df") + lit(1L)) *
+      lit(22L) * col("tt") * col("tf")
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tt") * col("tf") + lit(3L) * col("tt") +
+        lit(9L) * col("dl") * col("nd"))
+    val scored = cand.select(col("query_id"), col("doc_id").as("vec_id"),
+      (num.cast("double") / den.cast("double")).as("cosine"))
+    TopK.perQueryTopK(scored, k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("cosine").as("score"), col("rank"))
+  }
 }

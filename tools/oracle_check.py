@@ -41,6 +41,9 @@ FLOAT_ALLOW = {
     # same replay as q_ann_topk: the HNSW beam covers the shard at gate
     # scale, so the output IS the brute-force cosine ranking (round-4)
     "q_ann_hnsw": {"cosine"},
+    # rational BM25: one double division of exact <2^53 BIGINTs (no ln
+    # anywhere) — exactly rounded IEEE on both engines, bit-identical
+    "q_bm25": {"score"},
     "q_ann_i8": {"cosine"},
     "q_ann_lsh": {"cosine"},
     "q_ann_graded": {"cosine"},
