@@ -314,6 +314,15 @@ class PlanSpec extends AnyFunSuite {
       .write.format("noop").mode("overwrite").save()
     assert(HtmlUdfs.feedEvals.get == n,
       s"feed must parse once per row: ${HtmlUdfs.feedEvals.get} for $n rows")
+    // blockhash: exactly TWO hashes per row (payload + family base);
+    // the window partitions on the hash attribute without re-evaluating
+    // the kernel, and ham consumes the post-window attributes
+    graft.spark.MediaUdfs.blockhashEvals.set(0)
+    graft.SparkEntry.queries("q_image_blockhash")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    assert(graft.spark.MediaUdfs.blockhashEvals.get == 2 * n,
+      s"blockhash must hash twice per row: " +
+        s"${graft.spark.MediaUdfs.blockhashEvals.get} for $n rows")
   }
 
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
