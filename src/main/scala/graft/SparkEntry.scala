@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Redirects, Similarity, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
+import graft.ops.{Dedup, Rank, Redirects, Similarity, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -731,6 +731,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("domain"))
         .agg(sum(col("c")).as("in_links"), count(lit(1)).as("src_docs"))
+    }),
+
+    // Host authority (round 7 cont.): integer PageRank over the
+    // extracted host link graph — the crawl-prioritization signal.
+    // Edges ride the link kernel (one parse/row), hosts via UrlOps;
+    // construction is a 20-host ring (connectivity) + a mod-7 hub skew
+    // (hosts 0-6 rank above the ring floor); self-loops drop. Three
+    // floor-division iterations replay exactly in SQL.
+    "q_host_rank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val html = concat(
+        lit("<a href=\"https://h"),
+        pmod(col("doc_id") + 1, lit(20L)).cast("string"),
+        lit(".ex/p\">x</a><a href=\"https://h"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".ex/q\">y</a>"))
+      val links = d.select(
+          concat(lit("h"), pmod(col("doc_id"), lit(20L)).cast("string"),
+            lit(".ex")).as("src"),
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+      val edges = links
+        .select(col("src"), UrlOps.host(col("l.href")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Rank.pagerank(edges, "src", "dst", iters = 3)
     }),
 
     // Anchor-text aggregation (round 7 cont.): per target registrable
@@ -3813,6 +3838,36 @@ object SparkEntry {
         |SELECT domain, CAST(sum(c) AS BIGINT) AS in_links,
         |  CAST(count(*) AS BIGINT) AS src_docs
         |FROM per GROUP BY domain""".stripMargin,
+
+    // the integer-PageRank replay: same distinct edge set from the
+    // construction arithmetic, three unrolled floor-division rounds
+    // (r0..r3 CTEs; insum sums CAST to BIGINT — the HUGEINT rule)
+    "q_host_rank" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT n.host,
+           |  CAST(150000 + (85 * coalesce(s.i, 0)) // 100 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS host,
+           |      CAST(sum($prev.pr // od.outdeg) AS BIGINT) AS i
+           |    FROM e JOIN od USING (src) JOIN $prev ON $prev.host = e.src
+           |    GROUP BY e.dst) s USING (host))""".stripMargin
+      s"""WITH e0 AS (
+        |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex' AS src,
+        |    'h' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.ex' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex',
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex' FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |${round("r0", "r1")},
+        |${round("r1", "r2")},
+        |${round("r2", "r3")}
+        |SELECT host, pr FROM r3""".stripMargin
+    },
 
     // replay by construction (the q_link_graph domain arithmetic): the
     // three planted anchor scales regroup under GROUP BY; rank is the

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank — host-authority ranking for crawl prioritization
+  * and quality weighting (Page et al. 1999, public paper). ALL
+  * arithmetic is integer (rank scale 10^6, floor division), so a SQL
+  * oracle replays every iteration exactly — no float accumulation
+  * order to diverge on:
+  *
+  *   contrib(u)  = r_t(u) // outdeg(u)
+  *   r_{t+1}(v)  = (15·S)//100 + (85 · Σ_{u→v} contrib(u)) // 100
+  *
+  * Dangling mass is dropped (the classic simplification, documented —
+  * ranks need no global normalization pass, and a node with no
+  * in-links settles at the teleport floor). Deterministic for any
+  * fixed iteration count.
+  *
+  * Scale shape: the edge list is distinct-collapsed and Snapshot-ed
+  * ONCE up front (iterative DataFrames re-execute lazy inputs every
+  * round — the round-3 clusters() lesson); each iteration is one hash
+  * join on src + one groupBy on dst, both shuffling only the host key
+  * + one long. The driver never sees data; rank magnitude stays under
+  * ~|nodes|·S so the 85·insum product sits far below 2^63.
+  */
+object Rank {
+
+  /** 3-5 iterations is the crawl-prioritization regime; the cap is a
+    * lineage-depth guard (each unrolled round deepens the plan). */
+  def pagerank(edges0: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iteration count out of range: $iters")
+    require(scale >= 1000L, s"rank scale too coarse: $scale")
+    val edges = Snapshot(edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = Snapshot(edges.select(col("src").as("host"))
+      .union(edges.select(col("dst"))).distinct())
+    val tele = (15L * scale) / 100L
+    var r = nodes.select(col("host"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(outdeg, "src")
+        .join(r.withColumnRenamed("host", "src"), "src")
+        .select(col("dst").as("host"),
+          floor(col("pr") / col("outdeg")).cast("long").as("c"))
+      val insum = contrib.groupBy("host").agg(sum("c").as("insum"))
+      r = nodes.join(insum, Seq("host"), "left")
+        .select(col("host"),
+          (lit(tele) + floor(lit(85L) * coalesce(col("insum"), lit(0L))
+            / lit(100L)).cast("long")).as("pr"))
+    }
+    r
+  }
+}
