@@ -758,6 +758,42 @@ object SparkEntry {
       Rank.pagerank(edges, "src", "dst", iters = 3)
     }),
 
+    // Politeness scheduler (round 7 cont.): per-domain fetch slots from
+    // the group-scoped robots Crawl-delay — the piece between the
+    // frontier and the fetcher. slot = rank within the domain by
+    // (priority desc, id asc); fetch_at = slot · delay. The delay is
+    // the VERBATIM directive value gated by an all-digits check (a
+    // missing or junk delay falls back to 1 s — never a cast error);
+    // the per-domain window is a hash partition, never a global sort.
+    "q_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val dom = pmod(col("doc_id"), lit(15L))
+      val robotsTxt =
+        when(pmod(dom, lit(7L)) === 2,
+          lit("User-agent: *\nDisallow: /private\n"))
+        .when(pmod(dom, lit(11L)) === 3,
+          lit("User-agent: *\nCrawl-delay: soon\n"))
+        .otherwise(concat(lit("User-agent: *\nCrawl-delay: "),
+          (pmod(dom, lit(5L)) + 1).cast("string"), lit("\n")))
+      val rawDelay = call_function("graft_robots_meta", robotsTxt,
+        lit("graftbot")).getField("crawl_delay")
+      val base = d.select(col("doc_id"),
+        concat(lit("d"), dom.cast("string"), lit(".ex")).as("domain"),
+        concat(lit("https://d"), dom.cast("string"), lit(".ex/p/"),
+          col("doc_id").cast("string")).as("url"),
+        pmod(col("doc_id"), lit(23L)).as("priority"),
+        when(rawDelay.rlike("^[0-9]{1,6}$"), rawDelay.cast("int"))
+          .otherwise(lit(1)).as("delay_s"))
+      val w = Window.partitionBy("domain")
+        .orderBy(col("priority").desc, col("doc_id").asc)
+      base.withColumn("slot", (row_number().over(w) - 1).cast("int"))
+        .select(col("doc_id"), col("domain"), col("url"),
+          col("priority"), col("delay_s"), col("slot"),
+          (col("slot").cast("long") * col("delay_s") * 1000L)
+            .as("fetch_at_ms"))
+    }),
+
     // Anchor-text aggregation (round 7 cont.): per target registrable
     // domain, the top-k distinct anchor texts by (count desc, anchor
     // codepoint-asc) — the web-corpus enrichment search and training
@@ -3868,6 +3904,28 @@ object SparkEntry {
         |${round("r2", "r3")}
         |SELECT host, pr FROM r3""".stripMargin
     },
+
+    // replay by construction: delay = (dom%5)+1 except the no-delay
+    // (dom%7=2) and junk-delay (dom%11=3) families → 1; slot ranks by
+    // (priority desc, doc_id asc) within the domain
+    "q_fetch_schedule" ->
+      """WITH b AS (SELECT doc_id,
+        |  doc_id % 15 AS dom,
+        |  CAST(doc_id % 23 AS BIGINT) AS priority
+        |  FROM documents),
+        |c AS (SELECT doc_id, priority,
+        |  'd' || CAST(dom AS VARCHAR) || '.ex' AS domain,
+        |  'https://d' || CAST(dom AS VARCHAR) || '.ex/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE WHEN dom % 7 = 2 OR dom % 11 = 3 THEN 1
+        |    ELSE dom % 5 + 1 END AS INT) AS delay_s
+        |  FROM b),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY priority DESC, doc_id ASC) - 1 AS INT) AS slot
+        |  FROM c)
+        |SELECT doc_id, domain, url, priority, delay_s, slot,
+        |  CAST(slot * delay_s * 1000 AS BIGINT) AS fetch_at_ms
+        |FROM r""".stripMargin,
 
     // replay by construction (the q_link_graph domain arithmetic): the
     // three planted anchor scales regroup under GROUP BY; rank is the
