@@ -557,4 +557,156 @@ object StreamingExtract {
           }
         })
   }
+
+  // ------------------------------------------------- semantic (vector)
+
+  final case class SemState(ids: Seq[String], vecs: Seq[Seq[Float]])
+
+  final case class SemDedupVerdict(doc_id: String, cell: Int,
+                                   is_dup: Boolean, match_id: String,
+                                   retained: Long)
+
+  /** Streaming SEMANTIC dedup — the embedding-aware companion of
+    * [[dedupVerdicts]]: incoming vectors are keyed by their IVF cell
+    * (argmax cosine against plan-literal centroids; dirty vectors —
+    * null/empty/NaN/Inf — key to the -1 sentinel and never touch
+    * state), and each arrival is checked against the cell's RETAINED
+    * EXEMPLARS (first-arrival representatives): cosine >= threshold →
+    * duplicate of the FIRST matching exemplar in insertion order;
+    * otherwise the vector is novel and joins the exemplar set.
+    *
+    * State is BOUNDED at `capPerCell` exemplars per cell (the
+    * end-of-life rule every keyed state needs): beyond the cap a novel
+    * vector is emitted as novel but NOT retained — later copies of it
+    * read novel too (approximate-at-the-cap by design, the TTL
+    * discipline; size the cap to the cell's expected distinct-direction
+    * count). `retained` reports the exemplar count after the row — the
+    * running-novel-sum the oracle replays (valid below the cap).
+    *
+    * Verdict determinism mirrors dedupVerdicts: arrival order == id
+    * order under the drain harness (lpad'd ids + ordered batch files),
+    * and the exemplar scan is a forward pass in insertion order.
+    * Cosines are the VecUdfs arithmetic (index-order double
+    * accumulation, 1e-12 guard) — exactly 1.0 / 3/5 on the planted
+    * power-of-two / Pythagorean constructions, which is what makes the
+    * verdict hash-oracle-able. */
+  def semDedupVerdicts(vecs: org.apache.spark.sql.Dataset[(String, Seq[Float])],
+                       centroids: Array[Array[Float]],
+                       threshold: Double = 0.9,
+                       capPerCell: Int = 256)
+      : org.apache.spark.sql.Dataset[SemDedupVerdict] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(capPerCell >= 1, s"capPerCell must be >= 1: $capPerCell")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      if (a.length != b.length) return Double.NegativeInfinity
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+      if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+    }
+    val cents: Array[Seq[Float]] = centroids.map(_.toSeq)
+    def cellOf(v: Seq[Float]): Int = {
+      if (v == null || v.isEmpty ||
+          v.exists(x => java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x)))
+        return -1
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        val s = cos(v, cents(j))
+        if (s > bestSim) { best = j; bestSim = s }
+        j += 1
+      }
+      best
+    }
+    vecs.map { case (id, v) => (id, v, cellOf(v)) }
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (cellId: Int, rows: Iterator[(String, Seq[Float], Int)],
+         state: GroupState[SemState]) => {
+          if (cellId == -1)
+            // dirty rows: verdicts without state (the -1 sentinel rule)
+            rows.map { case (id, _, _) =>
+              SemDedupVerdict(id, -1, is_dup = false, null, 0L) }
+          else
+            // forward pass, state.update per element (the dedupVerdicts
+            // persistence contract: the state committed is whatever the
+            // GroupState holds once the output iterator drains)
+            rows.map { case (id, v, _) =>
+              val st = state.getOption.getOrElse(SemState(Nil, Nil))
+              val m = st.vecs.indexWhere(u => cos(v, u) >= threshold)
+              if (m >= 0)
+                SemDedupVerdict(id, cellId, is_dup = true, st.ids(m),
+                  st.ids.length.toLong)
+              else {
+                val st2 =
+                  if (st.ids.length < capPerCell)
+                    SemState(st.ids :+ id, st.vecs :+ v)
+                  else st
+                state.update(st2)
+                SemDedupVerdict(id, cellId, is_dup = false, null,
+                  st2.ids.length.toLong)
+              }
+            }
+        })
+  }
+
+  /** Bounded drain for [[semDedupVerdicts]] — the dedupVerdictsDrain
+    * protocol (ordered parquet batch files, maxFilesPerTrigger=1,
+    * AvailableNow, memory sink, state partitions sized to the drain). */
+  def semDedupDrain(batches: Seq[DataFrame],
+                    centroids: Array[Array[Float]],
+                    threshold: Double = 0.9,
+                    capPerCell: Int = 256,
+                    statePartitions: Int = 8): DataFrame = {
+    val spark = batches.head.sparkSession
+    import org.apache.spark.sql.types.{StructType, StructField, StringType,
+      ArrayType, FloatType}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-semdedup")
+    val inDir = new java.io.File(base.toFile, "in")
+    inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(base.toFile, s"part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet file written for batch $i"))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val verdicts = semDedupVerdicts(stream.as[(String, Seq[Float])],
+      centroids, threshold, capPerCell)
+    val qname = "graft_stream_semdedup_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val q = verdicts.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(qname).localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      scala.util.Try(spark.catalog.dropTempView(qname))
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
 }

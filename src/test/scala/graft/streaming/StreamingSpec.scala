@@ -159,6 +159,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semantic dedup: exemplars persist across batches, cap bounds state, dirty rows bypass") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Seq[Float])]
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val verdicts = StreamingExtract.semDedupVerdicts(in.toDS(), cents,
+      threshold = 0.9, capPerCell = 2)
+    val q = verdicts.writeStream.format("memory")
+      .queryName("semdedup_verdicts").outputMode("update").start()
+    try {
+      // batch 1: a1 novel (axis 0); a2 = 2x a1 (cosine exactly 1.0 —
+      // dup of a1); b1 novel in cell 1; dirty NaN row bypasses state
+      in.addData(("a1", Seq(3f, 4f, 0f, 0f)), ("a2", Seq(6f, 8f, 0f, 0f)),
+        ("b1", Seq(0f, 0f, 5f, 0f)), ("x1", Seq(Float.NaN, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 2: a3 orthogonal-ish in cell 0 (cos 4/5 < 0.9 with a1 —
+      // novel, fills the cap); a4 a new direction beyond the cap —
+      // emitted novel but NOT retained; a5 = 2x a4 still reads novel
+      // (the approximate-at-the-cap rule); a6 = copy of a1 from batch 1
+      // (cross-batch exemplar persistence)
+      in.addData(("a3", Seq(4f, -3f, 0f, 0f)), ("a4", Seq(5f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      in.addData(("a5", Seq(10f, 0f, 0f, 0f)), ("a6", Seq(3f, 4f, 0f, 0f)))
+      q.processAllAvailable()
+      val got = spark.table("semdedup_verdicts").collect()
+        .map(r => r.getString(0) ->
+          ((r.getInt(1), r.getBoolean(2), r.getString(3), r.getLong(4)))).toMap
+      assert(got("a1") == ((0, false, null, 1L)), got.toString)
+      assert(got("a2") == ((0, true, "a1", 1L)), "2x scale must read cosine 1.0")
+      assert(got("b1") == ((1, false, null, 1L)))
+      assert(got("x1") == ((-1, false, null, 0L)), "NaN must bypass state")
+      assert(got("a3") == ((0, false, null, 2L)), "cos 4/5 must stay novel")
+      assert(got("a4") == ((0, false, null, 2L)), "beyond-cap novel not retained")
+      assert(got("a5") == ((0, false, null, 2L)), "copy of unretained reads novel")
+      assert(got("a6") == ((0, true, "a1", 2L)), "exemplars persist across batches")
+    } finally q.stop()
+  }
+
   test("dedup state TTL: in-window duplicates get identical verdicts; expired hashes read as fresh") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
