@@ -990,6 +990,49 @@ object SparkEntry {
           col("e.lastmod").as("lastmod"), col("e.priority").as("priority"))
     }),
 
+    // Two-level sitemap recursion (round 7 cont., SURVEY §16 backlog):
+    // a sitemapindex referencing two child sitemaps, the children
+    // fetched (stubbed by construction, the q_discovery_chain
+    // discipline) and parsed in a second kernel pass — the real
+    // crawl-discovery loop is exactly this index→child→urlset chain.
+    // The loc-less orphan index entry pins the null-loc drop; the
+    // child ordinal rides entry_id through the first explode.
+    "q_sitemap_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idS = col("doc_id").cast("string")
+      val mm = (pmod(col("doc_id"), lit(9L)) + 1).cast("string")
+      val idx = concat(
+        lit("<sitemapindex><sitemap><loc>https://s.ex/"), idS,
+        lit("/c0.xml</loc><lastmod>2026-01-0"), mm,
+        lit("</lastmod></sitemap><sitemap><loc>https://s.ex/"), idS,
+        lit("/c1.xml</loc></sitemap><sitemap><lastmod>orphan</lastmod>" +
+          "</sitemap></sitemapindex>"))
+      val entries = d.select(col("doc_id"),
+          explode_outer(call_function("graft_sitemap", idx)).as("e"))
+        .filter(col("e").isNotNull)
+        .filter(col("e.kind") === "sitemap" && col("e.loc").isNotNull)
+      val pr = pmod(col("doc_id"), lit(9L)).cast("string")
+      val lm = pmod(col("doc_id"), lit(2L)).cast("string")
+      val child = when(col("e.entry_id") === 0, concat(
+          lit("<urlset><url><loc>https://d.ex/"),
+          col("doc_id").cast("string"),
+          lit("/a</loc><priority>0."), pr,
+          lit("</priority></url><url><loc>https://d.ex/"),
+          col("doc_id").cast("string"), lit("/b</loc></url></urlset>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>https://d.ex/"),
+          col("doc_id").cast("string"),
+          lit("/c</loc><lastmod>2025-12-3"), lm,
+          lit("</lastmod></url></urlset>")))
+      entries.select(col("doc_id"), col("e.loc").as("child_loc"),
+          explode_outer(call_function("graft_sitemap", child)).as("u"))
+        .filter(col("u").isNotNull)
+        .filter(col("u.kind") === "url")
+        .select(col("doc_id"), col("child_loc"),
+          col("u.loc").as("url"), col("u.lastmod").as("lastmod"),
+          col("u.priority").as("priority"))
+    }),
+
     // Page metadata extraction (round 7 cont.): title / html@lang /
     // base / link rel=canonical / meta description|robots / og:title in
     // ONE parse — every field FIRST-match in pre-order, attr lookup
@@ -4079,6 +4122,26 @@ object SparkEntry {
         |  'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/sitemap-'
         |    || CAST(doc_id % 10 AS VARCHAR) || '.xml',
         |  '2025-01-02', NULL FROM documents""".stripMargin,
+
+    // replay by construction: child c0 yields urls /a (priority, no
+    // lastmod) and /b (neither), child c1 yields /c (lastmod, no
+    // priority); the loc-less orphan index entry emits nothing
+    "q_sitemap_index" ->
+      """SELECT doc_id,
+        |  'https://s.ex/' || CAST(doc_id AS VARCHAR) || '/c0.xml' AS child_loc,
+        |  'https://d.ex/' || CAST(doc_id AS VARCHAR) || '/a' AS url,
+        |  NULL AS lastmod,
+        |  '0.' || CAST(doc_id % 9 AS VARCHAR) AS priority
+        |FROM documents
+        |UNION ALL SELECT doc_id,
+        |  'https://s.ex/' || CAST(doc_id AS VARCHAR) || '/c0.xml',
+        |  'https://d.ex/' || CAST(doc_id AS VARCHAR) || '/b', NULL, NULL
+        |FROM documents
+        |UNION ALL SELECT doc_id,
+        |  'https://s.ex/' || CAST(doc_id AS VARCHAR) || '/c1.xml',
+        |  'https://d.ex/' || CAST(doc_id AS VARCHAR) || '/c',
+        |  '2025-12-3' || CAST(doc_id % 2 AS VARCHAR), NULL
+        |FROM documents""".stripMargin,
 
     // every field replays the construction through the parser-visible
     // views: attr values + RCDATA title both decode NUL→U+FFFD
