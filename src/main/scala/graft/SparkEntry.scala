@@ -3115,6 +3115,24 @@ object SparkEntry {
       TextOps.bm25(d, "doc_id", "text", q, "qid", "term", k = 10)
     }),
 
+    // Multi-term BM25 (round 7 cont.): per-doc score = sum of the
+    // per-term exact ratios folded in SORTED TERM ORDER (the
+    // deterministic multi-term answer — an unordered SUM would be the
+    // cross-engine nondeterminism). Query terms = the first 3 canonical
+    // tokens of docs 0-2, row-DISTINCT (a repeated term would
+    // double-count).
+    "q_bm25_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.GraftSql
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          explode_outer(slice(GraftSql.column(graft.spark.GraftNgrams(
+            GraftSql.expressionOf(col("text")), 1)), 1, 3)).as("term"))
+        .filter(col("term").isNotNull)
+        .distinct()
+      TextOps.bm25Multi(d, "doc_id", "text", q, "qid", "term", k = 10)
+    }),
+
     // Capped inverted index (round 7 cont.): df + first-5 postings per
     // canonical token, df in [2, 50] (hapax and stopword cuts). The
     // synthetic corpus vocabulary is ~31 near-universal tokens, so the
@@ -6090,6 +6108,42 @@ object SparkEntry {
         |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 10""".stripMargin,
+
+    // the multi-term replay: same per-term ratios, then the SAME
+    // sorted left-fold (list_sort by tok, fold s1+s2+...; Spark folds
+    // 0.0+s1+... — equal because 0.0 + x == x for the positive scores)
+    "q_bm25_multi" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |  unnest(${TextNorm.sqlTokens(TextNorm.sqlLower("text"))}) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, tok),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY doc_id),
+        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY tok),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(dl) AS BIGINT) AS tt FROM dls),
+        |q0 AS (SELECT doc_id AS query_id,
+        |  unnest((${TextNorm.sqlTokens(TextNorm.sqlLower("text"))})[1:3]) AS tok
+        |  FROM documents WHERE doc_id < 3),
+        |q AS (SELECT DISTINCT query_id, tok FROM q0),
+        |sc AS (SELECT q.query_id, q.tok, tf.doc_id,
+        |  CAST((2*nd - 2*df + 1) * 22 * tt * tf AS DOUBLE) /
+        |  CAST((2*df + 1) * (10*tt*tf + 3*tt + 9*dl*nd) AS DOUBLE) AS score
+        |  FROM q JOIN dfs ON q.tok = dfs.tok
+        |  JOIN tf ON tf.tok = q.tok
+        |  JOIN dls ON dls.doc_id = tf.doc_id
+        |  CROSS JOIN c),
+        |fd AS (SELECT query_id, doc_id,
+        |  list_reduce(list_transform(
+        |    list_sort(list(struct_pack(tok := tok, score := score))),
+        |    x -> x.score), (a, b) -> a + b) AS score,
+        |  CAST(count(*) AS INT) AS matched
+        |  FROM sc GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, matched, CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM fd)
         |WHERE rank <= 10""".stripMargin,
 
     // the full cleaning chain replayed stage by stage: construction,

@@ -561,6 +561,19 @@ object TextOps {
   def bm25(df0: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qidCol: String, termCol: String,
            k: Int = 10): DataFrame = {
+    val scored = bm25ScoredTerms(df0, idCol, textCol, queries, qidCol, termCol)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    TopK.perQueryTopK(scored, k)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("cosine").as("score"), col("rank"))
+  }
+
+  /** Per-(query, term, doc) exact-ratio BM25 scores — the shared core
+    * of [[bm25]] / [[bm25Multi]]. Output: (query_id, tok, vec_id,
+    * cosine) with cosine the single exactly-rounded division. */
+  private def bm25ScoredTerms(df0: DataFrame, idCol: String, textCol: String,
+                              queries: DataFrame, qidCol: String,
+                              termCol: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftSql
     val toks = df0.select(col(idCol).as("doc_id"),
         explode_outer(GraftSql.column(graft.spark.GraftNgrams(
@@ -580,10 +593,34 @@ object TextOps {
     val den = (lit(2L) * col("df") + lit(1L)) *
       (lit(10L) * col("tt") * col("tf") + lit(3L) * col("tt") +
         lit(9L) * col("dl") * col("nd"))
-    val scored = cand.select(col("query_id"), col("doc_id").as("vec_id"),
+    cand.select(col("query_id"), col("tok"), col("doc_id").as("vec_id"),
       (num.cast("double") / den.cast("double")).as("cosine"))
-    TopK.perQueryTopK(scored, k)
+  }
+
+  /** Multi-term BM25: per-document score = the sum of per-term exact
+    * ratios, folded in SORTED TERM ORDER — collect the (term, score)
+    * structs, sort_array (terms are distinct per query, so the sort is
+    * total), and left-fold from 0.0. Both engines add the SAME doubles
+    * in the SAME order, and 0.0 + x == x exactly for the positive
+    * scores, so the sum replays bit-for-bit (an unordered SUM() would
+    * be the nondeterminism the single-term form avoids — this is the
+    * documented multi-term answer). `matched` = how many query terms
+    * hit the doc. Duplicate query terms must be deduped upstream
+    * (DISTINCT rows) — a repeated term would double-count. */
+  def bm25Multi(df0: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, termCol: String,
+                k: Int = 10): DataFrame = {
+    val scored = bm25ScoredTerms(df0, idCol, textCol, queries, qidCol, termCol)
+    val folded = Snapshot(scored.groupBy("query_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("cosine")))).as("ts"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("cosine")).as("cosine"),
+        size(col("ts")).as("matched")))
+    TopK.perQueryTopK(folded.select("query_id", "vec_id", "cosine"), k)
+      .join(folded.select(col("query_id"), col("vec_id"), col("matched")),
+        Seq("query_id", "vec_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("cosine").as("score"), col("rank"))
+        col("cosine").as("score"), col("matched"), col("rank"))
   }
 }

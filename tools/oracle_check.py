@@ -44,6 +44,9 @@ FLOAT_ALLOW = {
     # rational BM25: one double division of exact <2^53 BIGINTs (no ln
     # anywhere) — exactly rounded IEEE on both engines, bit-identical
     "q_bm25": {"score"},
+    # multi-term sum folds the same per-term exact ratios in SORTED
+    # term order on both engines (0.0 + x == x for positive scores)
+    "q_bm25_multi": {"score"},
     "q_ann_i8": {"cosine"},
     "q_ann_lsh": {"cosine"},
     "q_ann_graded": {"cosine"},
