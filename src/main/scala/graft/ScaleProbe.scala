@@ -44,7 +44,8 @@ object ScaleProbe {
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",
     // ANN over embeddings
     "q_ann_self", "q_ann_topk", "q_ann_i8", "q_ann_lsh", "q_ann_ivf",
-    "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm", "q_ann_hnsw")
+    "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm", "q_ann_hnsw",
+    "q_ann_ivf_hnsw")
 
   def main(args: Array[String]): Unit = {
     val dirA = args(0)

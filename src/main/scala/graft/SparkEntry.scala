@@ -1997,6 +1997,28 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // IVF-HNSW hybrid (round 7 cont., SURVEY §16 lever 4b): the same
+    // planted IVF corpus routed by the same trained centroids, but the
+    // within-cell search is a per-cell HNSW beam. efSearch 64 >= the
+    // 8-row cells, so the per-cell beam is exhaustive and the result
+    // equals ivfTopK's exact ranking — the q_ann_ivf oracle verbatim.
+    "q_ann_ivf_hnsw" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      import s.implicits._
+      def vec(j: Int, scale: Float): Array[Float] = {
+        val v = new Array[Float](8); v(j) = (j + 1) * scale; v
+      }
+      val corpus = (for (j <- 0 until 8; i <- 0 until 8)
+        yield ((j * 100 + i).toLong, vec(j, 1f))).toDF("vec_id", "embedding")
+      val queries = (0 until 8).map(j => ((1000 + j).toLong, vec(j, 2f)))
+        .toDF("qid", "qvec")
+      val centroids = Similarity.trainCentroids(corpus, "embedding", k = 8, iters = 2)
+      Similarity.ivfHnswTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec",
+          centroids, k = 3, nprobe = 1, m = 4, efSearch = 64)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // int8-quantized ANN (round 4): the graded dominance corpus is all
     // non-negative, so quantization (round(127·v/max|v|), half-up ==
     // DuckDB round for positives) and the integer-dot cosine are both
@@ -5111,6 +5133,14 @@ object SparkEntry {
     // identical-direction vectors (cosine exactly 1.0; Pythagorean-free —
     // one nonzero coordinate), ranked by the id tie-break
     "q_ann_ivf" ->
+      """SELECT CAST(1000 + j AS BIGINT) AS query_id,
+        |       CAST(j * 100 + r - 1 AS BIGINT) AS vec_id,
+        |       CAST(1.0 AS DOUBLE) AS cosine, CAST(r AS INT) AS rank
+        |FROM range(0, 8) t(j) CROSS JOIN range(1, 4) s(r)""".stripMargin,
+
+    // the per-cell exhaustive beam reproduces ivfTopK's exact ranking
+    // on the planted corpus — same oracle
+    "q_ann_ivf_hnsw" ->
       """SELECT CAST(1000 + j AS BIGINT) AS query_id,
         |       CAST(j * 100 + r - 1 AS BIGINT) AS vec_id,
         |       CAST(1.0 AS DOUBLE) AS cosine, CAST(r AS INT) AS rank

@@ -518,6 +518,65 @@ object Similarity {
     TopK.perQueryTopK(scored, k)
   }
 
+  /** IVF-HNSW hybrid — the production ANN shape at corpus scale: the
+    * coarse quantizer ROUTES (every corpus vector lands in its nearest
+    * centroid's cell, queries probe their nprobe nearest cells), and a
+    * per-cell HNSW graph makes the within-cell search sublinear. Cells
+    * partition the corpus (repartition on the cell key), so one task
+    * may build several cell graphs — each bounded by its cell's rows.
+    * Candidate reduction multiplies: nprobe/k_cells of the corpus is
+    * even looked at, and the beam visits a fraction of that.
+    *
+    * Determinism: cell assignment is the GraftNearestCentroids kernel
+    * on BOTH sides (query probe cells computed through the same
+    * expression before the collect — no driver-side mirror of the
+    * argmax to drift); within a cell the hnswTopK contract applies
+    * verbatim. Dirty corpus vectors (null/NaN → null cells) drop; a
+    * dirty query emits nothing. With ef >= cell rows the per-cell beam
+    * is exhaustive, so results equal ivfTopK's exact within-cell
+    * ranking — the oracle mechanism (q_ann_ivf_hnsw reuses the
+    * q_ann_ivf planted corpus and oracle). */
+  def ivfHnswTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  centroids: Array[Array[Float]], k: Int = 10,
+                  nprobe: Int = 1, m: Int = 8, efSearch: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSql
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def nearest(c: Column, n: Int): Column =
+      GraftSql.column(graft.spark.GraftNearestCentroids(
+        GraftSql.expressionOf(c), centroids, n))
+    val qArr = queries.select(col(queryId).cast("long"),
+        col(queryVec), nearest(col(queryVec), nprobe))
+      .as[(Long, Array[Float], Array[Int])].collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qArr)
+    val ef = math.max(efSearch, k)
+    val scored = corpus
+      .select(col(corpusId).cast("long").as("vec_id"), col(corpusVec).as("vec"))
+      .where(col("vec").isNotNull)
+      .withColumn("cell", coalesce(element_at(nearest(col("vec"), 1), 1), lit(-1)))
+      .where(col("cell") >= 0)
+      .repartition(col("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val byCell = it.toArray.groupBy(_._3)
+        val qs = qB.value
+        byCell.iterator.flatMap { case (cell, rows) =>
+          val nodes = rows.map(t => (t._1, t._2)).sortBy(_._1)
+          val g = new HnswShard(nodes.map(_._1), nodes.map(_._2), m)
+          g.build()
+          qs.iterator
+            .filter(q => q._3 != null && q._3.contains(cell) && q._2 != null)
+            .flatMap { case (qid, qv, _) =>
+              g.topK(qv, k, ef).iterator
+                .map { case (i, s) => (qid, nodes(i)._1, s) }
+            }
+        }
+      }
+      .toDF("query_id", "vec_id", "cosine")
+    TopK.perQueryTopK(scored, k)
+  }
+
   /** One shard's hierarchical navigable-small-world graph. All state is
     * shard-local (built and dropped inside one task); sizes are bounded
     * by the shard row count. See hnswTopK for the determinism contract. */

@@ -327,6 +327,41 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(r16 >= 0.95, f"hnsw ef=16 recall regressed: $r16%.4f (measured 1.0)")
   }
 
+  test("ivfHnswTopK: all-cells exhaustive beam equals brute force; routed recall floor") {
+    import spark.implicits._
+    graft.spark.GraftFunctions.registerAll(spark)
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    val cents = Similarity.trainCentroids(corpus, "embedding", k = 8, iters = 2)
+    def truthTop(q: Array[Float], k: Int): Seq[Long] =
+      all.map { case (id, v) => (id, cosF(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    def run(nprobe: Int, ef: Int): Map[Long, Seq[Long]] =
+      Similarity.ivfHnswTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", cents, k = 10, nprobe = nprobe,
+          m = 8, efSearch = ef)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // probing EVERY cell with an exhaustive beam = global brute force
+    // (ordered equality — the q_ann_ivf_hnsw oracle mechanism)
+    val exact = run(nprobe = 8, ef = 512)
+    queryRows.foreach { case (qid, qv) =>
+      assert(exact(qid) == truthTop(qv, 10),
+        s"all-cells exhaustive hybrid must equal brute force for $qid")
+    }
+    // realistic routing: nprobe 2 / ef 64 — deterministic recall pin
+    val routed = run(nprobe = 2, ef = 64)
+    val r = queryRows.map { case (qid, qv) =>
+      val t = truthTop(qv, 10).toSet
+      (routed.getOrElse(qid, Seq.empty).toSet & t).size.toDouble / t.size
+    }.sum / queryRows.size
+    info(f"ivfHnswTopK recall@10 at nprobe=2 ef=64: $r%.4f")
+    assert(r >= 0.70, f"ivf-hnsw routed recall regressed: $r%.4f (measured 0.71)")
+  }
+
   test("int8 quantized cosine tracks f32: distortion bound + top-10 recall floor") {
     import spark.implicits._
     val all = gradedEmbeddings

@@ -51,6 +51,7 @@ FLOAT_ALLOW = {
     "q_ann_lsh": {"cosine"},
     "q_ann_graded": {"cosine"},
     "q_ann_ivf": {"cosine"},
+    "q_ann_ivf_hnsw": {"cosine"},
     # ADC distance equals exact cosine bit-for-bit because corpus
     # subvectors ARE codewords (all-integer floats; round-5 construction)
     "q_ann_pq": {"cosine"},
