@@ -758,6 +758,39 @@ object SparkEntry {
       Rank.pagerank(edges, "src", "dst", iters = 3)
     }),
 
+    // Authority-weighted domain quality (round 7 cont.): the
+    // crawl-budget allocation signal — per-host quality aggregates
+    // joined with the host's integer PageRank (the q_host_rank edge
+    // construction verbatim; both chains' oracles compose). All
+    // integer: authority_quality = sum_quality × pr stays far below
+    // 2^63 (25 docs × q<=100 × pr~2e6).
+    "q_domain_quality" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val host = concat(lit("h"), pmod(col("doc_id"), lit(20L)).cast("string"),
+        lit(".ex"))
+      val agg = d.select(host.as("host"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum("q").as("sum_quality"))
+      val html = concat(
+        lit("<a href=\"https://h"),
+        pmod(col("doc_id") + 1, lit(20L)).cast("string"),
+        lit(".ex/p\">x</a><a href=\"https://h"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".ex/q\">y</a>"))
+      val links = d.select(host.as("src"),
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+      val edges = links
+        .select(col("src"), UrlOps.host(col("l.href")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val pr = Rank.pagerank(edges, "src", "dst", iters = 3)
+      agg.join(pr, "host")
+        .select(col("host"), col("n_docs"), col("sum_quality"), col("pr"),
+          (col("sum_quality") * col("pr")).as("authority_quality"))
+    }),
+
     // Politeness scheduler (round 7 cont.): per-domain fetch slots from
     // the group-scoped robots Crawl-delay — the piece between the
     // frontier and the fetcher. slot = rank within the domain by
@@ -4023,6 +4056,49 @@ object SparkEntry {
         |${round("r1", "r2")},
         |${round("r2", "r3")}
         |SELECT host, pr FROM r3""".stripMargin
+    },
+
+    // the two chains composed: the q_domain_report quality replay
+    // aggregated per host x the q_host_rank three-round replay
+    "q_domain_quality" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT n.host,
+           |  CAST(150000 + (85 * coalesce(s.i, 0)) // 100 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS host,
+           |      CAST(sum($prev.pr // od.outdeg) AS BIGINT) AS i
+           |    FROM e JOIN od USING (src) JOIN $prev ON $prev.host = e.src
+           |    GROUP BY e.dst) s USING (host))""".stripMargin
+      s"""WITH b AS (SELECT
+        |  'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex' AS host,
+        |  CAST(least(nc//125, 40)
+        |    + CAST(floor(na*40/greatest(nc,1)) AS BIGINT)
+        |    + CASE WHEN nt > 0 AND nc >= 3*nt AND nc <= 12*nt THEN 20 ELSE 0 END
+        |    AS BIGINT) AS q
+        |  FROM (SELECT doc_id, length(text) AS nc,
+        |          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+        |          coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS nt
+        |        FROM documents)),
+        |g AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q) AS BIGINT) AS sum_quality FROM b GROUP BY host),
+        |e0 AS (
+        |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex' AS src,
+        |    'h' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.ex' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex',
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex' FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |${round("r0", "r1")},
+        |${round("r1", "r2")},
+        |${round("r2", "r3")}
+        |SELECT g.host, n_docs, sum_quality, pr,
+        |  CAST(sum_quality * pr AS BIGINT) AS authority_quality
+        |FROM g JOIN r3 ON g.host = r3.host""".stripMargin
     },
 
     // replay by construction: delay = (dom%5)+1 except the no-delay
