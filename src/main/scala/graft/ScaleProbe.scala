@@ -38,7 +38,7 @@ object ScaleProbe {
     "q_image_exif", "q_image_blockhash", "q_og_caption", "q_wet_sections",
     "q_parallel_pairs", "q_asr_pairs", "q_bm25", "q_split", "q_host_rank",
     "q_fetch_schedule", "q_stream_semdedup", "q_sitemap_index",
-    "q_bm25_multi", "q_domain_quality",
+    "q_bm25_multi", "q_domain_quality", "q_segment_manifest",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",

@@ -3129,6 +3129,34 @@ object SparkEntry {
           col("straddles"), col("rec_md5"))
     }),
 
+    // Segment integrity manifests (round 7 cont.): the q_shard_manifest
+    // order-insensitive digest applied to the streamed WARC segments —
+    // the artifact a downstream loader checks before ingesting a
+    // segment. id_check / content_check are COMMUTATIVE md5-prefix
+    // sums (map-side combinable; never an order-dependent concat).
+    "q_segment_manifest" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val rows = d.select(col("doc_id"),
+        concat(lit("https://ex.com/"),
+          coalesce(col("source"), lit(""))).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        concat(lit("B"), coalesce(col("text"), lit(""))).as("body"))
+      val batches = Seq(
+        rows.filter(pmod(col("doc_id"), lit(2)) === 0),
+        rows.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val segs = graft.streaming.StreamingExtract
+        .composeSegmentsDrain(batches, budget = 8192)
+      segs.groupBy(col("batch_id"), col("segment"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("rec_bytes")).as("octets"),
+          sum(col("straddles").cast("long")).as("n_straddles"),
+          sum(conv(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 8), 16, 10).cast("long")).as("id_check"),
+          sum(conv(substring(col("rec_md5"), 1, 8), 16, 10).cast("long"))
+            .as("content_check"))
+    }),
+
     // Sentence segmentation (round 5): lookaround-free regex runs on
     // real text plus a constructed multi-sentence suffix; every number
     // is an integer and DuckDB replays the same RE2-safe pattern.
@@ -6133,6 +6161,37 @@ object SparkEntry {
         |  CAST(CASE WHEN (st + rec_bytes - 1) // 8192 > st // 8192
         |    THEN 1 ELSE 0 END AS INTEGER) AS straddles,
         |  rec_md5 FROM s""".stripMargin
+    },
+
+    // the segments replay aggregated: commutative md5-prefix sums over
+    // doc ids and record digests per (batch, segment)
+    "q_segment_manifest" -> {
+      val cleanSrc =
+        "regexp_replace(coalesce(source, ''), '[\\x00-\\x20]', '', 'g')"
+      s"""WITH b AS (SELECT doc_id,
+        |  'https://ex.com/' || $cleanSrc AS uri,
+        |  'B' || coalesce(text, '') AS body FROM documents),
+        |${sqlWarcResponseCtes("2026-01-01T00:00:00Z")},
+        |r AS (SELECT doc_id, doc_id % 2 AS batch_id,
+        |  ${sqlWarcResponseRecord("2026-01-01T00:00:00Z")} AS record FROM m),
+        |s AS (SELECT doc_id, CAST(batch_id AS INTEGER) AS batch_id,
+        |  CAST(strlen(record) AS BIGINT) AS rec_bytes,
+        |  CAST(COALESCE(sum(strlen(record)) OVER (PARTITION BY batch_id
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st,
+        |  md5(record) AS rec_md5 FROM r),
+        |seg AS (SELECT doc_id, batch_id, rec_bytes, st // 8192 AS segment,
+        |  CASE WHEN (st + rec_bytes - 1) // 8192 > st // 8192
+        |    THEN 1 ELSE 0 END AS straddles, rec_md5 FROM s)
+        |SELECT batch_id, segment,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(rec_bytes) AS BIGINT) AS octets,
+        |  CAST(sum(straddles) AS BIGINT) AS n_straddles,
+        |  CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS BIGINT)) AS BIGINT) AS id_check,
+        |  CAST(sum(CAST('0x' || substr(rec_md5, 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS content_check
+        |FROM seg GROUP BY batch_id, segment""".stripMargin
     },
 
     // the same RE2-safe pattern segments on the DuckDB side
