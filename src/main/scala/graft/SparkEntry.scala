@@ -228,6 +228,42 @@ object SparkEntry {
     * verify must reject), 12/13 (≈0.923), 0.96, 99/101 (≈0.980) sit
     * above (sub-1.0 pairs the oracle REQUIRES recalled), and [3,4]/[6,8]
     * pins exact 1.0 (50/(5·10) — all exact). */
+  /** Shared i8-ANN oracle: re-quantizes the gradedVecs VALUES corpus
+    * and re-ranks every pair with integer-dot cosine — quantization,
+    * rounding, and rank order all independently recomputed. Serves
+    * q_ann_i8 (brute force) AND q_ann_hnsw_i8 (whose exhaustive beam
+    * provably equals brute force — see that query's doc). */
+  private val annI8OracleSql: String =
+    """WITH c(id, v) AS (VALUES
+      |  (100, [3.0,4,0,0,0,0,0,0,0,0,0,0]),
+      |  (200, [0.0,5,0,0,0,0,0,0,0,0,0,0]),
+      |  (101, [0.0,0,8,15,0,0,0,0,0,0,0,0]),
+      |  (201, [0.0,0,0,17,0,0,0,0,0,0,0,0]),
+      |  (102, [0.0,0,0,0,5,12,0,0,0,0,0,0]),
+      |  (202, [0.0,0,0,0,0,13,0,0,0,0,0,0]),
+      |  (103, [0.0,0,0,0,0,0,7,24,0,0,0,0]),
+      |  (203, [0.0,0,0,0,0,0,0,25,0,0,0,0]),
+      |  (104, [0.0,0,0,0,0,0,0,0,20,99,0,0]),
+      |  (204, [0.0,0,0,0,0,0,0,0,0,101,0,0]),
+      |  (105, [0.0,0,0,0,0,0,0,0,0,0,3,4]),
+      |  (205, [0.0,0,0,0,0,0,0,0,0,0,6,8])),
+      |q8 AS (SELECT id,
+      |  list_transform(v, x -> CAST(round(127 * CAST(x AS DOUBLE) / m) AS BIGINT)) AS qv
+      |  FROM (SELECT id, v,
+      |          list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS m
+      |        FROM c)),
+      |s AS (SELECT a.id AS query_id, b.id AS vec_id,
+      |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+      |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |  / greatest(sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE))
+      |           * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)), 1e-12) AS cosine
+      |  FROM q8 a CROSS JOIN q8 b WHERE a.id < 200)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+      |       cosine, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, vec_id) AS rank FROM s)
+      |WHERE rank <= 2""".stripMargin
+
   private def gradedVecs(s: SparkSession): DataFrame = {
     import s.implicits._
     val dim = 12
@@ -1920,6 +1956,26 @@ object SparkEntry {
           k = 5, m = 8, efSearch = 512, shards = 4)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
           col("rank"))
+    }),
+
+    // Scalar-quantized HNSW (round 7 cont., SURVEY §16 ANN lever 4c):
+    // the int8 graph serves from 4× less memory per shard. The oracle
+    // mechanism composes the two existing exactness contracts:
+    // quantized elements are integers in [-127,127], so the f32 beam
+    // cosine EQUALS cosineI8 bit-for-bit (integer products/sums are
+    // exact in double; same sqrt·sqrt denominator), and efSearch 512
+    // >= any shard of the 12-row planted corpus, so the merged beam
+    // equals i8 brute-force ranking — the q_ann_i8 oracle verbatim.
+    // Production-ef recall over quantized vectors is floor-pinned in
+    // ScaleGuardSpec.
+    "q_ann_hnsw_i8" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val c = gradedVecs(s)
+      val q = c.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.hnswI8TopK(c, "vec_id", "embedding", q, "qid", "qvec",
+          k = 2, m = 8, efSearch = 512, shards = 4)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
@@ -5253,36 +5309,12 @@ object SparkEntry {
     // the oracle re-quantizes the VALUES corpus and re-ranks every pair
     // with integer-dot cosine — quantization, rounding, and rank order
     // are all independently recomputed
-    "q_ann_i8" ->
-      """WITH c(id, v) AS (VALUES
-        |  (100, [3.0,4,0,0,0,0,0,0,0,0,0,0]),
-        |  (200, [0.0,5,0,0,0,0,0,0,0,0,0,0]),
-        |  (101, [0.0,0,8,15,0,0,0,0,0,0,0,0]),
-        |  (201, [0.0,0,0,17,0,0,0,0,0,0,0,0]),
-        |  (102, [0.0,0,0,0,5,12,0,0,0,0,0,0]),
-        |  (202, [0.0,0,0,0,0,13,0,0,0,0,0,0]),
-        |  (103, [0.0,0,0,0,0,0,7,24,0,0,0,0]),
-        |  (203, [0.0,0,0,0,0,0,0,25,0,0,0,0]),
-        |  (104, [0.0,0,0,0,0,0,0,0,20,99,0,0]),
-        |  (204, [0.0,0,0,0,0,0,0,0,0,101,0,0]),
-        |  (105, [0.0,0,0,0,0,0,0,0,0,0,3,4]),
-        |  (205, [0.0,0,0,0,0,0,0,0,0,0,6,8])),
-        |q8 AS (SELECT id,
-        |  list_transform(v, x -> CAST(round(127 * CAST(x AS DOUBLE) / m) AS BIGINT)) AS qv
-        |  FROM (SELECT id, v,
-        |          list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS m
-        |        FROM c)),
-        |s AS (SELECT a.id AS query_id, b.id AS vec_id,
-        |  CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
-        |      i -> a.qv[i] * b.qv[i])) AS DOUBLE)
-        |  / greatest(sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE))
-        |           * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)), 1e-12) AS cosine
-        |  FROM q8 a CROSS JOIN q8 b WHERE a.id < 200)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
-        |       cosine, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY cosine DESC, vec_id) AS rank FROM s)
-        |WHERE rank <= 2""".stripMargin,
+    "q_ann_i8" -> annI8OracleSql,
+
+    // identical brute replay: with ef >= every shard the i8 beam is
+    // exhaustive, and the float-cast quantized cosine equals cosineI8
+    // bit-for-bit (integer sums exact in double) — see the query doc
+    "q_ann_hnsw_i8" -> annI8OracleSql,
 
     // lossless-plant PQ: the oracle is exact-cosine top-5 over the same
     // bit-arithmetic construction — valid because corpus subvectors ARE

@@ -518,6 +518,30 @@ object Similarity {
     TopK.perQueryTopK(scored, k)
   }
 
+  /** Scalar-quantized HNSW — the memory-lean serving shape: corpus AND
+    * queries quantize to int8 (graft_quantize_i8, per-vector scale
+    * cancels in cosine) and the per-shard beams rank by the i8 cosine.
+    * Implementation rides [[hnswTopK]] over the float-cast quantized
+    * vectors, which is EXACT, not approximate: every element is an
+    * integer in [-127, 127], so the f32 kernel's index-order double
+    * accumulation of products (each ≤ 127², sums far below 2^53) and
+    * its sqrt(na)·sqrt(nb) denominator reproduce cosineI8's long
+    * arithmetic bit-for-bit — one graph implementation serves both
+    * precisions, and q_ann_hnsw_i8's oracle is the q_ann_i8 brute
+    * replay under the exhaustive-beam (ef ≥ shard rows) contract. */
+  def hnswI8TopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int = 10, m: Int = 8, efSearch: Int = 64,
+                 shards: Int = 4): DataFrame = {
+    def q8f(c: Column): Column =
+      transform(quantizeI8(c), b => b.cast("float"))
+    hnswTopK(
+      corpus.select(col(corpusId), q8f(col(corpusVec)).as(corpusVec)),
+      corpusId, corpusVec,
+      queries.select(col(queryId), q8f(col(queryVec)).as(queryVec)),
+      queryId, queryVec, k, m, efSearch, shards)
+  }
+
   /** IVF-HNSW hybrid — the production ANN shape at corpus scale: the
     * coarse quantizer ROUTES (every corpus vector lands in its nearest
     * centroid's cell, queries probe their nprobe nearest cells), and a

@@ -327,6 +327,44 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(r16 >= 0.95, f"hnsw ef=16 recall regressed: $r16%.4f (measured 1.0)")
   }
 
+  test("hnswI8TopK: exhaustive beam equals i8 brute force bit-for-bit; quantized recall floor") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queryRows = all.take(20)
+    val queries = queryRows.toDF("qid", "qvec")
+    def collectOrdered(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      df.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    // 1) the q_ann_hnsw_i8 oracle mechanism: ef >= shard rows makes the
+    //    beam exhaustive, AND the float-cast quantized cosine equals
+    //    cosineI8 bit-for-bit (integer sums exact in double) — so the
+    //    merged result equals bruteForceTopKI8 INCLUDING the double
+    //    cosine values, ordered. Both pins must hold for the oracle.
+    val viaHnsw = collectOrdered(Similarity.hnswI8TopK(corpus, "vec_id",
+      "embedding", queries, "qid", "qvec", k = 10, m = 8, efSearch = 512,
+      shards = 4))
+    val viaBrute = collectOrdered(Similarity.bruteForceTopKI8(corpus,
+      "vec_id", "embedding", queries, "qid", "qvec", k = 10))
+    queryRows.foreach { case (qid, _) =>
+      assert(viaHnsw(qid) == viaBrute(qid),
+        s"i8 exhaustive beam must equal i8 brute force (ids AND cosines) for $qid")
+    }
+    // 2) production ef over quantized vectors: recall vs the i8 brute
+    //    truth is an exact repo constant on the seeded corpus
+    val got64 = collectOrdered(Similarity.hnswI8TopK(corpus, "vec_id",
+      "embedding", queries, "qid", "qvec", k = 10, m = 8, efSearch = 64,
+      shards = 4))
+    val r64 = queryRows.map { case (qid, _) =>
+      val t = viaBrute(qid).map(_._1).toSet
+      (got64.getOrElse(qid, Seq.empty).map(_._1).toSet & t).size.toDouble / t.size
+    }.sum / queryRows.size
+    info(f"hnswI8TopK recall@10 vs i8 brute: ef=64 → $r64%.4f")
+    assert(r64 >= 0.95, f"i8 hnsw ef=64 recall regressed: $r64%.4f (measured 1.0)")
+  }
+
   test("ivfHnswTopK: all-cells exhaustive beam equals brute force; routed recall floor") {
     import spark.implicits._
     graft.spark.GraftFunctions.registerAll(spark)

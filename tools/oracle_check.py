@@ -48,6 +48,9 @@ FLOAT_ALLOW = {
     # term order on both engines (0.0 + x == x for positive scores)
     "q_bm25_multi": {"score"},
     "q_ann_i8": {"cosine"},
+    # identical replay as q_ann_i8: exhaustive i8 beam == i8 brute force,
+    # and float-cast quantized cosine == cosineI8 (integer sums exact)
+    "q_ann_hnsw_i8": {"cosine"},
     "q_ann_lsh": {"cosine"},
     "q_ann_graded": {"cosine"},
     "q_ann_ivf": {"cosine"},
