@@ -2276,6 +2276,28 @@ object SparkEntry {
           col("copies_so_far"))
     }),
 
+    // Streaming politeness scheduler (round 7 cont., SURVEY §16 lever
+    // 6): per-host crawl slots assigned as URLs ARRIVE — keyed state is
+    // one counter per host (O(1) per host, no URL retention: the
+    // bounded-state shape a continuous frontier needs). Construction:
+    // host = doc_id%7, delay (h+1)·500 ms (constant per host — the
+    // robots contract), except h6 carries junk delay 0 and pins the 1 s
+    // clamp; lpad'd ids + two mtime-ordered batches (arrival order ==
+    // id order, the q_stream_dedup invariant). The oracle replays slots
+    // with one row_number window per host and re-applies the clamp.
+    "q_stream_fetch_schedule" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+      val h = pmod(col("doc_id"), lit(7L))
+      val base = d.select(col("doc_id").as("nid"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("doc_id"),
+        concat(lit("h"), h.cast("string")).as("host"),
+        when(h === 6, lit(0L)).otherwise((h + lit(1L)) * lit(500L)).as("delay_ms"))
+      val b1 = base.filter(col("nid") < 150).drop("nid")
+      val b2 = base.filter(col("nid") >= 150).drop("nid")
+      graft.streaming.StreamingExtract.fetchScheduleDrain(Seq(b1, b2))
+        .select(col("doc_id"), col("host"), col("slot"), col("fetch_at_ms"))
+    }),
+
     // Streaming SEMANTIC dedup (round 7 cont.): embedding-aware keyed
     // state — the q_semdedup planted construction streamed: per cell j
     // an axis subgroup and a Pythagorean subgroup at power-of-two
@@ -5523,6 +5545,20 @@ object SparkEntry {
         |                           ORDER BY doc_id) AS rn
         |      FROM documents WHERE doc_id < 300)""".stripMargin
     },
+
+    // window replay of the per-host slot counter: arrival order ==
+    // doc_id order under the drain harness, so slot = row_number per
+    // host - 1; the junk-delay clamp (h6: 0 → 1000) replays in the CTE
+    "q_stream_fetch_schedule" ->
+      """WITH u AS (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+        |  'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        |  CASE WHEN doc_id % 7 = 6 THEN 1000
+        |       ELSE (doc_id % 7 + 1) * 500 END AS delay_ms
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, host,
+        |  CAST(row_number() OVER w - 1 AS BIGINT) AS slot,
+        |  CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM u WINDOW w AS (PARTITION BY host ORDER BY doc_id)""".stripMargin,
 
     // window replay of the streaming exemplar state: dup = a non-dirty
     // row after its (cell, subgroup) first arrival (cross-subgroup

@@ -709,4 +709,124 @@ object StreamingExtract {
       rm(base.toFile)
     }
   }
+
+  // ------------------------------------------------ politeness slots
+
+  final case class FetchSlot(doc_id: String, host: String, slot: Long,
+                             fetch_at_ms: Long)
+
+  /** Streaming politeness scheduler — per-host crawl slots assigned as
+    * URLs ARRIVE (the frontier-consumer companion of the batch
+    * q_fetch_schedule): keyed state is ONE counter per host (fetches
+    * already scheduled), each arrival takes slot = counter and
+    * fetch_at_ms = slot · delay_ms, where delay_ms is the host's
+    * crawl-delay carried on the row (constant per host by contract —
+    * it comes from one robots.txt parse upstream). State is O(1) per
+    * host — a counter, no URL retention — so this is the bounded-state
+    * shape a continuous frontier needs; `stateTtlMs > 0` additionally
+    * expires idle hosts (the dedupVerdicts TTL discipline: expiry
+    * restarts an idle host's schedule from slot 0, approximate at the
+    * boundary by design).
+    *
+    * Totality: null hosts coalesce to '' upstream (never a null group
+    * key); delay_ms <= 0 (junk robots values) clamps to 1000 — the
+    * q_fetch_schedule 1 s default politeness rule.
+    *
+    * Verdict determinism mirrors dedupVerdicts: arrival order ==
+    * doc_id order under the drain harness (lpad'd ids + mtime-ordered
+    * batch files), so the oracle replays slots with one
+    * row_number-per-host window. */
+  def fetchScheduleVerdicts(urls: org.apache.spark.sql.Dataset[(String, String, Long)],
+                            stateTtlMs: Long = 0L)
+      : org.apache.spark.sql.Dataset[FetchSlot] = {
+    import urls.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    urls.map { case (id, host, delay) =>
+      (id, if (host == null) "" else host, if (delay <= 0L) 1000L else delay)
+    }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        (host: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else
+            // forward pass, state.update per element (the dedupVerdicts
+            // persistence contract: the committed state is whatever the
+            // GroupState holds once the output iterator drains)
+            rows.map { case (id, _, delay) =>
+              val slot = state.getOption.getOrElse(0L)
+              state.update(slot + 1)
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+              FetchSlot(id, host, slot, slot * delay)
+            }
+        })
+  }
+
+  /** Bounded drain for [[fetchScheduleVerdicts]] — the dedupVerdictsDrain
+    * protocol (ordered parquet batch files, maxFilesPerTrigger=1,
+    * AvailableNow, memory sink; TTL > 0 switches to the poll-to-count
+    * drain because ProcessingTimeTimeout never terminates AvailableNow). */
+  def fetchScheduleDrain(batches: Seq[DataFrame],
+                         statePartitions: Int = 8,
+                         stateTtlMs: Long = 0L): DataFrame = {
+    val spark = batches.head.sparkSession
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-fetch")
+    val inDir = new java.io.File(base.toFile, "in")
+    inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(base.toFile, s"part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet file written for batch $i"))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("host", StringType),
+      StructField("delay_ms", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val verdicts = fetchScheduleVerdicts(
+      stream.as[(String, String, Long)], stateTtlMs)
+    val qname = "graft_stream_fetch_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val writer = verdicts.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
+      if (stateTtlMs <= 0) {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } else {
+        val expected = batches.map(_.count()).sum
+        val q = writer.trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (spark.table(qname).count() < expected &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        q.stop()
+        require(spark.table(qname).count() == expected,
+          s"TTL drain incomplete: ${spark.table(qname).count()} of $expected verdicts")
+      }
+      spark.table(qname).localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      scala.util.Try(spark.catalog.dropTempView(qname))
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
 }

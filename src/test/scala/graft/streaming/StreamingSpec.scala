@@ -198,6 +198,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fetch schedule: per-host slots continue across micro-batches; junk delay clamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val verdicts = StreamingExtract.fetchScheduleVerdicts(in.toDS())
+    val q = verdicts.writeStream.format("memory")
+      .queryName("fetch_slots").outputMode("update").start()
+    try {
+      // batch 1: two URLs on host a (delay 500), one on b (junk delay 0)
+      in.addData(("u1", "a", 500L), ("u2", "a", 500L), ("u3", "b", 0L))
+      q.processAllAvailable()
+      // batch 2: host a's counter CONTINUES (slot 2), null host keys ''
+      in.addData(("u4", "a", 500L), ("u5", null, 250L))
+      q.processAllAvailable()
+      val got = spark.table("fetch_slots").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got("u1") == (("a", 0L, 0L)), got.toString)
+      assert(got("u2") == (("a", 1L, 500L)), "same-batch arrivals take successive slots")
+      assert(got("u3") == (("b", 0L, 0L)))
+      assert(got("u4") == (("a", 2L, 1000L)), "per-host counter must survive the batch boundary")
+      assert(got("u5") == (("", 0L, 0L)), "null host must key the '' scope")
+      // junk delay pins the clamp on a host with a prior slot
+      in.addData(("u6", "b", -7L))
+      q.processAllAvailable()
+      val u6 = spark.table("fetch_slots").collect()
+        .find(_.getString(0) == "u6").get
+      assert((u6.getLong(2), u6.getLong(3)) == ((1L, 1000L)),
+        "junk delay must clamp to the 1 s default politeness")
+    } finally q.stop()
+  }
+
   test("dedup state TTL: in-window duplicates get identical verdicts; expired hashes read as fresh") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
