@@ -387,6 +387,66 @@ object SparkEntry {
     // Structure-aware section chunking (see sectionsFrame above).
     "q_sections" -> ((s, dir) => sectionsFrame(s, dir)),
 
+    // Document OUTLINE (round 7 cont.): the h1-h6 heading hierarchy
+    // with HTML5 outline STACK semantics — a heading's path is the
+    // chain of currently-OPEN lower-level headings, where a new
+    // heading closes every open heading at its level or deeper.
+    // Resolved relationally over ONE graft_node_table pass: titles
+    // pair to headings via lag (pre-order puts the text child right
+    // after its heading element; parent_id equality makes it exact,
+    // not positional), ancestors via running max(struct(hid, title))
+    // per level with the hid-chain validity test (a level-2 ancestor
+    // counts only if it OPENED AFTER the level-1 ancestor). The
+    // construction pins the three stack cases: fam0 = h2 resets an
+    // open h3, fam1 = new h1 resets everything + an h1→h3 level gap
+    // (the stale h2 must NOT appear in the path), fam2 = sibling h2.
+    "q_html_outline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val fam = pmod(col("doc_id"), lit(4L))
+      val tA = escTxt(substring(coalesce(col("text"), lit("")), 1, 6))
+      val tB = escTxt(coalesce(col("lang"), lit("")))
+      val tE = escTxt(substring(coalesce(col("source"), lit("")), 1, 6))
+      val html = concat(
+        lit("<body><h1>A"), tA, lit("</h1><p>x</p><h2>B"), tB, lit("</h2>"),
+        when(fam === 0, lit("<h3>C1</h3><p>y</p><h2>D2</h2>"))
+          .when(fam === 1, concat(lit("<h1>E"), tE, lit("</h1><h3>F1</h3>")))
+          .when(fam === 2, lit("<h2>G1</h2>"))
+          .otherwise(lit("")),
+        lit("<p>tail</p></body>"))
+      val nodes = d.select(col("doc_id"),
+          explode_outer(GraftFunctions.graft_node_table(html)).as("n"))
+        .filter(col("n").isNotNull)
+        .select(col("doc_id"), col("n.node_id").as("node_id"),
+          col("n.parent_id").as("parent_id"), col("n.tag").as("tag"),
+          col("n.ntype").as("ntype"), col("n.text").as("ntext"))
+      val w0 = Window.partitionBy("doc_id").orderBy("node_id")
+      val hs = nodes
+        .withColumn("prev", lag(struct(col("node_id"), col("tag")), 1).over(w0))
+        .filter(col("ntype") === "text" &&
+          col("prev.tag").isin("h1", "h2", "h3") &&
+          col("prev.node_id") === col("parent_id"))
+        .select(col("doc_id"), col("parent_id").as("hid"),
+          substring(col("prev.tag"), 2, 1).cast("int").as("level"),
+          col("ntext").as("title"))
+      val w = Window.partitionBy("doc_id").orderBy("hid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val a1 = max(when(col("level") === 1,
+        struct(col("hid"), col("title")))).over(w)
+      val a2 = max(when(col("level") === 2,
+        struct(col("hid"), col("title")))).over(w)
+      hs.withColumn("seq",
+          row_number().over(Window.partitionBy("doc_id").orderBy("hid")))
+        .withColumn("a1", a1).withColumn("a2", a2)
+        .select(col("doc_id"), col("seq"), col("level"), col("title"),
+          when(col("level") === 1, lit(""))
+            .when(col("level") === 2, coalesce(col("a1.title"), lit("")))
+            .otherwise(concat(coalesce(col("a1.title"), lit("")),
+              when(col("a2").isNotNull && col("a2.hid") > col("a1.hid"),
+                concat(lit(" > "), col("a2.title"))).otherwise(lit(""))))
+            .as("path"))
+    }),
+
     // WET-from-sections (round 7 cont., SURVEY §16 backlog): one WET
     // conversion record PER SECTION — the chunk-level WET variant a
     // RAG corpus builder ships (CommonCrawl WET is page-level; section
@@ -3895,6 +3955,23 @@ object SparkEntry {
         |FROM e
         |UNION ALL SELECT doc_id, 2, 'G' || g1, 'B3' FROM e
         |UNION ALL SELECT doc_id, 3, 'E', '' FROM e""".stripMargin,
+
+    // replay by construction: the outline stack is enumerable per
+    // family — fam0 pins h2-resets-h3, fam1 pins h1-resets-all + the
+    // h1→h3 level gap (stale h2 absent from the path), fam2 sibling h2
+    "q_html_outline" ->
+      s"""WITH e AS (SELECT doc_id, doc_id % 4 AS fam,
+        |  'A' || ${sqlBodyText("substr(coalesce(text, ''), 1, 6)")} AS ta,
+        |  'B' || ${sqlBodyText("coalesce(lang, '')")} AS tb,
+        |  'E' || ${sqlBodyText("substr(coalesce(source, ''), 1, 6)")} AS te
+        |  FROM documents)
+        |SELECT doc_id, 1 AS seq, 1 AS level, ta AS title, '' AS path FROM e
+        |UNION ALL SELECT doc_id, 2, 2, tb, ta FROM e
+        |UNION ALL SELECT doc_id, 3, 3, 'C1', ta || ' > ' || tb FROM e WHERE fam = 0
+        |UNION ALL SELECT doc_id, 4, 2, 'D2', ta FROM e WHERE fam = 0
+        |UNION ALL SELECT doc_id, 3, 1, te, '' FROM e WHERE fam = 1
+        |UNION ALL SELECT doc_id, 4, 3, 'F1', te FROM e WHERE fam = 1
+        |UNION ALL SELECT doc_id, 3, 2, 'G1', ta FROM e WHERE fam = 2""".stripMargin,
 
     // replay by construction: span order is text(P1+text), media a,
     // text(C1+lang), media b, media c, text(F1+source), media z — so

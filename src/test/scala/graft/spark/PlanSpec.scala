@@ -284,6 +284,20 @@ class PlanSpec extends AnyFunSuite {
       s"node-table filter must parse once per row: $evals evals for $n rows")
   }
 
+  test("outline parses once per row through lag + three windows") {
+    // q_html_outline layers lag-pairing and three running-max windows
+    // over one exploded node table; the windows chain over the SAME
+    // frame (no branch), so the kernel must still eval once per row.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    HtmlUdfs.nodeTableEvals.set(0)
+    graft.SparkEntry.queries("q_html_outline")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val evals = HtmlUdfs.nodeTableEvals.get
+    assert(evals == n,
+      s"outline must parse once per row: $evals evals for $n rows")
+  }
+
   test("page-meta and table-cells kernels eval once per row") {
     // pageMeta: an 8-field struct projection must collapse to ONE kernel
     // eval (subexpression elimination in Project — the projection-access
