@@ -1771,6 +1771,63 @@ object SparkEntry {
       Dedup.simhashCandidates(corpus, "id", "t", maxHamming = 3)
     }),
 
+    // Dedup method EVALUATION harness (round 7 cont.): precision /
+    // recall confusion counts of two dedup tiers against the PLANTED
+    // pair truth — the quality gate a pipeline runs on a labeled
+    // sample before picking its dedup method. Both methods actually
+    // RUN: exact (hash-star pairs, member → group-min) finds only the
+    // identical twins and misses every near-dup family (recall < 100
+    // by construction); minhash-LSH (banded + verified) finds the full
+    // truth set on this corpus — that equality IS q_minhash_dedup's
+    // own gated oracle, which makes the replay valid by composition.
+    // Confusion counts via ONE full-outer join per method against the
+    // arithmetic truth pairs — relational, never a collect; pcts are
+    // floor of an int-ratio double division (numerators < 2^38, the
+    // verifyPairs exactness rule).
+    "q_dedup_eval" -> ((s, dir) => {
+      val base = md5Corpus(docs(s, dir))
+      val corpus = base.select((col("doc_id") * 10).as("id"), col("t"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id"), col("t")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 10 + 2).as("id"),
+            concat(col("t"), lit(" "),
+              md5(concat(col("doc_id").cast("string"), lit("-x")))).as("t")))
+      val k = docs(s, dir).filter(col("doc_id") < 100).select(col("doc_id"))
+      val truth = k.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") * 10).as("id_a"),
+          (col("doc_id") * 10 + 1).as("id_b"))
+        .unionByName(k.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") * 10).as("id_a"),
+            (col("doc_id") * 10 + 2).as("id_b")))
+        .unionByName(k.filter(pmod(col("doc_id"), lit(35)) === 0)
+          .select((col("doc_id") * 10 + 1).as("id_a"),
+            (col("doc_id") * 10 + 2).as("id_b")))
+      val hashed = corpus.select(col("id"), md5(col("t")).as("h"))
+      val roots = hashed.groupBy("h").agg(min(col("id")).as("root"))
+      val exactPairs = hashed.join(roots, "h")
+        .filter(col("id") =!= col("root"))
+        .select(col("root").as("id_a"), col("id").as("id_b"))
+      val mhPairs = Dedup.minhashCandidates(corpus, "id", "t",
+          k = 32, bands = 8, jaccardThreshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+      def confusion(name: String, pairs: DataFrame): DataFrame =
+        pairs.withColumn("m", lit(1))
+          .join(truth.withColumn("tr", lit(1)),
+            Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            sum(when(col("m") === 1 && col("tr") === 1, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("m") === 1 && col("tr").isNull, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("m").isNull && col("tr") === 1, 1L).otherwise(0L)).as("fn"))
+          .select(lit(name).as("method"), col("tp"), col("fp"), col("fn"),
+            floor(col("tp") * 100 / greatest(col("tp") + col("fp"), lit(1L)))
+              .as("precision_pct"),
+            floor(col("tp") * 100 / greatest(col("tp") + col("fn"), lit(1L)))
+              .as("recall_pct"))
+      confusion("exact", exactPairs)
+        .unionByName(confusion("minhash_lsh", mhPairs))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       // oracleBlocking: the md5 block key is what DuckDB replays — the
       // production default is xxhash64 (benched as q_ngram_jaccard_prod)
@@ -5073,6 +5130,27 @@ object SparkEntry {
     "q_simhash_dedup" ->
       """SELECT doc_id*10 AS id_a, doc_id*10+1 AS id_b, CAST(0 AS INT) AS hamming
         |FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0""".stripMargin,
+
+    // arithmetic replay of the planted confusion: exact finds only the
+    // %5 identical twins; minhash finds the FULL truth set (that
+    // equality is q_minhash_dedup's own gated oracle — composition);
+    // pcts replay the same floor(int-ratio double division)
+    "q_dedup_eval" ->
+      """WITH c AS (SELECT
+        |  count(*) FILTER (doc_id % 5 = 0) AS n5,
+        |  count(*) FILTER (doc_id % 7 = 0) AS n7,
+        |  count(*) FILTER (doc_id % 35 = 0) AS n35
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT 'exact' AS method, CAST(n5 AS BIGINT) AS tp,
+        |  CAST(0 AS BIGINT) AS fp, CAST(n7 + n35 AS BIGINT) AS fn,
+        |  CAST(floor(n5 * 100 / greatest(n5, 1)) AS BIGINT) AS precision_pct,
+        |  CAST(floor(n5 * 100 / greatest(n5 + n7 + n35, 1)) AS BIGINT) AS recall_pct
+        |FROM c
+        |UNION ALL SELECT 'minhash_lsh', CAST(n5 + n7 + n35 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(floor((n5 + n7 + n35) * 100 / greatest(n5 + n7 + n35, 1)) AS BIGINT),
+        |  CAST(floor((n5 + n7 + n35) * 100 / greatest(n5 + n7 + n35, 1)) AS BIGINT)
+        |FROM c""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id,
