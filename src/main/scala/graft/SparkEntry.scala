@@ -3808,6 +3808,36 @@ object SparkEntry {
         "doc_id", "text", size = 200, overlap = 50)
     }),
 
+    // Content-defined chunking (round 7 cont.): rolling-window cut
+    // points (graft_cdc_chunks — window-4 polynomial hash ≡ 0 mod 64
+    // over codepoints) make chunk identity stable under edits, so
+    // SUB-document dedup can key on chunk hashes: an inserted sentence
+    // moves only the boundaries whose windows it touches, and every
+    // other chunk keeps its hash (sliding chunks lose ALL downstream
+    // identity on one insert). Each position's hash is a pure function
+    // of 4 codepoints — the oracle replays the boundary set
+    // positionally (no recursion). The chunk frame snapshots compact
+    // (ids + spans + hashes) before feeding both sides of the
+    // shared-chunk count join — the Snapshot multi-consumer rule.
+    "q_cdc_chunks" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val src = substring(coalesce(col("text"), lit("")), 1, 120)
+      val chunks = d.select(col("doc_id"), src.as("s"),
+          posexplode_outer(call_function("graft_cdc_chunks", src, lit(64)))
+            .as(Seq("cid", "c")))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), (col("cid") + 1).as("chunk_id"),
+          col("c.start").as("start"), col("c.len").as("clen"),
+          md5(col("s").substr(col("c.start"), col("c.len"))).as("chunk_hash"))
+      val compact = graft.ops.Snapshot(chunks)
+      val owners = compact.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("shared_docs"))
+      compact.join(owners, "chunk_hash")
+        .select(col("doc_id"), col("chunk_id"), col("start"), col("clen"),
+          col("chunk_hash"), col("shared_docs"))
+    }),
+
     // The packing WRITER view (round 6): per (chunk, doc) token slices
     // — what a fixed-length-example writer actually consumes. The
     // oracle replays the naive window cumsum + the same slice
@@ -6868,6 +6898,39 @@ object SparkEntry {
         |  substr(t, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk_text
         |FROM (SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS i
         |      FROM c)""".stripMargin,
+
+    // positional replay of the CDC boundary set: every cut position's
+    // window hash recomputes independently (c[i-3..i] polynomial, exact
+    // BIGINT), then chunks = segments between consecutive cuts; the
+    // shared count re-aggregates per chunk md5
+    "q_cdc_chunks" ->
+      """WITH src AS (SELECT doc_id, substr(coalesce(text, ''), 1, 120) AS s
+        |  FROM documents),
+        |cp AS (SELECT doc_id, s, len(s) AS n,
+        |    list_transform(range(1, len(s) + 1),
+        |      i -> CAST(unicode(substr(s, i, 1)) AS BIGINT)) AS c
+        |  FROM src),
+        |b AS (SELECT doc_id, s, n,
+        |    list_filter(range(4, n + 1), i ->
+        |      (c[i-3] * 29791 + c[i-2] * 961 + c[i-1] * 31 + c[i]) % 64 = 0) AS cuts
+        |  FROM cp),
+        |ls AS (SELECT doc_id, s,
+        |    list_prepend(1, list_transform(cuts, x -> CAST(x + 1 AS INTEGER))) AS starts,
+        |    list_append(list_transform(cuts, x -> CAST(x AS INTEGER)),
+        |                CAST(n AS INTEGER)) AS ends
+        |  FROM b),
+        |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |    starts[CAST(i AS INTEGER)] AS start,
+        |    ends[CAST(i AS INTEGER)] - starts[CAST(i AS INTEGER)] + 1 AS clen,
+        |    md5(substr(s, starts[CAST(i AS INTEGER)],
+        |        ends[CAST(i AS INTEGER)] - starts[CAST(i AS INTEGER)] + 1)) AS chunk_hash
+        |  FROM ls, LATERAL unnest(generate_series(1, len(starts))) AS w(i)
+        |  WHERE ends[CAST(i AS INTEGER)] >= starts[CAST(i AS INTEGER)]),
+        |own AS (SELECT chunk_hash, count(DISTINCT doc_id) AS shared_docs
+        |  FROM ch GROUP BY chunk_hash)
+        |SELECT ch.doc_id, ch.chunk_id, ch.start, ch.clen, ch.chunk_hash,
+        |  CAST(own.shared_docs AS BIGINT) AS shared_docs
+        |FROM ch JOIN own USING (chunk_hash)""".stripMargin,
 
     // naive-cumsum replay of the writer view; doc_offset/take from the
     // same max/min slice arithmetic

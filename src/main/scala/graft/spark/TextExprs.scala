@@ -151,6 +151,49 @@ object TextKernels {
   }
 
   val ngramsEvals = new java.util.concurrent.atomic.AtomicLong
+  val cdcEvals = new java.util.concurrent.atomic.AtomicLong
+
+  /** Content-defined chunk spans (one pass per row): walk CODEPOINTS
+    * (the canonical length alphabet) keeping a window of the last 4,
+    * cut after position i (1-based) when the window's polynomial hash
+    * c₀·31³ + c₁·31² + c₂·31 + c₃ ≡ 0 (mod modulus) — every position's
+    * hash is a PURE function of 4 codepoints (no incremental state),
+    * which is what makes the boundary set SQL-replayable positionally
+    * AND chunk identity stable under edits (an insertion moves only
+    * the boundaries whose windows it touches — the CDC property).
+    * Values stay exact everywhere: cp ≤ 0x10FFFF ⇒ h < 2³⁶ (exact
+    * BIGINT on both engines). No min/max chunk-length clamps — those
+    * are stateful (each cut depends on the previous), which would
+    * break positional replay; cut density is tuned by modulus alone.
+    * Emits struct(start, len) in codepoint units, 1-based; empty
+    * input → empty array; a trailing remainder always closes. */
+  def cdcChunks(t: UTF8String, modulus: Int): ArrayData = {
+    cdcEvals.incrementAndGet()
+    val s = t.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var c0 = 0L; var c1 = 0L; var c2 = 0L; var c3 = 0L
+    var cpIdx = 0
+    var start = 1
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      ci += Character.charCount(cp)
+      cpIdx += 1
+      c0 = c1; c1 = c2; c2 = c3; c3 = cp.toLong
+      if (cpIdx >= 4) {
+        val h = c0 * 29791L + c1 * 961L + c2 * 31L + c3
+        if (h % modulus == 0L) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            start, cpIdx - start + 1)
+          start = cpIdx + 1
+        }
+      }
+    }
+    if (start <= cpIdx)
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        start, cpIdx - start + 1)
+    new GenericArrayData(out.toArray)
+  }
 
   /** Whitespace-token n-gram strings in ONE pass per row — bit-equal to
     * `transform(sequence(1, size(tk)-(n-1)), i -> array_join(slice(tk,
@@ -202,6 +245,25 @@ case class GraftNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftNgrams =
     copy(child = newChild)
   override def prettyName: String = "graft_ngrams"
+}
+
+/** Content-defined chunk spans: `graft_cdc_chunks(text, modulus)` →
+  * array<struct<start:int, len:int>> (codepoint units, 1-based). See
+  * TextKernels.cdcChunks for the positional-replay contract the
+  * q_cdc_chunks oracle relies on. */
+case class GraftCdcChunks(child: Expression, modulus: Int) extends UnaryExpression {
+  require(modulus >= 2, s"cdc modulus must be >= 2: $modulus")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cdcChunks(input.asInstanceOf[UTF8String], modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.cdcChunks($c, $modulus)")
+  override protected def withNewChildInternal(newChild: Expression): GraftCdcChunks =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
 }
 
 /** 64-bit SimHash over 3-word shingles: `graft_simhash64(text)`. */

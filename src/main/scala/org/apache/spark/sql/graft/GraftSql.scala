@@ -90,6 +90,8 @@ object GraftSql {
       args => GraftQualityScore(args.head)),
     ("graft_ngrams", "graft.spark.GraftNgrams",
       args => GraftNgrams(args.head, args(1).eval().asInstanceOf[Int])),
+    ("graft_cdc_chunks", "graft.spark.GraftCdcChunks",
+      args => GraftCdcChunks(args.head, args(1).eval().asInstanceOf[Int])),
     ("graft_warc_records", "graft.spark.GraftWarcRecords",
       args => GraftWarcRecords(args.head)),
     ("graft_warc_index", "graft.spark.GraftWarcIndex",
