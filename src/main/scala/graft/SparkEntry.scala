@@ -113,6 +113,76 @@ object SparkEntry {
   // multi-paragraph section, and a trailing EMPTY section. Shared by
   // q_sections and q_wet_sections (one construction, two consumers —
   // their oracles replay the same section arithmetic in lockstep).
+  /** Window replay of the streaming exemplar state (shared by
+    * q_stream_semdedup and q_stream_semdedup_ttl — the gate TTL >> the
+    * drain, so both paths' verdicts are identical): dup = a non-dirty
+    * row after its (cell, subgroup) first arrival (cross-subgroup
+    * cosine 3/5 never reaches 0.9, so the subgroup first IS the first
+    * matching exemplar); retained = the running novel count per cell. */
+  private val streamSemdedupOracleSql: String =
+    """WITH b AS (SELECT doc_id,
+      |  CAST(doc_id % 8 AS INT) AS cell,
+      |  (doc_id // 8) % 2 AS sub,
+      |  doc_id % 53 = 9 AS dirty
+      |  FROM documents WHERE doc_id < 400),
+      |w AS (SELECT *,
+      |  min(CASE WHEN dirty THEN NULL ELSE doc_id END)
+      |    OVER (PARTITION BY cell, sub ORDER BY doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS first_id
+      |  FROM b),
+      |r AS (SELECT *,
+      |  CASE WHEN dirty THEN 0
+      |    WHEN doc_id = first_id THEN 1 ELSE 0 END AS novel
+      |  FROM w),
+      |f AS (SELECT *,
+      |  CAST(sum(novel) OVER (PARTITION BY cell ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM r)
+      |SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+      |  CAST(CASE WHEN dirty THEN -1 ELSE cell END AS INT) AS cell,
+      |  CAST(CASE WHEN NOT dirty AND doc_id > first_id THEN 1 ELSE 0 END
+      |    AS INT) AS is_dup,
+      |  CASE WHEN NOT dirty AND doc_id > first_id
+      |    THEN lpad(CAST(first_id AS VARCHAR), 6, '0') END AS match_id,
+      |  CAST(CASE WHEN dirty THEN 0 ELSE run END AS BIGINT) AS retained
+      |FROM f""".stripMargin
+
+  /** Shared by q_stream_semdedup (ttl 0 = NoTimeout) and
+    * q_stream_semdedup_ttl (1 h TTL >> the drain, so verdicts — and the
+    * window-replay oracle — are identical; the TTL path's expiry
+    * semantics are pinned by StreamingSpec instead). Construction: per
+    * cell j an axis subgroup and a Pythagorean subgroup at power-of-two
+    * scales (within-subgroup cosine exactly 1.0, cross-subgroup exactly
+    * 3/5), lpad'd ids + two mtime-ordered batches, a null-vector family
+    * (doc_id%53==9) pinning the dirty -1 path. */
+  private def streamSemdedupFrame(s: SparkSession, dir: String,
+                                  ttlMs: Long): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 400)
+    val j = pmod(col("doc_id"), lit(8L)).cast("int")
+    val sub = pmod((col("doc_id") / lit(8)).cast("long"), lit(2L)).cast("int")
+    val ex = pmod((col("doc_id") / lit(16)).cast("long"), lit(3L)).cast("int")
+    val scale = when(ex === 0, 1f).when(ex === 1, 2f).otherwise(4f)
+    val vec = transform(sequence(lit(0), lit(15)), k =>
+      when(sub === 0 && k === j * 2, (j + 1).cast("float") * scale)
+        .when(sub === 1 && k === j * 2, lit(3f) * scale)
+        .when(sub === 1 && k === j * 2 + 1, lit(4f) * scale)
+        .otherwise(lit(0f)))
+    val base = d.select(col("doc_id").as("nid"),
+      lpad(col("doc_id").cast("string"), 6, "0").as("doc_id"),
+      when(pmod(col("doc_id"), lit(53L)) === 9,
+        lit(null).cast("array<float>")).otherwise(vec).as("embedding"))
+    val b1 = base.filter(col("nid") < 200).drop("nid")
+    val b2 = base.filter(col("nid") >= 200).drop("nid")
+    val cents = (0 until 8).map { jj =>
+      val v = new Array[Float](16); v(2 * jj) = 1f; v
+    }.toArray
+    graft.streaming.StreamingExtract.semDedupDrain(Seq(b1, b2), cents,
+        stateTtlMs = ttlMs)
+      .select(col("doc_id"), col("cell"),
+        col("is_dup").cast("int").as("is_dup"), col("match_id"),
+        col("retained"))
+  }
+
   private def sectionsFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
@@ -2426,31 +2496,16 @@ object SparkEntry {
     // pins the dirty -1 path. The oracle replays verdicts as the
     // per-(cell, subgroup) first-arrival window and `retained` as the
     // running novel count per cell.
-    "q_stream_semdedup" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("doc_id") < 400)
-      val j = pmod(col("doc_id"), lit(8L)).cast("int")
-      val sub = pmod((col("doc_id") / lit(8)).cast("long"), lit(2L)).cast("int")
-      val ex = pmod((col("doc_id") / lit(16)).cast("long"), lit(3L)).cast("int")
-      val scale = when(ex === 0, 1f).when(ex === 1, 2f).otherwise(4f)
-      val vec = transform(sequence(lit(0), lit(15)), k =>
-        when(sub === 0 && k === j * 2, (j + 1).cast("float") * scale)
-          .when(sub === 1 && k === j * 2, lit(3f) * scale)
-          .when(sub === 1 && k === j * 2 + 1, lit(4f) * scale)
-          .otherwise(lit(0f)))
-      val base = d.select(col("doc_id").as("nid"),
-        lpad(col("doc_id").cast("string"), 6, "0").as("doc_id"),
-        when(pmod(col("doc_id"), lit(53L)) === 9,
-          lit(null).cast("array<float>")).otherwise(vec).as("embedding"))
-      val b1 = base.filter(col("nid") < 200).drop("nid")
-      val b2 = base.filter(col("nid") >= 200).drop("nid")
-      val cents = (0 until 8).map { jj =>
-        val v = new Array[Float](16); v(2 * jj) = 1f; v
-      }.toArray
-      graft.streaming.StreamingExtract.semDedupDrain(Seq(b1, b2), cents)
-        .select(col("doc_id"), col("cell"),
-          col("is_dup").cast("int").as("is_dup"), col("match_id"),
-          col("retained"))
-    }),
+    "q_stream_semdedup" -> ((s, dir) => streamSemdedupFrame(s, dir, 0L)),
+
+    // TTL end-of-life for the SEMANTIC exemplar state (round 7 cont.,
+    // the q_stream_dedup_ttl convention): idle cells expire wholesale
+    // and a later arrival starts fresh. The gate TTL (1 h) vastly
+    // exceeds the drain, so in-window verdicts — and the oracle — are
+    // IDENTICAL to the NoTimeout replay; expiry semantics themselves
+    // are pinned by StreamingSpec with a real 1 ms wall-clock case.
+    "q_stream_semdedup_ttl" -> ((s, dir) =>
+      streamSemdedupFrame(s, dir, 3600L * 1000L)),
 
     // Streaming incremental CDC (round 7 cont.): two mtime-ordered
     // recrawl batches stream against the STATIC baseline corpus —
@@ -5749,33 +5804,12 @@ object SparkEntry {
     // row after its (cell, subgroup) first arrival (cross-subgroup
     // cosine 3/5 never reaches 0.9, so the subgroup first IS the first
     // matching exemplar); retained = the running novel count per cell
-    "q_stream_semdedup" ->
-      """WITH b AS (SELECT doc_id,
-        |  CAST(doc_id % 8 AS INT) AS cell,
-        |  (doc_id // 8) % 2 AS sub,
-        |  doc_id % 53 = 9 AS dirty
-        |  FROM documents WHERE doc_id < 400),
-        |w AS (SELECT *,
-        |  min(CASE WHEN dirty THEN NULL ELSE doc_id END)
-        |    OVER (PARTITION BY cell, sub ORDER BY doc_id
-        |          ROWS UNBOUNDED PRECEDING) AS first_id
-        |  FROM b),
-        |r AS (SELECT *,
-        |  CASE WHEN dirty THEN 0
-        |    WHEN doc_id = first_id THEN 1 ELSE 0 END AS novel
-        |  FROM w),
-        |f AS (SELECT *,
-        |  CAST(sum(novel) OVER (PARTITION BY cell ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-        |  FROM r)
-        |SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
-        |  CAST(CASE WHEN dirty THEN -1 ELSE cell END AS INT) AS cell,
-        |  CAST(CASE WHEN NOT dirty AND doc_id > first_id THEN 1 ELSE 0 END
-        |    AS INT) AS is_dup,
-        |  CASE WHEN NOT dirty AND doc_id > first_id
-        |    THEN lpad(CAST(first_id AS VARCHAR), 6, '0') END AS match_id,
-        |  CAST(CASE WHEN dirty THEN 0 ELSE run END AS BIGINT) AS retained
-        |FROM f""".stripMargin,
+    "q_stream_semdedup" -> streamSemdedupOracleSql,
+
+    // identical replay: the 1 h gate TTL vastly exceeds the drain, so
+    // in-window verdicts equal the NoTimeout path (expiry itself is
+    // StreamingSpec-pinned — no bounded drain can oracle it)
+    "q_stream_semdedup_ttl" -> streamSemdedupOracleSql,
 
     // TTL >> window ⇒ bit-identical to the no-TTL replay (the
     // in-window-equivalence contract; StreamingSpec pins the expiry

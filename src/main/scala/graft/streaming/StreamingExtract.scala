@@ -593,11 +593,20 @@ object StreamingExtract {
   def semDedupVerdicts(vecs: org.apache.spark.sql.Dataset[(String, Seq[Float])],
                        centroids: Array[Array[Float]],
                        threshold: Double = 0.9,
-                       capPerCell: Int = 256)
+                       capPerCell: Int = 256,
+                       stateTtlMs: Long = 0L)
       : org.apache.spark.sql.Dataset[SemDedupVerdict] = {
     import vecs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(capPerCell >= 1, s"capPerCell must be >= 1: $capPerCell")
+    // stateTtlMs > 0: idle CELLS expire wholesale (the dedupVerdicts TTL
+    // discipline — every keyed state needs an end of life): a cell with
+    // no arrivals within the TTL drops its exemplar set, and the next
+    // arrival starts a fresh first-arrival state. Approximate at the
+    // boundary by design — a post-expiry near-dup reads novel.
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       if (a.length != b.length) return Double.NegativeInfinity
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -626,10 +635,15 @@ object StreamingExtract {
     }
     vecs.map { case (id, v) => (id, v, cellOf(v)) }
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (cellId: Int, rows: Iterator[(String, Seq[Float], Int)],
          state: GroupState[SemState]) => {
-          if (cellId == -1)
+          if (state.hasTimedOut) {
+            // TTL expiry: the cell saw no arrivals within the window —
+            // free its exemplar set. A later arrival starts fresh.
+            state.remove()
+            Iterator.empty
+          } else if (cellId == -1)
             // dirty rows: verdicts without state (the -1 sentinel rule)
             rows.map { case (id, _, _) =>
               SemDedupVerdict(id, -1, is_dup = false, null, 0L) }
@@ -640,18 +654,24 @@ object StreamingExtract {
             rows.map { case (id, v, _) =>
               val st = state.getOption.getOrElse(SemState(Nil, Nil))
               val m = st.vecs.indexWhere(u => cos(v, u) >= threshold)
-              if (m >= 0)
-                SemDedupVerdict(id, cellId, is_dup = true, st.ids(m),
-                  st.ids.length.toLong)
-              else {
-                val st2 =
-                  if (st.ids.length < capPerCell)
-                    SemState(st.ids :+ id, st.vecs :+ v)
-                  else st
-                state.update(st2)
-                SemDedupVerdict(id, cellId, is_dup = false, null,
-                  st2.ids.length.toLong)
-              }
+              val verdict =
+                if (m >= 0)
+                  SemDedupVerdict(id, cellId, is_dup = true, st.ids(m),
+                    st.ids.length.toLong)
+                else {
+                  val st2 =
+                    if (st.ids.length < capPerCell)
+                      SemState(st.ids :+ id, st.vecs :+ v)
+                    else st
+                  state.update(st2)
+                  SemDedupVerdict(id, cellId, is_dup = false, null,
+                    st2.ids.length.toLong)
+                }
+              // the deadline resets per arrival: an ACTIVE cell never
+              // expires (dup branch: a match implies exemplars exist,
+              // so the state is always defined here)
+              if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+              verdict
             }
         })
   }
@@ -663,7 +683,8 @@ object StreamingExtract {
                     centroids: Array[Array[Float]],
                     threshold: Double = 0.9,
                     capPerCell: Int = 256,
-                    statePartitions: Int = 8): DataFrame = {
+                    statePartitions: Int = 8,
+                    stateTtlMs: Long = 0L): DataFrame = {
     val spark = batches.head.sparkSession
     import org.apache.spark.sql.types.{StructType, StructField, StringType,
       ArrayType, FloatType}
@@ -686,18 +707,32 @@ object StreamingExtract {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val verdicts = semDedupVerdicts(stream.as[(String, Seq[Float])],
-      centroids, threshold, capPerCell)
+      centroids, threshold, capPerCell, stateTtlMs)
     val qname = "graft_stream_semdedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       if (statePartitions > 0)
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      val q = verdicts.writeStream.format("memory").queryName(qname)
+      val writer = verdicts.writeStream.format("memory").queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", new java.io.File(base.toFile, "ck").toString)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      if (stateTtlMs <= 0) {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } else {
+        // ProcessingTimeTimeout never terminates an AvailableNow drain
+        // (the dedupVerdictsDrain lesson): poll the sink to the known
+        // row count — update mode emits exactly one verdict per input
+        val expected = batches.map(_.count()).sum
+        val q = writer.trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (spark.table(qname).count() < expected &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        q.stop()
+        require(spark.table(qname).count() == expected,
+          s"TTL drain incomplete: ${spark.table(qname).count()} of $expected verdicts")
+      }
       spark.table(qname).localCheckpoint()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

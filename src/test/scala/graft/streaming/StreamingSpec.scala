@@ -294,6 +294,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally qB.stop()
   }
 
+  test("semdedup state TTL: in-window dups unchanged; expired cells read fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def awaitRows(table: String, n: Long, timeoutMs: Long = 30000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (spark.table(table).count() < n) {
+        if (System.nanoTime() > deadline)
+          fail(s"$table: expected $n rows, have ${spark.table(table).count()}")
+        Thread.sleep(50)
+      }
+    }
+    val cents = Array(Array(1f, 0f, 0f, 0f))
+    // (a) TTL large vs the window: the cross-batch dup verdict must be
+    // identical to the NoTimeout path
+    val inA = MemoryStream[(String, Seq[Float])]
+    val qA = StreamingExtract.semDedupVerdicts(inA.toDS(), cents,
+        stateTtlMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("semdedup_ttl_window")
+      .outputMode("update").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      inA.addData(("a1", Seq(3f, 4f, 0f, 0f)))
+      awaitRows("semdedup_ttl_window", 1)
+      inA.addData(("a2", Seq(6f, 8f, 0f, 0f)))
+      awaitRows("semdedup_ttl_window", 2)
+      val got = spark.table("semdedup_ttl_window").collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+      assert(got("a1") == ((false, null)) && got("a2") == ((true, "a1")),
+        s"in-window verdicts under TTL must equal the NoTimeout path: $got")
+    } finally qA.stop()
+    // (b) expiry: a 1 ms TTL with wall-clock between arrivals — the
+    // cell's exemplar set drops, and a post-expiry COPY reads novel
+    // (fresh first arrival — the approximate-at-the-boundary contract)
+    val inB = MemoryStream[(String, Seq[Float])]
+    val qB = StreamingExtract.semDedupVerdicts(inB.toDS(), cents,
+        stateTtlMs = 1L)
+      .writeStream.format("memory").queryName("semdedup_ttl_expire")
+      .outputMode("update").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      inB.addData(("b1", Seq(3f, 4f, 0f, 0f)))
+      awaitRows("semdedup_ttl_expire", 1)
+      Thread.sleep(500)
+      inB.addData(("b2", Seq(3f, 4f, 0f, 0f)))
+      awaitRows("semdedup_ttl_expire", 2)
+      val got = spark.table("semdedup_ttl_expire").collect()
+        .map(r => r.getString(0) -> ((r.getBoolean(2), r.getLong(4)))).toMap
+      assert(got("b1") == ((false, 1L)))
+      assert(got("b2") == ((false, 1L)),
+        s"post-expiry copy must read as a fresh first arrival: $got")
+    } finally qB.stop()
+  }
+
   test("clone burst: 10^5 copies of one hash in a single micro-batch stream through") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
