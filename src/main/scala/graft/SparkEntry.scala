@@ -713,6 +713,45 @@ object SparkEntry {
           col("n.attrs").as("nattrs"), col("n.offset").as("offset"))
     }),
 
+    // DOM shape statistics (round 7 cont.): the structural profile a
+    // crawler uses to spot machine-generated / malformed pages —
+    // element/text/comment counts, max depth, max fanout — from ONE
+    // node-table pass. The compact node frame (ids + depth + ntype,
+    // never text) snapshots before feeding the stats aggregate AND the
+    // two-level fanout aggregate (groupBy parent then max — bounded by
+    // a node's children, never a corpus window). Construction nests
+    // doc_id%3+1 divs around doc_id%4+2 paragraphs, so every output is
+    // family arithmetic the oracle replays directly.
+    "q_dom_stats" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val dD = (pmod(col("doc_id"), lit(3L)) + 1).cast("int")
+      val pP = (pmod(col("doc_id"), lit(4L)) + 1).cast("int")
+      val html = concat(lit("<body><!--c-->"),
+        call_function("repeat", lit("<div>"), dD),
+        lit("<p>T"), escTxt(substring(coalesce(col("text"), lit("")), 1, 8)),
+        lit("</p>"),
+        call_function("repeat", lit("<p>t</p>"), pP),
+        call_function("repeat", lit("</div>"), dD), lit("</body>"))
+      val nodes = d.select(col("doc_id"),
+          explode_outer(GraftFunctions.graft_node_table(html)).as("n"))
+        .filter(col("n").isNotNull)
+        .select(col("doc_id"), col("n.parent_id").as("parent_id"),
+          col("n.depth").as("depth"), col("n.ntype").as("ntype"))
+      val compact = graft.ops.Snapshot(nodes)
+      val stats = compact.groupBy("doc_id").agg(
+        sum(when(col("ntype") === "element", 1L).otherwise(0L)).as("n_elements"),
+        sum(when(col("ntype") === "text", 1L).otherwise(0L)).as("n_text"),
+        sum(when(col("ntype") === "comment", 1L).otherwise(0L)).as("n_comments"),
+        max(col("depth")).as("max_depth"))
+      val fanout = compact.filter(col("parent_id") >= 0)
+        .groupBy("doc_id", "parent_id").agg(count(lit(1)).as("nc"))
+        .groupBy("doc_id").agg(max(col("nc")).as("max_fanout"))
+      stats.join(fanout, "doc_id")
+        .select(col("doc_id"), col("n_elements"), col("n_text"),
+          col("n_comments"), col("max_depth"), col("max_fanout"))
+    }),
+
     // Document dating (round 7 cont.): the recency stamp mixtures and
     // dedup tie-breaks consume — priority fold over three signals:
     // article:published_time meta (FIRST pre-order, property match
@@ -5785,6 +5824,19 @@ object SparkEntry {
         |                           ORDER BY doc_id) AS rn
         |      FROM documents WHERE doc_id < 300)""".stripMargin
     },
+
+    // family-arithmetic replay of the constructed DOM shape: 3 implied
+    // elements + d divs + p+1 paragraphs; one text node per paragraph;
+    // depth = body(1) + d + p-elem + text; fanout peaks at the
+    // innermost div's p+1 paragraphs (html's head+body = 2 never wins)
+    "q_dom_stats" ->
+      """WITH e AS (SELECT doc_id, doc_id % 3 + 1 AS d, doc_id % 4 + 1 AS p
+        |  FROM documents)
+        |SELECT doc_id, CAST(3 + d + p + 1 AS BIGINT) AS n_elements,
+        |  CAST(p + 1 AS BIGINT) AS n_text, CAST(1 AS BIGINT) AS n_comments,
+        |  CAST(d + 3 AS INT) AS max_depth,
+        |  CAST(p + 1 AS BIGINT) AS max_fanout
+        |FROM e""".stripMargin,
 
     // window replay of the per-host slot counter: arrival order ==
     // doc_id order under the drain harness, so slot = row_number per
