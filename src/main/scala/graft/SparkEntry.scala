@@ -3280,6 +3280,49 @@ object SparkEntry {
           col("s.text").as("span_text"), col("s.offset").as("offset"))
     }),
 
+    // WAT-style metadata manifest (round 7 cont.): CommonCrawl's WAT
+    // sidecar shape — per WARC response record, the metadata envelope a
+    // crawl-index consumer reads INSTEAD of the payload: target URI,
+    // HTTP status/mime/charset, record octets, page title, link count.
+    // Pure composition of gated kernels (graft_warc_records frames by
+    // Content-Length; graft_page_meta takes the pre-order-FIRST RCDATA
+    // title; graft_link_table counts href-bearing anchors — the
+    // name-only anchor never counts), each one eval per record. The
+    // oracle reconstructs every field from construction arithmetic
+    // (octet lengths over the escaped embeds, sqlTokText title view).
+    "q_wat_manifest" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val fam = pmod(col("doc_id"), lit(3L))
+      val ids = col("doc_id").cast("string")
+      val html = concat(lit("<html><head><title>W"),
+        escTxt(coalesce(col("source"), lit(""))),
+        lit("</title></head><body><a href=\"/a/"), ids, lit("\">x</a>"),
+        when(fam === 0,
+          concat(lit("<a href=\"/b/"), ids, lit("\">y</a>"))).otherwise(lit("")),
+        lit("<a name=\"skip\">z</a><p>P"),
+        escTxt(coalesce(col("lang"), lit(""))), lit("</p></body></html>"))
+      val http = concat(lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf + crlf), html)
+      val blob = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://e/"), ids,
+        lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      d.select(col("doc_id"),
+          explode(GraftFunctions.graft_warc_records(blob.cast("binary"))).as("r"))
+        .filter(col("r.ok") && col("r.warc_type") === "response")
+        .select(col("doc_id"), col("r.uri").as("uri"),
+          col("r.status").as("status"), col("r.mime").as("mime"),
+          col("r.charset").as("charset"), col("r.length").as("rec_length"),
+          call_function("graft_page_meta", col("r.body"))
+            .getField("title").as("title"),
+          size(filter(call_function("graft_link_table", col("r.body")),
+            l => l.getField("href").isNotNull && l.getField("href") =!= ""))
+            .as("n_links"))
+    }),
+
     // WARC charset handling (round 5): the WHATWG fetch decode order —
     // BOM beats the HTTP charset beats the meta-prescan beats the
     // UTF-8 heuristic — exercised with REAL non-UTF-8 bytes (smart
@@ -5836,6 +5879,27 @@ object SparkEntry {
         |  CAST(p + 1 AS BIGINT) AS n_text, CAST(1 AS BIGINT) AS n_comments,
         |  CAST(d + 3 AS INT) AS max_depth,
         |  CAST(p + 1 AS BIGINT) AS max_fanout
+        |FROM e""".stripMargin,
+
+    // construction-arithmetic replay of the WAT envelope: rec_length =
+    // 59 fixed HTTP-header octets + the escaped html's byte length;
+    // the RCDATA title rides the sqlTokText view; n_links by family
+    "q_wat_manifest" ->
+      s"""WITH e AS (SELECT doc_id, doc_id % 3 AS fam,
+        |    ${sqlEsc("coalesce(source, '')")} AS es,
+        |    ${sqlEsc("coalesce(lang, '')")} AS el,
+        |    CAST(doc_id AS VARCHAR) AS ids,
+        |    'W' || ${sqlTokText("coalesce(source, '')")} AS title
+        |  FROM documents)
+        |SELECT doc_id, 'http://e/' || ids AS uri, CAST(200 AS INT) AS status,
+        |  'text/html' AS mime, 'utf-8' AS charset,
+        |  CAST(59 + strlen('<html><head><title>W' || es ||
+        |    '</title></head><body><a href="/a/' || ids || '">x</a>' ||
+        |    CASE WHEN fam = 0 THEN '<a href="/b/' || ids || '">y</a>'
+        |         ELSE '' END ||
+        |    '<a name="skip">z</a><p>P' || el || '</p></body></html>')
+        |    AS INT) AS rec_length,
+        |  title, CAST(CASE WHEN fam = 0 THEN 2 ELSE 1 END AS INT) AS n_links
         |FROM e""".stripMargin,
 
     // window replay of the per-host slot counter: arrival order ==
