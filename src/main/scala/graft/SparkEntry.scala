@@ -248,6 +248,23 @@ object SparkEntry {
   private def sqlNotWsOnly(e: String): String =
     s"NOT regexp_matches($e, '^[\\t\\n\\f\\r\\x0b ]*$$')"
 
+  /** graft_lang_id replay CTEs over a source CTE `src(doc_id, s)` where
+    * s is the space-padded lowered text — yields `lpred(doc_id,
+    * lang_pred)`. Shared by q_lang_id and q_lang_mix so the kernel's
+    * marker tables and the replay move in lockstep. */
+  private def sqlLangIdCtes(src: String): String =
+    s"""sc AS (SELECT doc_id,
+      | (len(s)-len(replace(s,' the ','')))//5 + (len(s)-len(replace(s,' and ','')))//5 + (len(s)-len(replace(s,' of ','')))//4 + (len(s)-len(replace(s,' to ','')))//4 + (len(s)-len(replace(s,' is ','')))//4 AS s_en,
+      | (len(s)-len(replace(s,' der ','')))//5 + (len(s)-len(replace(s,' die ','')))//5 + (len(s)-len(replace(s,' und ','')))//5 + (len(s)-len(replace(s,' ist ','')))//5 + (len(s)-len(replace(s,' nicht ','')))//7 AS s_de,
+      | (len(s)-len(replace(s,' le ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' et ','')))//4 + (len(s)-len(replace(s,' est ','')))//5 + (len(s)-len(replace(s,' les ','')))//5 AS s_fr,
+      | (len(s)-len(replace(s,' el ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' y ','')))//3 + (len(s)-len(replace(s,' es ','')))//4 + (len(s)-len(replace(s,' los ','')))//5 AS s_es,
+      | (len(s)-len(replace(s,'的',''))) + (len(s)-len(replace(s,'是',''))) + (len(s)-len(replace(s,'不',''))) + (len(s)-len(replace(s,'了',''))) + (len(s)-len(replace(s,'在',''))) AS s_zh
+      |FROM $src),
+      |lpred AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en'
+      |  WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
+      |  WHEN s_es = m THEN 'es' ELSE 'zh' END AS lang_pred
+      |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m FROM sc))""".stripMargin
+
   /** DuckDB replay of WarcUdfs.compose's exact response-record layout —
     * SHARED by the q_warc_compose and q_stream_warc_segments oracles so
     * the header conventions move in lockstep with the composer (CLAUDE
@@ -1679,6 +1696,27 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         expr("graft_lang_id(coalesce(text, ''))").as("lang_pred"))),
+
+    // Per-shard language mixture (round 7 cont.): the "is the data mix
+    // right in every output shard" report — shard assignment via the
+    // gated Sample.split hash thresholds (4 equal splits), language via
+    // the graft_lang_id kernel, ONE map-side-combined aggregate over
+    // (shard, lang). The oracle composes both gated replays (cumulative
+    // round(f·2^24) thresholds × the marker-score CTEs) and the
+    // canonical token count; sums CAST AS BIGINT per the HUGEINT rule.
+    "q_lang_mix" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir).select(col("doc_id"),
+        col("doc_id").cast("string").as("k"), col("text"))
+      val assigned = Sample.split(d, "k",
+        Seq(("s0", 0.25), ("s1", 0.25), ("s2", 0.25), ("s3", 0.25)),
+        oracleHash = true)
+      assigned.select(col("split").as("shard"),
+          expr("graft_lang_id(coalesce(text, ''))").as("lang_pred"),
+          coalesce(TextNorm.tokenCountCol(col("text")), lit(0L)).as("n"))
+        .groupBy("shard", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+    }),
 
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -5001,17 +5039,25 @@ object SparkEntry {
 
     "q_lang_id" ->
       s"""WITH p AS (SELECT doc_id, ' ' || ${TextNorm.sqlLower("coalesce(text, '')")} || ' ' AS s FROM documents),
-        |sc AS (SELECT doc_id,
-        | (len(s)-len(replace(s,' the ','')))//5 + (len(s)-len(replace(s,' and ','')))//5 + (len(s)-len(replace(s,' of ','')))//4 + (len(s)-len(replace(s,' to ','')))//4 + (len(s)-len(replace(s,' is ','')))//4 AS s_en,
-        | (len(s)-len(replace(s,' der ','')))//5 + (len(s)-len(replace(s,' die ','')))//5 + (len(s)-len(replace(s,' und ','')))//5 + (len(s)-len(replace(s,' ist ','')))//5 + (len(s)-len(replace(s,' nicht ','')))//7 AS s_de,
-        | (len(s)-len(replace(s,' le ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' et ','')))//4 + (len(s)-len(replace(s,' est ','')))//5 + (len(s)-len(replace(s,' les ','')))//5 AS s_fr,
-        | (len(s)-len(replace(s,' el ','')))//4 + (len(s)-len(replace(s,' la ','')))//4 + (len(s)-len(replace(s,' y ','')))//3 + (len(s)-len(replace(s,' es ','')))//4 + (len(s)-len(replace(s,' los ','')))//5 AS s_es,
-        | (len(s)-len(replace(s,'的',''))) + (len(s)-len(replace(s,'是',''))) + (len(s)-len(replace(s,'不',''))) + (len(s)-len(replace(s,'了',''))) + (len(s)-len(replace(s,'在',''))) AS s_zh
-        |FROM p)
-        |SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en'
-        |  WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr'
-        |  WHEN s_es = m THEN 'es' ELSE 'zh' END AS lang_pred
-        |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m FROM sc)""".stripMargin,
+        |${sqlLangIdCtes("p")}
+        |SELECT doc_id, lang_pred FROM lpred""".stripMargin,
+
+    // both gated replays composed: split thresholds (round(f·2^24)
+    // cumulative) route shards, the marker CTEs route languages, and
+    // the canonical token count sums per (shard, lang)
+    "q_lang_mix" ->
+      s"""WITH p AS (SELECT doc_id,
+        |    ' ' || ${TextNorm.sqlLower("coalesce(text, '')")} || ' ' AS s,
+        |    coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS n,
+        |    CASE WHEN h < 4194304 THEN 's0' WHEN h < 8388608 THEN 's1'
+        |         WHEN h < 12582912 THEN 's2' ELSE 's3' END AS shard
+        |  FROM (SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |          AS BIGINT) AS h FROM documents)),
+        |${sqlLangIdCtes("p")}
+        |SELECT shard, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM p JOIN lpred USING (doc_id)
+        |GROUP BY shard, lang_pred""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id,
