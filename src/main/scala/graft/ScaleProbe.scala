@@ -39,13 +39,16 @@ object ScaleProbe {
     "q_parallel_pairs", "q_asr_pairs", "q_bm25", "q_split", "q_host_rank",
     "q_fetch_schedule", "q_stream_semdedup", "q_sitemap_index",
     "q_bm25_multi", "q_domain_quality", "q_segment_manifest",
+    "q_html_outline", "q_cdc_chunks", "q_dom_stats", "q_wat_manifest",
+    "q_lang_mix", "q_stream_fetch_schedule", "q_stream_semdedup_ttl",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",
+    "q_dedup_eval",
     // ANN over embeddings
     "q_ann_self", "q_ann_topk", "q_ann_i8", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm", "q_ann_hnsw",
-    "q_ann_ivf_hnsw")
+    "q_ann_ivf_hnsw", "q_ann_hnsw_i8")
 
   def main(args: Array[String]): Unit = {
     val dirA = args(0)

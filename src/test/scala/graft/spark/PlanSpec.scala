@@ -400,7 +400,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_warc_compose",
       "graft_warc_compose_wet",
       "graft_registrable_domain", "graft_markdown", "graft_c4_rules",
-      "graft_lm_score")
+      "graft_lm_score", "graft_cdc_chunks")
     assert(names == expected, s"missing=${expected -- names} extra=${names -- expected}")
   }
 
