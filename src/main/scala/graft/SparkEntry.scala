@@ -3983,6 +3983,23 @@ object SparkEntry {
         "doc_id", "text", size = 200, overlap = 50)
     }),
 
+    // Token-budget corpus selection (round 7 cont.): "fill a 12k-token
+    // training budget best-first" — priority (score desc, id asc) is
+    // encoded into one ascending 62-bit key so the selection rides the
+    // concatChunk two-pass prefix sum (never a corpus Window); the
+    // score here is the codepoint length of the text (the canonical
+    // length alphabet — Spark length and DuckDB length both count
+    // codepoints), and the oracle replays the clamped naive window
+    // cumsum in the same (score DESC, doc_id ASC) order.
+    "q_budget_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextNorm.tokenCountCol(col("text"))
+      val score = length(coalesce(col("text"), lit("")))
+      Sample.budgetSelect(
+        d.select(col("doc_id"), toks.as("n"), score.as("sc")),
+        "doc_id", "n", "sc", budget = 12000L)
+    }),
+
     // Content-defined chunking (round 7 cont.): rolling-window cut
     // points (graft_cdc_chunks — window-4 polynomial hash ≡ 0 mod 64
     // over codepoints) make chunk identity stable under edits, so
@@ -7094,6 +7111,23 @@ object SparkEntry {
         |  substr(t, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk_text
         |FROM (SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS i
         |      FROM c)""".stripMargin,
+
+    // budget-select replay: the same clamps (score floor into
+    // [0, 1000000], tokens coalesce to 0) and the naive window cumsum
+    // in (score DESC, doc_id ASC) priority order; kept iff the doc's
+    // interval fits wholly inside the 12000-token budget. CAST st AS
+    // BIGINT — window sum() is HUGEINT (the q_pack rule).
+    "q_budget_select" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS n,
+        |  least(greatest(coalesce(length(coalesce(text, '')), 0), 0),
+        |        1000000) AS sc FROM documents),
+        |c AS (SELECT doc_id, sc, n,
+        |  CAST(COALESCE(sum(n) OVER (ORDER BY sc DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM t)
+        |SELECT doc_id, CAST(sc AS BIGINT) AS score, CAST(n AS BIGINT) AS n_tokens,
+        |  st AS start_offset, (st + n <= 12000) AS kept
+        |FROM c""".stripMargin,
 
     // positional replay of the CDC boundary set: every cut position's
     // window hash recomputes independently (c[i-3..i] polynomial, exact

@@ -143,4 +143,54 @@ object Sample {
     TopK.perQueryTopK(scored, k)
       .select(col("query_id").as(keyCol), col("vec_id").as(idCol), col("rank"))
   }
+
+  /** Token-budget-constrained corpus selection — the "fill a 10B-token
+    * training budget with the best documents first" step: documents are
+    * laid out on ONE token stream in (score desc, id asc) priority
+    * order; a document is kept iff its token interval [start, start+n)
+    * lies wholly inside [0, budget] (so a zero-token document keeps iff
+    * its offset is within budget, and the first document that straddles
+    * the boundary drops — as does everything ranked below it whose
+    * interval overruns).
+    *
+    * Scale shape: the priority order is encoded into ONE ascending long
+    * key — key = (maxScore − score)·2^40 + id — so the selection rides
+    * [[Pack.concatChunk]]'s two-pass prefix sum unchanged (1 range
+    * shuffle + a p-row driver collect; never a corpus-wide Window).
+    *
+    * Totality: null/NaN scores clamp to 0 (they rank last within the
+    * score axis — the keepBest "null loses" convention; the NaN leg
+    * matters because the session is ANSI and a raw NaN→long cast
+    * throws), scores clamp into [0, maxScore] (floor on fractional
+    * scores — exact in double below 2^22), null counts clamp to 0
+    * (concatChunk's discipline).
+    * Preconditions enforced by DROP, mirroring concatChunk's null-id
+    * drop: ids outside [0, 2^40) are dropped — map ids into the window
+    * first (a 100 TB corpus has < 2^40 documents).
+    *
+    * Output: (idCol, score, n_tokens, start_offset, kept) — score is
+    * the CLAMPED integer priority actually used. */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+                   scoreCol: String, budget: Long,
+                   maxScore: Long = 1000000L): DataFrame = {
+    require(budget >= 0, s"token budget must be >= 0: $budget")
+    require(maxScore >= 0 && maxScore < (1L << 22),
+      s"maxScore must be in [0, 2^22): $maxScore — the (score, id) pair " +
+        "packs into one 62-bit key")
+    val idW = 1L << 40
+    val s = greatest(lit(0.0d),
+      least(lit(maxScore).cast("double"),
+        coalesce(nanvl(col(scoreCol).cast("double"), lit(0.0d)), lit(0.0d))))
+      .cast("long")
+    val enc = df
+      .filter(col(idCol).isNotNull &&
+        col(idCol).cast("long") >= 0L && col(idCol).cast("long") < idW)
+      .select(((lit(maxScore) - s) * lit(idW) + col(idCol).cast("long")).as("k"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n"))
+    Pack.concatChunk(enc, "k", "n", budget = math.max(budget, 1L))
+      .select(pmod(col("k"), lit(idW)).as(idCol),
+        (lit(maxScore) - expr(s"k div ${idW}")).as("score"),
+        col("n_tokens"), col("start_offset"),
+        (col("start_offset") + col("n_tokens") <= lit(budget)).as("kept"))
+  }
 }

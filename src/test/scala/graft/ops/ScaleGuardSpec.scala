@@ -674,6 +674,51 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(p7 == p32)
   }
 
+  test("budgetSelect: priority prefix sum equals the naive replay; clamps are total") {
+    import spark.implicits._
+    // score desc / id asc priority with every clamp leg present:
+    // null score (loses), negative (→0), over-max (→max), fractional
+    // (floors), NaN (→0, the ANSI-cast hazard), null tokens (→0),
+    // negative tokens (→0), zero-token docs, out-of-window ids (drop)
+    val rows: Seq[(java.lang.Long, java.lang.Double, java.lang.Long)] = Seq(
+      (1L: java.lang.Long, 10.0: java.lang.Double, 30L: java.lang.Long),
+      (2L: java.lang.Long, 10.9: java.lang.Double, 30L: java.lang.Long),  // floors to 10, ties on id
+      (3L: java.lang.Long, 99.0: java.lang.Double, 25L: java.lang.Long),  // clamps to maxScore=50
+      (4L: java.lang.Long, null: java.lang.Double, 5L: java.lang.Long),   // null score → 0
+      (5L: java.lang.Long, Double.NaN: java.lang.Double, 5L: java.lang.Long), // NaN → 0
+      (6L: java.lang.Long, -3.0: java.lang.Double, 5L: java.lang.Long),   // negative → 0
+      (7L: java.lang.Long, 50.0: java.lang.Double, null: java.lang.Long), // null tokens → 0
+      (8L: java.lang.Long, 20.0: java.lang.Double, -9L: java.lang.Long),  // negative tokens → 0
+      (9L: java.lang.Long, 5.0: java.lang.Double, 0L: java.lang.Long),
+      ((1L << 41): java.lang.Long, 50.0: java.lang.Double, 1L: java.lang.Long), // id past 2^40 drops
+      (null: java.lang.Long, 50.0: java.lang.Double, 1L: java.lang.Long)  // null id drops
+    )
+    val df = rows.toDF("id", "score", "n")
+    val clamped = Seq( // (id, clampedScore, clampedN) for in-window ids
+      (1L, 10L, 30L), (2L, 10L, 30L), (3L, 50L, 25L), (4L, 0L, 5L),
+      (5L, 0L, 5L), (6L, 0L, 5L), (7L, 50L, 0L), (8L, 20L, 0L), (9L, 5L, 0L))
+    def naive(budget: Long) = {
+      var acc = 0L
+      clamped.sortBy { case (id, s, _) => (-s, id) }.map { case (id, s, n) =>
+        val st = acc; acc += n
+        (id, s, n, st, st + n <= budget)
+      }.toSet
+    }
+    def run(budget: Long, p: Int) =
+      Sample.budgetSelect(df.repartition(p), "id", "n", "score",
+          budget = budget, maxScore = 50L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+    // order: (7,50,0)(3,50,25)(8,20,0)(1,10,30)(2,10,30)(9,5,0)(4,0,5)(5,0,5)(6,0,5)
+    // offsets: 0,0,25,25,55,85,85,90,95 — budget 85 keeps through id 2 and
+    // the zero-token id 9 AT the boundary; 4/5/6 overrun
+    Seq(0L, 25L, 85L, 1000L).foreach { b =>
+      assert(run(b, 4) == naive(b), s"budget=$b drifted from the naive replay")
+    }
+    // partition-count invariance (the concatChunk contract carries over)
+    assert(run(85L, 2) == run(85L, 32))
+  }
+
   test("interleavedTokenCount: text=canon tokens, media=fixed cost, unknown=0") {
     import spark.implicits._
     val rows = Seq(
