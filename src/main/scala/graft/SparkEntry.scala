@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{GraftFunctions, CorpusGen, DocRow, Pipeline}
-import graft.ops.{Dedup, Rank, Redirects, Similarity, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
+import graft.ops.{Dedup, Rank, Redirects, Similarity, Sketch, SnapshotDiff, TextNorm, TextOps, Multimodal, TopK, Pack, QualityModel, Sample, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -4000,6 +4000,57 @@ object SparkEntry {
         "doc_id", "n", "sc", budget = 12000L)
     }),
 
+    // HyperLogLog vocabulary sketch (round 7 cont.): per-source
+    // distinct-token registers — md5 hash family (first 2 hex digits =
+    // bucket, next 12 = rank word, rho via bin-length, the Sample
+    // oracle-hash convention), summarized to the exact-integer
+    // harmonic carrier S = Σ 2^(49−M_j). The EXACT distinct count
+    // rides along as the verify column (two-phase distinct — never an
+    // Expand); at 100 TB only the sketch side runs. One kernel explode
+    // (outer + isNotNull + compact Snapshot) feeds both aggregates.
+    "q_sketch_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.GraftSql
+      val d = docs(s, dir)
+      val toks = d.select(coalesce(col("source"), lit("")).as("src"),
+          explode_outer(GraftSql.column(graft.spark.GraftNgrams(
+            GraftSql.expressionOf(col("text")), 1))).as("tok"))
+        .filter(col("tok").isNotNull)
+      val keyed = graft.ops.Snapshot(
+        toks.groupBy("src", "tok").agg(count(lit(1)).as("c")))
+      Sketch.hllSummary(keyed, "src", "tok")
+        .join(keyed.groupBy("src").agg(count(lit(1)).as("exact_distinct")), "src")
+        .select(col("src").as("source"), col("v_used"), col("max_rho"),
+          col("s_harmonic"), col("exact_distinct"))
+    }),
+
+    // Count-min frequency sketch (round 7 cont.): 3×256 integer
+    // counters over corpus token occurrences (row-i bucket = md5 of
+    // "i:"++token, first 8 hex digits mod 256); probes = the distinct
+    // tokens of docs 0-4, estimate = min over rows with absent cells 0.
+    // est ≥ exact always (the CMS guarantee, pinned by over_ok). The
+    // compact per-token count Snapshot feeds counters AND the exact
+    // join; the counter table is broadcast at probe time.
+    "q_sketch_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.GraftSql
+      val d = docs(s, dir)
+      def ngrams1(c: Column) = GraftSql.column(graft.spark.GraftNgrams(
+        GraftSql.expressionOf(c), 1))
+      val cnt = graft.ops.Snapshot(
+        d.select(explode_outer(ngrams1(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull)
+          .groupBy("tok").agg(count(lit(1)).as("c")))
+      val probes = d.filter(col("doc_id") < 5)
+        .select(explode_outer(ngrams1(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull).distinct()
+      val counters = Sketch.cmsCountersFromCounts(cnt, "tok", "c",
+        depth = 3, width = 256)
+      Sketch.cmsEstimate(counters, probes, "tok", depth = 3, width = 256)
+        .join(cnt, Seq("tok"), "left")
+        .select(col("tok"), col("est"),
+          coalesce(col("c"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("c"), lit(0L))).as("over_ok"))
+    }),
+
     // Content-defined chunking (round 7 cont.): rolling-window cut
     // points (graft_cdc_chunks — window-4 polynomial hash ≡ 0 mod 64
     // over codepoints) make chunk identity stable under edits, so
@@ -7128,6 +7179,60 @@ object SparkEntry {
         |SELECT doc_id, CAST(sc AS BIGINT) AS score, CAST(n AS BIGINT) AS n_tokens,
         |  st AS start_offset, (st + n <= 12000) AS kept
         |FROM c""".stripMargin,
+
+    // HLL register replay: identical md5 hash family (bucket = first 2
+    // hex digits, rank word = next 12; rho = 49 − length(bin(w)) —
+    // DuckDB bin and Spark bin both render the minimal binary string,
+    // w=0 is the explicit 49 branch), then the exact-integer harmonic
+    // carrier. sum() CAST AS BIGINT (the q_pack rule); count(*) is
+    // already BIGINT.
+    "q_sketch_hll" ->
+      s"""WITH tk AS (SELECT coalesce(source, '') AS src,
+        |  unnest(${TextNorm.sqlTokens(TextNorm.sqlLower("text"))}) AS tok FROM documents),
+        |dk AS (SELECT DISTINCT src, tok FROM tk),
+        |h AS (SELECT src,
+        |  CAST(('0x' || substr(md5(tok), 1, 2)) AS BIGINT) AS bucket,
+        |  CAST(('0x' || substr(md5(tok), 3, 12)) AS BIGINT) AS w FROM dk),
+        |r AS (SELECT src, bucket,
+        |  max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS m
+        |  FROM h GROUP BY src, bucket),
+        |s AS (SELECT src, CAST(count(*) AS BIGINT) AS v_used,
+        |  CAST(max(m) AS BIGINT) AS max_rho,
+        |  CAST(sum(1::BIGINT << CAST(49 - m AS INTEGER)) AS BIGINT)
+        |    + (256 - CAST(count(*) AS BIGINT)) * (1::BIGINT << 49) AS s_harmonic
+        |  FROM r GROUP BY src),
+        |e AS (SELECT src, CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM dk GROUP BY src)
+        |SELECT s.src AS source, s.v_used, s.max_rho, s.s_harmonic,
+        |  e.exact_distinct
+        |FROM s JOIN e USING (src)""".stripMargin,
+
+    // CMS counter replay: per-token counts, 3 unrolled hash rows
+    // ("i:"++token, first 8 md5 hex digits mod 256), counter sums CAST
+    // AS BIGINT, probe estimate = min over rows with absent cells
+    // coalesced to 0 (min never promotes).
+    "q_sketch_cms" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |  unnest(${TextNorm.sqlTokens(TextNorm.sqlLower("text"))}) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+        |rows_ AS (SELECT unnest([0, 1, 2]) AS i),
+        |hb AS (SELECT e.i AS r,
+        |  CAST(('0x' || substr(md5(CAST(e.i AS VARCHAR) || ':' || c.tok), 1, 8))
+        |    AS BIGINT) % 256 AS b, c.c
+        |  FROM cnt c CROSS JOIN rows_ e),
+        |ctr AS (SELECT r, b, CAST(sum(c) AS BIGINT) AS cc FROM hb GROUP BY r, b),
+        |pr AS (SELECT DISTINCT tok FROM tk WHERE doc_id < 5),
+        |pe AS (SELECT p.tok, e.i AS r,
+        |  CAST(('0x' || substr(md5(CAST(e.i AS VARCHAR) || ':' || p.tok), 1, 8))
+        |    AS BIGINT) % 256 AS b
+        |  FROM pr p CROSS JOIN rows_ e),
+        |est AS (SELECT pe.tok, min(coalesce(ctr.cc, 0)) AS est
+        |  FROM pe LEFT JOIN ctr ON pe.r = ctr.r AND pe.b = ctr.b
+        |  GROUP BY pe.tok)
+        |SELECT est.tok, CAST(est.est AS BIGINT) AS est,
+        |  coalesce(c.c, 0) AS exact,
+        |  est.est >= coalesce(c.c, 0) AS over_ok
+        |FROM est LEFT JOIN cnt c USING (tok)""".stripMargin,
 
     // positional replay of the CDC boundary set: every cut position's
     // window hash recomputes independently (c[i-3..i] polynomial, exact

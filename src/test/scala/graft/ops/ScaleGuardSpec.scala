@@ -719,6 +719,71 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(run(85L, 2) == run(85L, 32))
   }
 
+  test("hll: registers replay the JVM md5 reference; shard merge = whole corpus") {
+    import spark.implicits._
+    // pure-JVM register reference (the oracle's arithmetic, independently)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def reg(keys: Seq[String]): Map[Long, Long] =
+      keys.map { k =>
+        val h = md5hex(k)
+        val b = java.lang.Long.parseLong(h.substring(0, 2), 16)
+        val w = java.lang.Long.parseLong(h.substring(2, 14), 16)
+        val rho = if (w == 0L) 49L else 49L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        b -> rho
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val keys = (0 until 3000).map(i => s"tok${i % 1700}") // dups collapse in max
+    val df = (keys.map(("a", _)) ++ keys.take(500).map(("b", _)))
+      .toDF("grp", "k")
+    val got = Sketch.hllRegisters(df, "grp", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expA = reg(keys)
+    assert(got.collect { case ((g, b), m) if g == "a" => b -> m } == expA,
+      "group-a registers drifted from the JVM md5 reference")
+    // merge property: per-shard registers max-merged = whole-corpus registers
+    val whole = Sketch.hllRegisters(df.filter($"grp" === "a"), "grp", "k")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val s1 = reg(keys.take(1000)); val s2 = reg(keys.drop(1000))
+    val merged = (s1.keySet ++ s2.keySet).map(b =>
+      b -> math.max(s1.getOrElse(b, 0L), s2.getOrElse(b, 0L))).toMap
+    assert(whole == merged, "shard max-merge must equal the whole-corpus registers")
+    // summary: exact integer harmonic carrier + a sane estimate
+    val sm = Sketch.hllSummary(df.filter($"grp" === "a"), "grp", "k").collect()(0)
+    val (vUsed, sHarm) = (sm.getLong(1), sm.getLong(3))
+    assert(vUsed == expA.size)
+    val expS = expA.values.map(m => 1L << (49 - m)).sum +
+      (256L - expA.size) * (1L << 49)
+    assert(sHarm == expS, s"harmonic carrier drifted: $sHarm != $expS")
+    val alpha = 0.7213 / (1 + 1.079 / 256)
+    val est = alpha * 256.0 * 256.0 * math.pow(2, 49) / sHarm.toDouble
+    assert(math.abs(est - 1700.0) / 1700.0 < 0.15,
+      f"HLL estimate $est%.0f too far from 1700 (deterministic pin, not a flake)")
+  }
+
+  test("cms: counters replay; est >= exact always; rows each sum to N") {
+    import spark.implicits._
+    val occs = (0 until 5000).map(i => s"w${i % (i % 37 + 1)}") // skewed counts
+    val df = occs.toDF("k")
+    val counters = Sketch.cmsCounters(df, "k", depth = 3, width = 64)
+    val cRows = counters.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every row of the table sums to the total occurrence count
+    (0 until 3).foreach { i =>
+      val s = cRows.collect { case ((r, _), c) if r == i => c }.sum
+      assert(s == 5000L, s"cms row $i sums to $s, want 5000")
+    }
+    val exact = occs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val probes = (exact.keys.toSeq :+ "never-seen").toDF("k")
+    val est = Sketch.cmsEstimate(counters, probes, "k", depth = 3, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"cms underestimated $k: ${est(k)} < $n") }
+    assert(est("never-seen") >= 0L)
+    // partition invariance (pure aggregates — but pin it anyway)
+    val c7 = Sketch.cmsCounters(df.repartition(7), "k", 3, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c7 == cRows.map { case ((a, b), c) => (a, b, c) }.toSet)
+  }
+
   test("interleavedTokenCount: text=canon tokens, media=fixed cost, unknown=0") {
     import spark.implicits._
     val rows = Seq(
