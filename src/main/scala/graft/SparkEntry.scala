@@ -3907,6 +3907,102 @@ object SparkEntry {
           col("m.crawl_delay").as("crawl_delay"))
     }),
 
+    // Page indexability verdicts (round 7 cont.): the in-HTML robots
+    // surface a crawl pipeline honors BEFORE robots.txt lets a page
+    // into the corpus — <meta name=robots> directives (comma-separated
+    // tokens, canonical trim + ASCII lower; `none` = noindex+nofollow,
+    // unknown tokens ignored) and per-link rel=nofollow (ws-separated
+    // token list on the link table's additive `rel` field). The junk
+    // directive token is an md5 slice (hex never collides with a
+    // directive name and carries no commas/ws). One page_meta parse +
+    // one link_table parse per row; the oracle replays the family
+    // construction. followable = 0 when the page says nofollow, else
+    // links minus rel-nofollow ones.
+    "q_noindex" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val junk = substring(md5(coalesce(col("text"), lit(""))), 1, 6)
+      val fam = pmod(col("doc_id"), lit(5L))
+      val content = when(fam === 0, lit("noindex, follow"))
+        .when(fam === 1, lit(" NOFOLLOW "))
+        .when(fam === 2, concat(lit("none, "), junk))
+        .when(fam === 3, concat(lit("all, "), junk))
+        .otherwise(lit(null))
+      val metaTag = when(content.isNotNull,
+        concat(lit("<meta name=\"ROBOTS\" content=\""), content,
+          lit("\">"))).otherwise(lit(""))
+      val extra = when(pmod(col("doc_id"), lit(3L)) === 0,
+        lit("<a href=\"/l4\" rel=\"sponsored\">s</a>")).otherwise(lit(""))
+      val html = concat(lit("<head><title>t</title>"), metaTag,
+        lit("</head><body><a href=\"/l1\" rel=\"nofollow\">a</a>" +
+          "<a href=\"/l2\" rel=\"external NoFollow ugc\">b</a>" +
+          "<a href=\"/l3\">c</a>"), extra)
+      val stage = d.select(col("doc_id"),
+        call_function("graft_page_meta", html).getField("robots").as("robots"),
+        call_function("graft_link_table", html).as("ls"))
+      val toks = transform(split(col("robots"), ","),
+        t => TextNorm.lowerCol(TextNorm.trimCol(t)))
+      def dir0(t: String) = array_contains(toks, t)
+      val noindex = (dir0("noindex") || dir0("none")).cast("int")
+      val nofollowPage = dir0("nofollow") || dir0("none")
+      val relNf = size(filter(col("ls"), l =>
+        array_contains(TextNorm.tokensCol(TextNorm.lowerCol(
+          l.getField("rel"))), "nofollow")))
+      stage.select(col("doc_id"), noindex.as("noindex"),
+          nofollowPage.cast("int").as("nofollow_page"),
+          size(col("ls")).as("n_links"), relNf.as("n_rel_nofollow"),
+          when(nofollowPage, lit(0))
+            .otherwise(size(col("ls")) - relNf).as("n_followable"))
+    }),
+
+    // JSON-LD structured-data extraction (round 7 cont.): locate the
+    // `<script type="application/ld+json">` payloads with the
+    // graft_jsonld kernel (type matches after canonical trim+lower —
+    // the construction varies case AND pads ws to pin it), then parse
+    // with Spark's from_json. The RAWTEXT round trip is what makes the
+    // oracle a pure construction replay: to_json escapes every control
+    // char/quote/backslash to ASCII sequences, RAWTEXT passes them
+    // through undecoded, from_json reverses the escape — so the
+    // extracted field equals the embedded value verbatim, PROVIDED the
+    // value carries no '<' (the one RAWTEXT breaker; dropped on both
+    // sides). JSON keys stay lowercase (schema-field matching is the
+    // engine's problem space, not this query's). The corrupt family is
+    // unparseable from byte 0 (the q_jsonl Jackson-PERMISSIVE lesson);
+    // the no-ld family contributes zero rows.
+    "q_jsonld" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val nm = translate(substring(coalesce(col("text"), lit("")), 1, 24),
+        "<", "")
+      val hl = translate(coalesce(col("lang"), lit("")), "<", "")
+      val wc = pmod(col("doc_id"), lit(1000L)).cast("int")
+      val art = to_json(struct(lit("https://schema.org").as("@context"),
+        lit("Article").as("@type"), nm.as("name"), hl.as("headline"),
+        wc.as("word_count")))
+      val person = to_json(struct(lit("Person").as("@type"),
+        concat(lit("P-"), substring(md5(coalesce(col("source"), lit(""))),
+          1, 8)).as("name")))
+      def block(p: Column) = concat(
+        lit("<script type=\" Application/LD+JSON \">"), p, lit("</script>"))
+      val fam = pmod(col("doc_id"), lit(4L))
+      val body = when(fam === 0, block(art))
+        .when(fam === 1, concat(block(art), lit("<p>x</p>"), block(person)))
+        .when(fam === 2, block(lit("!{not json")))
+        .otherwise(lit("<script type=\"text/javascript\">var x=1;</script>"))
+      val html = concat(lit("<head><title>t</title></head><body>"), body)
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_jsonld", html)).as("j"))
+        .filter(col("j").isNotNull)
+        .select(col("doc_id"), col("j.script_id").as("script_id"),
+          from_json(col("j.raw"), org.apache.spark.sql.types.StructType
+            .fromDDL("name STRING, headline STRING, word_count INT")).as("p"))
+        .select(col("doc_id"), col("script_id"),
+          col("p.name").isNotNull.cast("int").as("ok"),
+          coalesce(col("p.name"), lit("")).as("name"),
+          coalesce(col("p.headline"), lit("")).as("headline"),
+          coalesce(col("p.word_count"), lit(-1)).as("word_count"))
+    }),
+
     "q_robots" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val d = docs(s, dir)
@@ -7099,6 +7195,38 @@ object SparkEntry {
         |  CASE WHEN doc_id % 9 = 4 THEN NULL
         |    WHEN doc_id % 2 = 0 THEN '10' ELSE '5' END AS crawl_delay
         |FROM documents""".stripMargin,
+
+    // replay by construction: fam 0/2 noindex, fam 1/2 page-nofollow
+    // (`none` = both, `all`+junk = neither, fam 4 has no meta at all);
+    // links are 3 fixed (2 rel-nofollow) + 1 sponsored when doc_id%3=0
+    "q_noindex" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END AS INT)
+        |    AS noindex,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END AS INT)
+        |    AS nofollow_page,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS n_links,
+        |  CAST(2 AS INT) AS n_rel_nofollow,
+        |  CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 0
+        |    WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_followable
+        |FROM documents""".stripMargin,
+
+    // replay by construction: the to_json→RAWTEXT→from_json chain is
+    // identity for '<'-free values (escape symmetry), so the expected
+    // fields ARE the sanitized inputs; fam 2 is corrupt from byte 0
+    // (all-null parse), fam 3 has no matching script (zero rows)
+    "q_jsonld" ->
+      """WITH e AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS fam,
+        |  replace(substr(coalesce(text, ''), 1, 24), '<', '') AS nm,
+        |  replace(coalesce(lang, ''), '<', '') AS hl,
+        |  CAST(doc_id % 1000 AS INT) AS wc,
+        |  'P-' || substr(md5(coalesce(source, '')), 1, 8) AS pn
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS script_id, CAST(1 AS INT) AS ok,
+        |  nm AS name, hl AS headline, wc AS word_count
+        |FROM e WHERE fam IN (0, 1)
+        |UNION ALL SELECT doc_id, 1, 1, pn, '', -1 FROM e WHERE fam = 1
+        |UNION ALL SELECT doc_id, 0, 0, '', '', -1 FROM e WHERE fam = 2""".stripMargin,
 
     "q_robots" ->
       """SELECT doc_id,

@@ -256,7 +256,10 @@ object HtmlUdfs {
   val linkStructType: StructType = StructType(Seq(
     StructField("node_id", IntegerType, nullable = false),
     StructField("href", StringType, nullable = false),
-    StructField("anchor", StringType, nullable = false)
+    StructField("anchor", StringType, nullable = false),
+    // additive (round 7, q_noindex): verbatim rel attribute, '' when
+    // absent — same first-on-the-chain attr lookup as href (api.h:1240).
+    StructField("rel", StringType, nullable = false)
   ))
   val linkArrayType: ArrayType = ArrayType(linkStructType, containsNull = false)
 
@@ -279,15 +282,18 @@ object HtmlUdfs {
             n.attrs != null) {
           var i = 0
           var href: String = null
-          while (href == null && i < n.attrs.length) {
-            if (n.attrs(i).name == "href") href = n.attrs(i).value
+          var rel: String = null
+          while (i < n.attrs.length) {
+            if (href == null && n.attrs(i).name == "href") href = n.attrs(i).value
+            if (rel == null && n.attrs(i).name == "rel") rel = n.attrs(i).value
             i += 1
           }
           if (href != null) {
             val sb = new java.lang.StringBuilder
             descText(n, sb)
             rows += InternalRow(id, UTF8String.fromString(href),
-              UTF8String.fromString(sb.toString))
+              UTF8String.fromString(sb.toString),
+              UTF8String.fromString(if (rel == null) "" else rel))
           }
         }
         var c = n.firstChild
@@ -700,6 +706,53 @@ object HtmlUdfs {
                 UTF8String.fromString(href))
               nextId += 1
             }
+          }
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
+  /** JSON-LD payloads: `graft_jsonld(html)` → array<struct<script_id,
+    * raw>> — the structured-data blocks (`<script type="application/
+    * ld+json">`) a knowledge-extraction pipeline feeds to a JSON
+    * parser (compose with Spark's `from_json` — the kernel only
+    * locates and hands over the RAWTEXT payload verbatim). One parse
+    * per row; conventions: the type attribute matches after canonical
+    * trim + ASCII lower (TextNorm — never Java toLowerCase), attr
+    * lookup is first-on-the-verbatim-chain (api.h:1240), script_id =
+    * 0-based pre-order ordinal of the MATCHING scripts, raw = the
+    * concatenated text children (script content is RAWTEXT — entities
+    * NOT decoded, so a JSON escape sequence survives byte-identically;
+    * tokenizer.c script-data states). */
+  val jsonldStructType: StructType = StructType(Seq(
+    StructField("script_id", IntegerType, nullable = false),
+    StructField("raw", StringType, nullable = false)
+  ))
+  val jsonldArrayType: ArrayType =
+    ArrayType(jsonldStructType, containsNull = false)
+
+  val jsonldEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def jsonldTable(html: UTF8String): ArrayData = {
+    jsonldEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](2)
+      var nextId = 0
+      def walk(n: Node): Unit = {
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML &&
+            n.name == "script") {
+          val ty = firstAttrVal(n, "type")
+          if (ty != null && graft.ops.TextNorm.asciiLower(
+              graft.ops.TextNorm.trimWs(ty)) == "application/ld+json") {
+            val sb = new java.lang.StringBuilder
+            descTextOf(n, sb)
+            rows += InternalRow(nextId, UTF8String.fromString(sb.toString))
+            nextId += 1
           }
         }
         var c = n.firstChild
@@ -1930,6 +1983,22 @@ case class GraftHreflang(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftHreflang =
     copy(child = newChild)
   override def prettyName: String = "graft_hreflang"
+}
+
+/** JSON-LD payloads: `graft_jsonld(html)` → array<struct<script_id,
+  * raw>> — one parse per row; explode with the outer+isNotNull
+  * discipline; compose with `from_json` for the parse stage. */
+case class GraftJsonld(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.jsonldArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.jsonldTable(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.jsonldTable($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftJsonld =
+    copy(child = newChild)
+  override def prettyName: String = "graft_jsonld"
 }
 
 /** Subtitle parsing: `graft_subtitles(text)` → array<struct<cue_id,

@@ -31,6 +31,7 @@ object GraftSql {
     ("graft_pub_date", "graft.spark.GraftPubDate", args => GraftPubDate(args.head)),
     ("graft_subtitles", "graft.spark.GraftSubtitles", args => GraftSubtitles(args.head)),
     ("graft_hreflang", "graft.spark.GraftHreflang", args => GraftHreflang(args.head)),
+    ("graft_jsonld", "graft.spark.GraftJsonld", args => GraftJsonld(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",
