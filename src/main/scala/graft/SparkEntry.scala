@@ -4228,6 +4228,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Deterministic global shuffle (round 7 cont.): the example-order
+    // randomization step before training — shard + in-shard position
+    // as pure functions of (key, salt), retry- and cluster-size-exact,
+    // new epoch = new salt. Per-shard window only (hash-partitioned,
+    // PlanSpec-pinned); the oracle replays the md5 fraction and the
+    // same (hash, key) rank.
+    "q_shuffle_shards" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        col("doc_id").cast("string").as("k"), col("lang"))
+      Sample.shuffleShards(d, "k", shards = 8, salt = "epoch1",
+          oracleHash = true)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+    }),
+
     // per-domain quota (round 7 cont.): keep at most 10 docs per
     // registrable domain, best-first by (n_chars desc, doc_id asc) —
     // the crawl-curation cap. Hosts construct as www.example{k}.com so
@@ -7417,6 +7431,18 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
         |  < CASE lang WHEN 'en' THEN 15099494 WHEN 'de' THEN 8388608
         |              WHEN 'ja' THEN 4194304 ELSE 2097152 END""".stripMargin,
+
+    // replay: same salted md5 fraction, same per-shard (hash, key)
+    // rank; the string-key tiebreak is ASCII digits on both sides
+    "q_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS k,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'), 1, 6)
+        |    AS BIGINT) AS hb
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(hb % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hb % 8 ORDER BY hb, k) - 1
+        |    AS BIGINT) AS pos
+        |FROM h""".stripMargin,
 
     // cumulative thresholds: round(.9*2^24)=15099494, +round(.05*2^24=
     // 838860.8)=15938355; the last split absorbs the remainder

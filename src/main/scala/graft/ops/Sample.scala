@@ -68,6 +68,32 @@ object Sample {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic global shuffle into training shards — the
+    * example-order randomization step of a training pipeline, with the
+    * same no-RNG discipline as [[stratified]]: shard and position are
+    * pure functions of (key, salt), so every run, retry, and cluster
+    * size produces the IDENTICAL order, and a new epoch is just a new
+    * salt. shard = hash24 % shards; pos = dense 0-based rank within
+    * the shard by (hash24, key) — the key tiebreak makes the order
+    * total even on 24-bit hash collisions.
+    *
+    * Scale shape: one hash shuffle to `shards` groups, then a
+    * PER-SHARD window (hash-partitioned — never a corpus window; a
+    * global row_number would serialize 10^12 rows through one task).
+    * Shard sizes are balanced by the hash (±O(√(n/S))), so the window
+    * partitions are uniform by construction. */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: String,
+                    oracleHash: Boolean = false): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val b = hashBucket(concat(col(keyCol), lit(":"), lit(salt)), oracleHash)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hb"), col(keyCol))
+    df.withColumn("hb", b)
+      .withColumn("shard", pmod(col("hb"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("hb")
+  }
+
   /** Resample toward a TARGET mixture — the corpus-rebalance step of a
     * training pipeline ("60% en, 25% de, 15% fr"): derive per-stratum
     * keep rates from observed counts so the largest achievable sample

@@ -435,4 +435,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(doc_id"),
       s"expected a doc_id hash partitioning:\n$plan")
   }
+
+  test("shuffle-shards window partitions by shard — never a corpus window") {
+    // the global-shuffle rank must be a PER-SHARD window: a corpus-wide
+    // row_number would serialize 10^12 rows through one task
+    val plan = graft.SparkEntry.queries("q_shuffle_shards")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide window detected:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"expected a shard hash partitioning:\n$plan")
+  }
 }
