@@ -4242,6 +4242,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
     }),
 
+    // Unicode NFC normalization (round 7 cont.): the canonical-form
+    // pass before dedup keys/tokenization ("é" == "e"+U+0301). The
+    // oracle is DuckDB's utf8proc nfc_normalize vs the JDK Normalizer —
+    // cross-engine equality holds because NFC is stability-frozen for
+    // assigned codepoints; the construction therefore embeds only
+    // assigned-everywhere cases (combining acute, Hangul jamo LVT, the
+    // Angstrom singleton, an already-NFC string, and q+dot-above which
+    // has NO precomposed form) over an ASCII-sanitized doc slice
+    // (ASCII is normalization-inert; the suffix starts at a base char
+    // so nothing composes across the boundary).
+    "q_nfc" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val slice = regexp_replace(
+        substring(coalesce(col("text"), lit("")), 1, 16), "[^ -~]", "")
+      val fam = pmod(col("doc_id"), lit(5L))
+      val suffix = when(fam === 0, lit("e\u0301"))
+        .when(fam === 1, lit("\u1100\u1161\u11A8"))
+        .when(fam === 2, lit("\u212B"))
+        .when(fam === 3, lit("caf\u00E9"))
+        .otherwise(lit("q\u0307"))
+      val payload = concat(slice, lit("|"), suffix)
+      val norm = call_function("graft_nfc", payload)
+      d.select(col("doc_id"), norm.as("norm"),
+        (payload =!= norm).cast("int").as("changed"))
+    }),
+
     // per-domain quota (round 7 cont.): keep at most 10 docs per
     // registrable domain, best-first by (n_chars desc, doc_id asc) —
     // the crawl-curation cap. Hosts construct as www.example{k}.com so
@@ -7431,6 +7458,26 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
         |  < CASE lang WHEN 'en' THEN 15099494 WHEN 'de' THEN 8388608
         |              WHEN 'ja' THEN 4194304 ELSE 2097152 END""".stripMargin,
+
+    // replay: utf8proc nfc_normalize over the SAME construction — the
+    // NFC stability policy is what makes the two engines byte-equal on
+    // assigned codepoints (the construction embeds nothing else; the
+    // doc slice is ASCII-sanitized = normalization-inert)
+    "q_nfc" ->
+      """WITH e AS (SELECT doc_id,
+        |  regexp_replace(substr(coalesce(text, ''), 1, 16), '[^ -~]', '', 'g')
+        |    || '|' ||
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'e' || chr(769)
+        |    WHEN 1 THEN chr(4352) || chr(4449) || chr(4520)
+        |    WHEN 2 THEN chr(8491)
+        |    WHEN 3 THEN 'caf' || chr(233)
+        |    ELSE 'q' || chr(775) END AS payload
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(payload) AS norm,
+        |  CAST(CASE WHEN payload <> nfc_normalize(payload) THEN 1 ELSE 0 END
+        |    AS INT) AS changed
+        |FROM e""".stripMargin,
 
     // replay: same salted md5 fraction, same per-shard (hash, key)
     // rank; the string-key tiebreak is ASCII digits on both sides

@@ -62,6 +62,14 @@ object TextKernels {
   def fingerprint64(t: UTF8String): Long = TextOps.fingerprint64(t.toString)
   def langId(t: UTF8String): UTF8String =
     UTF8String.fromString(TextOps.langIdHeuristic(t.toString))
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    // fast path: NFC-is-identity is the overwhelmingly common case and
+    // isNormalized is a cheap quick-check scan (ASCII short-circuits)
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 
   /** Integer repetition-signal struct (TextOps.repetition field order). */
   val repetitionStructType: StructType = StructType(
@@ -382,6 +390,28 @@ case class GraftFingerprint64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftFingerprint64 =
     copy(child = newChild)
   override def prettyName: String = "graft_fingerprint64"
+}
+
+/** Unicode NFC normalization: `graft_nfc(text)` — the canonical-form
+  * pass a text pipeline runs before dedup keys / tokenization so that
+  * "é" and "e"+U+0301 hash identically. JDK Normalizer (Unicode
+  * canonical composition — a SPEC-stable algorithm: the normalization
+  * stability policy freezes the result for every assigned codepoint,
+  * which is what lets a DuckDB utf8proc oracle replay it; codepoints
+  * unassigned in one engine's Unicode version are the documented
+  * caveat, so oracle constructions pin assigned-everywhere cases).
+  * isNormalized fast path: ASCII and already-NFC text (the common
+  * case at corpus scale) never allocates. */
+case class GraftNfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftNfc =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nfc"
 }
 
 /** Gopher-family repetition signals: `graft_repetition(text)` →

@@ -71,6 +71,8 @@ object GraftSql {
       args => GraftCompressRatio(args.head)),
     ("graft_lang_id", "graft.spark.GraftLangId",
       args => GraftLangId(args.head)),
+    ("graft_nfc", "graft.spark.GraftNfc",
+      args => GraftNfc(args.head)),
     ("graft_repetition", "graft.spark.GraftRepetition",
       args => GraftRepetition(args.head)),
     ("graft_c4_rules", "graft.spark.GraftC4Rules",
