@@ -1653,6 +1653,55 @@ object SparkEntry {
           col("priority"), col("rank"))
     }),
 
+    // Authority-weighted recrawl budget (round 7 cont.): the missing
+    // piece between q_recrawl_priority (what changed) and q_host_rank
+    // (who matters) — each domain's recrawl QUOTA is derived from its
+    // integer PageRank (quota = min(20, 1 + pr div 500000)), so
+    // high-authority hosts get more refetch slots from the same global
+    // budget. Candidates + priorities are the q_recrawl_priority
+    // construction verbatim (the %13/%17/%19 families); the rank comes
+    // from the bounded TopK (never a corpus window); all arithmetic is
+    // integer, so the oracle composes the two gated replays and the
+    // quota rule exactly.
+    "q_recrawl_rank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val changedText = when(pmod(col("doc_id"), lit(13L)) === 2,
+        concat(coalesce(col("text"), lit("")), lit("!")))
+        .otherwise(coalesce(col("text"), lit("")))
+      val b = d.filter(pmod(col("doc_id"), lit(17L)) =!= 3)
+        .select(col("doc_id"), changedText.as("text"), col("lang"), col("source"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(19L)) === 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            coalesce(col("text"), lit("")).as("text"), col("lang"), col("source")))
+      val cand = SnapshotDiff.delta(a, b, "doc_id", Seq("text", "lang", "source"))
+        .filter(col("change") =!= "removed")
+      val scored = cand.select(col("doc_id"), col("change"),
+        (when(col("change") === "changed", 3L).otherwise(2L) * 1000L -
+          pmod(col("doc_id"), lit(997L))).as("priority"),
+        concat(lit("d"), pmod(col("doc_id"), lit(7L)).cast("string"))
+          .as("domain"))
+      val src = concat(lit("d"), pmod(col("doc_id"), lit(7L)).cast("string"))
+      val edges = d.select(src.as("src"),
+          concat(lit("d"), pmod(col("doc_id") + 1, lit(7L)).cast("string"))
+            .as("dst"))
+        .unionAll(d.select(src.as("src"),
+          concat(lit("d"), pmod(col("doc_id"), lit(3L)).cast("string"))
+            .as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val pr = Rank.pagerank(edges, "src", "dst", iters = 3)
+      val capped = Sample.capPerKey(
+        scored.withColumn("score", col("priority").cast("double")),
+        "domain", "doc_id", "score", k = 20)
+      scored.join(capped, Seq("domain", "doc_id"))
+        .join(pr.withColumnRenamed("host", "domain"), "domain")
+        .withColumn("quota",
+          expr("least(CAST(20 AS BIGINT), 1 + (pr div 500000))"))
+        .filter(col("rank") <= col("quota"))
+        .select(col("domain"), col("doc_id"), col("change"),
+          col("priority"), col("pr"), col("quota"), col("rank"))
+    }),
+
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -5197,6 +5246,51 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY domain
         |    ORDER BY priority DESC, id ASC) AS rn FROM sc)
         |WHERE rn <= 20""".stripMargin,
+
+    // the two gated replays composed (recrawl families x 3-round
+    // pagerank over the d0..d6 graph) + the integer quota rule
+    "q_recrawl_rank" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT n.host,
+           |  CAST(150000 + (85 * coalesce(s.i, 0)) // 100 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS host,
+           |      CAST(sum($prev.pr // od.outdeg) AS BIGINT) AS i
+           |    FROM e JOIN od USING (src) JOIN $prev ON $prev.host = e.src
+           |    GROUP BY e.dst) s USING (host))""".stripMargin
+      s"""WITH cand AS (
+        |  SELECT doc_id + 10000000 AS id, 'added' AS change
+        |  FROM documents WHERE doc_id % 19 = 5
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM documents
+        |  WHERE doc_id % 13 = 2 AND doc_id % 17 <> 3),
+        |sc AS (SELECT id, change,
+        |  CAST((CASE change WHEN 'changed' THEN 3 ELSE 2 END) * 1000
+        |    - id % 997 AS BIGINT) AS priority,
+        |  'd' || CAST(id % 7 AS VARCHAR) AS domain FROM cand),
+        |e0 AS (
+        |  SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS src,
+        |    'd' || CAST((doc_id + 1) % 7 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id % 7 AS VARCHAR),
+        |    'd' || CAST(doc_id % 3 AS VARCHAR) FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY src),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |${round("r0", "r1")},
+        |${round("r1", "r2")},
+        |${round("r2", "r3")},
+        |w AS (SELECT sc.*, r3.pr,
+        |  CAST(least(20, 1 + pr // 500000) AS BIGINT) AS quota
+        |  FROM sc JOIN r3 ON sc.domain = r3.host)
+        |SELECT domain, id AS doc_id, change, priority, pr, quota,
+        |  CAST(rn AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY priority DESC, id ASC) AS rn FROM w)
+        |WHERE rn <= quota""".stripMargin
+    },
 
     // round-trip identity: valid lines restore every field verbatim
     // (any Spark-side escaping loss would hash-mismatch here), corrupt
