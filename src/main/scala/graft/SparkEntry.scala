@@ -273,6 +273,29 @@ object SparkEntry {
     * sanitized of every char <= U+0020 (the explicit class compose
     * strips — never \\s); emits CTEs `p` (the HTTP payload, octet
     * Content-Length) and `m` (the md5 record-id hash over uri+date). */
+  /** Blockhash oracle builders (q_image_blockhash + q_image_dedup —
+    * the replay of graft_blockhash's 64-block lower-median hash; a
+    * threshold/packing change in the kernel moves these in lockstep). */
+  private def bhHx2i(e: String): String =
+    "list_reduce(list_transform(regexp_split_to_array(upper(" + e +
+      "), ''), c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
+  private def bhSums(col: String): String =
+    s"list_transform(range(0,64), i -> CAST(coalesce(list_sum(list_transform(" +
+      s"range(i*(len($col)//2)//64, (i+1)*(len($col)//2)//64), " +
+      s"j -> ${bhHx2i(s"substr($col, CAST(2*j+1 AS INT), 2)")})), 0) AS BIGINT))"
+  private def bhHashOf(su: String, col: String): String =
+    s"CASE WHEN len($col) = 0 THEN NULL ELSE " +
+      s"list_reduce(list_transform(range(0,16), k -> substr('0123456789abcdef', " +
+      s"CAST(1 + 8*(CASE WHEN $su[4*k+1] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
+      s" + 4*(CASE WHEN $su[4*k+2] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
+      s" + 2*(CASE WHEN $su[4*k+3] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
+      s" + (CASE WHEN $su[4*k+4] > list_sort($su)[32] THEN 1 ELSE 0 END) AS INT), 1)), " +
+      s"(a,b) -> a || b) END"
+  private def bhHamming(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(0,16), i -> bit_count(xor(" +
+      s"CAST(strpos('0123456789abcdef', substr($a, CAST(i+1 AS INT), 1)) - 1 AS BIGINT), " +
+      s"CAST(strpos('0123456789abcdef', substr($b, CAST(i+1 AS INT), 1)) - 1 AS BIGINT))))) AS INT)"
+
   private def sqlWarcResponseCtes(date: String): String = {
     val cr = "chr(13) || chr(10)"
     s"""p AS (SELECT doc_id, uri, body,
@@ -3017,6 +3040,34 @@ object SparkEntry {
           when(GraftFunctions.graft_hamming_hex(col("bhash"), col("base_hash"))
             .leq(2), 1).otherwise(0).cast("int").as("is_near"),
           col("group_n"))
+    }),
+
+    // Image near-dup dedup (round 7 cont.): the q_image_blockhash
+    // perceptual hashes through the banded-LSH candidate join +
+    // hamming verify (Dedup.blockhashNearDup) — the image counterpart
+    // of MinHash dedup. Same payload families (exact-copy docs share a
+    // base per f-group, one-byte splices drift, the empty family has
+    // no hash), so the oracle replays the hash arithmetic and the
+    // whole pair pipeline relationally.
+    "q_image_dedup" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val f = pmod(col("doc_id"), lit(50)).cast("int")
+      def m5(off: Int) = md5(concat(lit("bh"), (f + off).cast("string")))
+      val base = concat(m5(0), m5(1), m5(2), m5(3))
+      val p = pmod(col("doc_id"), lit(64)).cast("int")
+      val dv = pmod(col("doc_id"), lit(7)).cast("int")
+      val orig = conv(substr(base, p * 2 + 1, lit(2)), 16, 10).cast("int")
+      val nb = pmod(orig + 1 + dv, lit(256))
+      val spliced = concat(substr(base, lit(1), p * 2),
+        lpad(hex(nb), 2, "0"), substr(base, p * 2 + 3, lit(256)))
+      val payload = when(pmod(col("doc_id"), lit(97)) === 5, lit(""))
+        .when(pmod(col("doc_id"), lit(3)) === 0, base)
+        .otherwise(spliced)
+      val hashed = d.select(col("doc_id"),
+        GraftFunctions.graft_blockhash(unhex(payload)).as("bhash"))
+      Dedup.blockhashNearDup(hashed, "doc_id", "bhash",
+        bands = 4, maxHamming = 2)
     }),
 
     // REAL audio-container decode: valid RIFF/WAVE bytes built in-query
@@ -6503,21 +6554,6 @@ object SparkEntry {
     // count and nibble-popcount hamming. Everything integer; list_sum
     // results are CAST before comparison/output (the HUGEINT rule).
     "q_image_blockhash" -> {
-      def hx2i(e: String): String =
-        "list_reduce(list_transform(regexp_split_to_array(upper(" + e +
-          "), ''), c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"
-      def sums(col: String): String =
-        s"list_transform(range(0,64), i -> CAST(coalesce(list_sum(list_transform(" +
-          s"range(i*(len($col)//2)//64, (i+1)*(len($col)//2)//64), " +
-          s"j -> ${hx2i(s"substr($col, CAST(2*j+1 AS INT), 2)")})), 0) AS BIGINT))"
-      def hashOf(su: String, col: String): String =
-        s"CASE WHEN len($col) = 0 THEN NULL ELSE " +
-          s"list_reduce(list_transform(range(0,16), k -> substr('0123456789abcdef', " +
-          s"CAST(1 + 8*(CASE WHEN $su[4*k+1] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
-          s" + 4*(CASE WHEN $su[4*k+2] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
-          s" + 2*(CASE WHEN $su[4*k+3] > list_sort($su)[32] THEN 1 ELSE 0 END)" +
-          s" + (CASE WHEN $su[4*k+4] > list_sort($su)[32] THEN 1 ELSE 0 END) AS INT), 1)), " +
-          s"(a,b) -> a || b) END"
       s"""WITH fam AS (
         |  SELECT doc_id, CAST(doc_id % 50 AS INT) AS f,
         |    CAST(doc_id % 64 AS INT) AS p, CAST(doc_id % 7 AS INT) AS dv
@@ -6532,25 +6568,68 @@ object SparkEntry {
         |  SELECT *, CASE WHEN doc_id % 97 = 5 THEN ''
         |    WHEN doc_id % 3 = 0 THEN base
         |    ELSE substr(base, 1, 2*p) ||
-        |      lpad(hex((${hx2i("substr(base, 2*p+1, 2)")} + 1 + dv) % 256), 2, '0') ||
+        |      lpad(hex((${bhHx2i("substr(base, 2*p+1, 2)")} + 1 + dv) % 256), 2, '0') ||
         |      substr(base, 2*p+3) END AS s
         |  FROM b0),
-        |su AS (SELECT *, ${sums("s")} AS ss, ${sums("base")} AS sb FROM sp),
-        |h AS (SELECT doc_id, ${hashOf("ss", "s")} AS bhash,
-        |             ${hashOf("sb", "base")} AS base_hash FROM su),
+        |su AS (SELECT *, ${bhSums("s")} AS ss, ${bhSums("base")} AS sb FROM sp),
+        |h AS (SELECT doc_id, ${bhHashOf("ss", "s")} AS bhash,
+        |             ${bhHashOf("sb", "base")} AS base_hash FROM su),
         |g AS (SELECT doc_id, bhash,
         |    CASE WHEN bhash IS NULL THEN CAST(0 AS BIGINT)
         |      ELSE count(*) OVER (PARTITION BY bhash) END AS group_n,
-        |    CASE WHEN bhash IS NULL THEN NULL ELSE CAST(list_sum(
-        |      list_transform(range(0,16), i -> bit_count(xor(
-        |        CAST(strpos('0123456789abcdef', substr(bhash, CAST(i+1 AS INT), 1)) - 1 AS BIGINT),
-        |        CAST(strpos('0123456789abcdef', substr(base_hash, CAST(i+1 AS INT), 1)) - 1 AS BIGINT)))))
-        |      AS INT) END AS ham_base
+        |    CASE WHEN bhash IS NULL THEN NULL
+        |      ELSE ${bhHamming("bhash", "base_hash")} END AS ham_base
         |  FROM h)
         |SELECT doc_id, bhash, ham_base,
         |  CAST(CASE WHEN ham_base <= 2 THEN 1 ELSE 0 END AS INT) AS is_near,
         |  group_n
         |FROM g""".stripMargin
+    },
+
+    // the q_image_blockhash hash replay feeding a band-candidate
+    // self-join + hamming verify + per-image verdict aggregate — the
+    // relational mirror of Dedup.blockhashNearDup (bands=4, ham<=2)
+    "q_image_dedup" -> {
+      s"""WITH fam AS (
+        |  SELECT doc_id, CAST(doc_id % 50 AS INT) AS f,
+        |    CAST(doc_id % 64 AS INT) AS p, CAST(doc_id % 7 AS INT) AS dv
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT *, md5('bh' || CAST(f AS VARCHAR)) ||
+        |    md5('bh' || CAST(f + 1 AS VARCHAR)) ||
+        |    md5('bh' || CAST(f + 2 AS VARCHAR)) ||
+        |    md5('bh' || CAST(f + 3 AS VARCHAR)) AS base
+        |  FROM fam),
+        |sp AS (
+        |  SELECT *, CASE WHEN doc_id % 97 = 5 THEN ''
+        |    WHEN doc_id % 3 = 0 THEN base
+        |    ELSE substr(base, 1, 2*p) ||
+        |      lpad(hex((${bhHx2i("substr(base, 2*p+1, 2)")} + 1 + dv) % 256), 2, '0') ||
+        |      substr(base, 2*p+3) END AS s
+        |  FROM b0),
+        |su AS (SELECT *, ${bhSums("s")} AS ss FROM sp),
+        |h AS (SELECT doc_id, ${bhHashOf("ss", "s")} AS bhash FROM su),
+        |hh AS (SELECT doc_id, bhash FROM h WHERE bhash IS NOT NULL),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    x.bhash AS ha, y.bhash AS hb
+        |  FROM hh x JOIN hh y ON x.doc_id < y.doc_id
+        |   AND len(list_filter(range(0,4), k ->
+        |     substr(x.bhash, CAST(k*4+1 AS INT), 4) =
+        |     substr(y.bhash, CAST(k*4+1 AS INT), 4))) > 0),
+        |j AS (SELECT *, ${bhHamming("ha", "hb")} AS ham FROM pr),
+        |d0 AS (SELECT a AS id, b AS other, ham FROM j
+        |  UNION ALL SELECT b, a, ham FROM j),
+        |v AS (SELECT id, CAST(count(*) AS BIGINT) AS n_cand,
+        |  CAST(count(CASE WHEN ham <= 2 THEN 1 END) AS BIGINT) AS n_near,
+        |  min(CASE WHEN ham <= 2 THEN other END) AS nm
+        |  FROM d0 GROUP BY id)
+        |SELECT h.doc_id,
+        |  CAST(CASE WHEN h.bhash IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS has_hash,
+        |  CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(n_near, 0) AS BIGINT) AS n_near,
+        |  CAST(coalesce(nm, -1) AS BIGINT) AS near_min
+        |FROM h LEFT JOIN v ON h.doc_id = v.id""".stripMargin
     },
 
     "q_video_headers" ->

@@ -944,4 +944,60 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** Banded blockhash near-dup detection — the image counterpart of
+    * MinHash-LSH: perceptual hashes (graft_blockhash 16-hex-nibble
+    * values) band into `bands` contiguous nibble groups; images
+    * sharing ANY band become candidates; candidates verify by hex
+    * hamming distance <= maxHamming. Returns per-image verdicts
+    * (has_hash, n_cand, n_near, near_min — the smallest near-dup
+    * partner id, -1 when none) for EVERY input row, null-hash rows
+    * included with zeroed counts (undecodable images are dirty data,
+    * never dropped silently).
+    *
+    * Scale shape: the hash frame is Snapshot-ed ONCE (the kernel never
+    * re-evaluates in the band explode, the self-join's pushed
+    * isnotnull, or the verdict join), candidate generation is a
+    * band-bucket equi-join (never an all-pairs cross), verification is
+    * per-pair compute, and the verdict is one map-side-combined
+    * aggregate joined back on the id. Identical-hash clusters bound
+    * bucket width at web scale the same way exact dedup does; a
+    * near-black-image hot bucket should be star-guarded upstream by
+    * dropping constant-color hashes before calling this. */
+  def blockhashNearDup(df: DataFrame, idCol: String, hashCol: String,
+                       bands: Int = 4, maxHamming: Int = 2): DataFrame = {
+    require(bands >= 1 && 16 % bands == 0, s"bands must divide 16: $bands")
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming: $maxHamming")
+    val w = 16 / bands
+    // ONE snapshot of the (possibly kernel-derived) hash column: the
+    // band explode, the isnotnull below, AND the verdict join all read
+    // the materialized frame — the kernel evaluates exactly once/row
+    val base = Snapshot(df.select(col(idCol).as("id"), col(hashCol).as("h")))
+    val h = base.filter(col("h").isNotNull)
+    val banded = h
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bv", expr(s"substr(h, b * $w + 1, $w)"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b2"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    val judged = pairs.withColumn("ham",
+      org.apache.spark.sql.functions.call_function(
+        "graft_hamming_hex", col("ha"), col("hb")))
+    val dir0 = judged.select(col("a").as("id"), col("b2").as("other"), col("ham"))
+      .unionAll(judged.select(col("b2").as("id"), col("a").as("other"), col("ham")))
+    val verdicts = dir0.groupBy("id")
+      .agg(count(lit(1)).as("n_cand"),
+        count(when(col("ham") <= maxHamming, 1)).as("n_near"),
+        min(when(col("ham") <= maxHamming, col("other"))).as("nm"))
+    base.join(verdicts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("h").isNotNull.cast("int").as("has_hash"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("nm"), lit(-1L)).as("near_min"))
+  }
 }

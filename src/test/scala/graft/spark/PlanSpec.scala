@@ -337,6 +337,15 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.spark.MediaUdfs.blockhashEvals.get == 2 * n,
       s"blockhash must hash twice per row: " +
         s"${graft.spark.MediaUdfs.blockhashEvals.get} for $n rows")
+    // banded near-dup: ONE hash per row — the Snapshot inside
+    // blockhashNearDup feeds the band explode, the isnotnull, and the
+    // verdict join without re-running the kernel
+    graft.spark.MediaUdfs.blockhashEvals.set(0)
+    graft.SparkEntry.queries("q_image_dedup")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    assert(graft.spark.MediaUdfs.blockhashEvals.get == n,
+      s"blockhashNearDup must hash once per row: " +
+        s"${graft.spark.MediaUdfs.blockhashEvals.get} for $n rows")
   }
 
   test("q_multimodal_real: scan pruned to the two needed columns, decoder native") {
