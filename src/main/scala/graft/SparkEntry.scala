@@ -1947,6 +1947,38 @@ object SparkEntry {
         expr("graft_bpe_count(t)").as("n_tokens"))
     }),
 
+    // Vocabulary-coverage / fertility report (round 7 cont.): tokens
+    // per word and fully-fragmented word counts — the "is this text in
+    // the tokenizer's distribution" signal (OOV-ish text fragments to
+    // single chars and wastes sequence budget). Same planted-word
+    // validity rule as q_token_count; the OOV family appends
+    // 'qzqzqzqz', whose bigrams are absent from the merge table, so it
+    // fragments to 8 singles on BOTH the encoder and the replace-chain
+    // replay (OpsSpec pins the encoder half). fertility_pm is integer
+    // permille of tokens per word.
+    "q_oov_rate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val arr = array(bpeWords.map(lit): _*)
+      def pick(e: Column) = element_at(arr, (pmod(e, lit(8)) + 1).cast("int"))
+      val hasOov = pmod(col("doc_id"), lit(4L)) === 1
+      val base = d.select(col("doc_id"),
+        pick(col("doc_id")).as("w1"), pick(col("doc_id") * 3 + 1).as("w2"),
+        pick(col("doc_id") * 5 + 2).as("w3"),
+        when(hasOov, lit("qzqzqzqz")).otherwise(lit(null)).as("w4"))
+      def cnt(c: Column) = call_function("graft_bpe_count", c)
+      def frag(c: Column) = when(c.isNull, lit(0))
+        .otherwise((cnt(c) === length(c)).cast("int"))
+      GraftFunctions.registerAll(s)
+      base.select(col("doc_id"),
+          when(col("w4").isNull, lit(3)).otherwise(lit(4)).as("n_words"),
+          (cnt(col("w1")) + cnt(col("w2")) + cnt(col("w3")) +
+            coalesce(cnt(col("w4")), lit(0))).as("n_tokens"),
+          (frag(col("w1")) + frag(col("w2")) + frag(col("w3")) +
+            frag(col("w4"))).as("n_frag"))
+        .withColumn("fertility_pm",
+          expr("CAST((1000 * n_tokens) div n_words AS BIGINT)"))
+    }),
+
     // Mixture report + token-length histogram (round 6): the two
     // pre-training corpus reports, each one map-side-combined
     // aggregate; null lang groups under 'und' on both sides.
@@ -3068,6 +3100,29 @@ object SparkEntry {
         GraftFunctions.graft_blockhash(unhex(payload)).as("bhash"))
       Dedup.blockhashNearDup(hashed, "doc_id", "bhash",
         bands = 4, maxHamming = 2)
+    }),
+
+    // Corpus diversity report (round 7 cont.): per-shard distinct /
+    // singleton bigram ratios — the "is this slice templated spam or
+    // real prose" release metric (a low distinct ratio means the shard
+    // is dominated by repeated constructions). One graft_ngrams kernel
+    // pass per row (the canonical lower+tokenize alphabet), the
+    // explode_outer+isNotNull discipline, then a two-level aggregate
+    // ((shard, gram) count → shard rollup) so every stage map-side
+    // combines; diversity_pm is integer permille (floor div — the
+    // oracle-alphabet rule).
+    "q_diversity" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val g = d.select(pmod(col("doc_id"), lit(8L)).as("shard"),
+          explode_outer(call_function("graft_ngrams",
+            coalesce(col("text"), lit("")), lit(2))).as("g"))
+        .filter(col("g").isNotNull)
+      g.groupBy("shard", "g").agg(count(lit(1)).as("c"))
+        .groupBy("shard")
+        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singleton"))
+        .withColumn("diversity_pm", expr("(1000 * n_distinct) div n_grams"))
     }),
 
     // REAL audio-container decode: valid RIFF/WAVE bytes built in-query
@@ -5649,6 +5704,35 @@ object SparkEntry {
         |FROM base""".stripMargin
     },
 
+    // per-word merge-walk replay + the fragmented test (count == char
+    // count); the OOV word's bigrams are merge-table-free, so both
+    // sides fragment it to 8 singles
+    "q_oov_rate" -> {
+      def caseSql(e: String) = "CASE " + e + " % 8 " +
+        bpeWords.zipWithIndex.map { case (w, i) => s"WHEN $i THEN '$w'" }
+          .mkString(" ") + " END"
+      def cnt(w: String) = graft.ops.Bpe.duckdbCountExpr(w)
+      def frag(w: String) =
+        s"CASE WHEN $w IS NULL THEN 0 WHEN ${cnt(w)} = length($w) THEN 1 ELSE 0 END"
+      s"""WITH base AS (SELECT doc_id,
+        |  ${caseSql("doc_id")} AS w1,
+        |  ${caseSql("(doc_id*3+1)")} AS w2,
+        |  ${caseSql("(doc_id*5+2)")} AS w3,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'qzqzqzqz' END AS w4
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN w4 IS NULL THEN 3 ELSE 4 END AS INT) AS n_words,
+        |  CAST(${cnt("w1")} + ${cnt("w2")} + ${cnt("w3")}
+        |     + coalesce(${cnt("w4")}, 0) AS INT) AS n_tokens,
+        |  CAST(${frag("w1")} + ${frag("w2")} + ${frag("w3")} + ${frag("w4")}
+        |    AS INT) AS n_frag,
+        |  CAST((1000 * (${cnt("w1")} + ${cnt("w2")} + ${cnt("w3")}
+        |     + coalesce(${cnt("w4")}, 0)))
+        |    // (CASE WHEN w4 IS NULL THEN 3 ELSE 4 END) AS BIGINT)
+        |    AS fertility_pm
+        |FROM base""".stripMargin
+    },
+
     "q_corpus_report" ->
       s"""SELECT coalesce(lang, 'und') AS lang2,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -6631,6 +6715,24 @@ object SparkEntry {
         |  CAST(coalesce(nm, -1) AS BIGINT) AS near_min
         |FROM h LEFT JOIN v ON h.doc_id = v.id""".stripMargin
     },
+
+    // replay: canonical lower+tokenize, the list-slice bigram build,
+    // the same two-level rollup; sums CAST AS BIGINT (the HUGEINT rule)
+    "q_diversity" ->
+      s"""WITH tk AS (SELECT doc_id % 8 AS shard,
+        |    ${TextNorm.sqlTokens(TextNorm.sqlLower("coalesce(text, '')"))} AS tk
+        |  FROM documents),
+        |g0 AS (SELECT shard, unnest(list_transform(range(1, len(tk)),
+        |    i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS g
+        |  FROM tk),
+        |pc AS (SELECT shard, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g0 GROUP BY shard, g)
+        |SELECT shard, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singleton,
+        |  CAST((1000 * count(*)) // sum(c) AS BIGINT) AS diversity_pm
+        |FROM pc GROUP BY shard""".stripMargin,
 
     "q_video_headers" ->
       """SELECT doc_id,
