@@ -4424,6 +4424,31 @@ object SparkEntry {
         (payload =!= norm).cast("int").as("changed"))
     }),
 
+    // Mojibake repair (round 7 cont.): UTF-8-decoded-as-Latin-1 text
+    // ("Ã©" for "é" — the classic web-corpus corruption) fixed by the
+    // pure-byte-view / strict-UTF-8 rule shared with the PDF literal
+    // path. Families pin the verdict matrix: pure ASCII untouched,
+    // 2-byte AND 4-byte (astral) mojibake repaired, a lone Latin-1
+    // accent is INVALID UTF-8 so it survives (the false-positive
+    // guard), and already-Unicode text is not a byte view. The ASCII
+    // doc slice rides along on every family (inert on both sides).
+    "q_demojibake" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val slice = regexp_replace(
+        substring(coalesce(col("text"), lit("")), 1, 16), "[^ -~]", "")
+      val fam = pmod(col("doc_id"), lit(4L))
+      val suffix = when(fam === 0, lit("ok"))
+        .when(fam === 1,
+          lit("\u00C3\u00A9\u00F0\u0090\u008D\u0088"))
+        .when(fam === 2, lit("caf\u00E9"))
+        .otherwise(lit("\u65E5"))
+      val payload = concat(slice, lit("|"), suffix)
+      val fixed = call_function("graft_demojibake", payload)
+      d.select(col("doc_id"), fixed.as("fixed"),
+        (payload =!= fixed).cast("int").as("was_fixed"))
+    }),
+
     // per-domain quota (round 7 cont.): keep at most 10 docs per
     // registrable domain, best-first by (n_chars desc, doc_id asc) —
     // the crawl-curation cap. Hosts construct as www.example{k}.com so
@@ -7752,6 +7777,22 @@ object SparkEntry {
         |SELECT doc_id, nfc_normalize(payload) AS norm,
         |  CAST(CASE WHEN payload <> nfc_normalize(payload) THEN 1 ELSE 0 END
         |    AS INT) AS changed
+        |FROM e""".stripMargin,
+
+    // replay by construction: the repaired strings ARE the decoded
+    // literals (2-byte C3A9 -> é, 4-byte F090 8D88 -> U+10348); the
+    // lone-accent and real-Unicode families pass through verbatim
+    "q_demojibake" ->
+      """WITH e AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS fam,
+        |  regexp_replace(substr(coalesce(text, ''), 1, 16), '[^ -~]', '', 'g')
+        |    || '|' AS pre
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE fam WHEN 0 THEN pre || 'ok'
+        |    WHEN 1 THEN pre || chr(233) || chr(66376)
+        |    WHEN 2 THEN pre || 'caf' || chr(233)
+        |    ELSE pre || chr(26085) END AS fixed,
+        |  CAST(CASE WHEN fam = 1 THEN 1 ELSE 0 END AS INT) AS was_fixed
         |FROM e""".stripMargin,
 
     // replay: same salted md5 fraction, same per-shard (hash, key)

@@ -106,6 +106,35 @@ object TextOps {
     best
   }
 
+  // --------------------------------------------------------- demojibake
+
+  /** Mojibake repair — UTF-8 text that was decoded as Latin-1 upstream
+    * ("é" rendered as "Ã©", the single most common web-corpus encoding
+    * corruption). Rule (shared with Pdf.text's literal-string
+    * re-decode — one algorithm, two surfaces): the string is a repair
+    * CANDIDATE only when it is a PURE byte view (every char <= 0xFF,
+    * at least one >= 0x80); if its Latin-1 bytes are STRICTLY valid
+    * UTF-8, present them as UTF-8, else keep the original. Total —
+    * never throws; plain ASCII and already-Unicode text pass through
+    * untouched (real accented Latin-1 like a lone 0xE9 is invalid
+    * UTF-8, so it survives — the false-positive guard). */
+  def demojibake(s: String): String = {
+    if (s == null) return null
+    var has8 = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return s
+      if (c >= 0x80) has8 = true
+      i += 1
+    }
+    if (!has8) return s
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
   // -------------------------------------------------------- fingerprint
 
   /** 64-bit rolling (polynomial) document fingerprint over normalized

@@ -97,24 +97,11 @@ object PdfUdfs {
     * present them as UTF-8 (real-world PDFs emit UTF-8 literal
     * strings), else keep the byte-transparent Latin-1 reading. Total:
     * never throws (round-6 — the adversarial corpus caught Σ mojibake). */
-  private def reDecodeUtf8(s: String): String = {
-    // only a PURE byte view (every char <= 0xFF, at least one >= 0x80)
-    // is a candidate: CMap-mapped hex strings already carry real
-    // Unicode chars and must not round-trip through Latin-1
-    var has8 = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c > 0xFF) return s
-      if (c >= 0x80) has8 = true
-      i += 1
-    }
-    if (!has8) return s
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
-    catch { case _: java.nio.charset.CharacterCodingException => s }
-  }
+  private def reDecodeUtf8(s: String): String =
+    // one algorithm, two surfaces: graft.ops.TextOps.demojibake is the
+    // shared pure-byte-view / strict-UTF-8 rule (q_pdf_extract and
+    // q_demojibake both gate it — semantics move in lockstep)
+    graft.ops.TextOps.demojibake(s)
 
   def text(b: Array[Byte]): String = reDecodeUtf8(textRaw(b))
 

@@ -62,6 +62,11 @@ object TextKernels {
   def fingerprint64(t: UTF8String): Long = TextOps.fingerprint64(t.toString)
   def langId(t: UTF8String): UTF8String =
     UTF8String.fromString(TextOps.langIdHeuristic(t.toString))
+  def demojibake(t: UTF8String): UTF8String = {
+    val s = t.toString
+    val r = TextOps.demojibake(s)
+    if (r eq s) t else UTF8String.fromString(r)
+  }
   def nfc(t: UTF8String): UTF8String = {
     val s = t.toString
     // fast path: NFC-is-identity is the overwhelmingly common case and
@@ -390,6 +395,22 @@ case class GraftFingerprint64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftFingerprint64 =
     copy(child = newChild)
   override def prettyName: String = "graft_fingerprint64"
+}
+
+/** Mojibake repair: `graft_demojibake(text)` — UTF-8-decoded-as-Latin-1
+  * corruption fixed by the shared pure-byte-view / strict-UTF-8 rule
+  * (TextOps.demojibake; Pdf.text re-decodes through the SAME function).
+  * Total; ASCII, real Unicode, and genuine Latin-1 pass through. */
+case class GraftDemojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.demojibake(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.demojibake($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftDemojibake =
+    copy(child = newChild)
+  override def prettyName: String = "graft_demojibake"
 }
 
 /** Unicode NFC normalization: `graft_nfc(text)` — the canonical-form

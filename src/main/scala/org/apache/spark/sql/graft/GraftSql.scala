@@ -73,6 +73,8 @@ object GraftSql {
       args => GraftLangId(args.head)),
     ("graft_nfc", "graft.spark.GraftNfc",
       args => GraftNfc(args.head)),
+    ("graft_demojibake", "graft.spark.GraftDemojibake",
+      args => GraftDemojibake(args.head)),
     ("graft_repetition", "graft.spark.GraftRepetition",
       args => GraftRepetition(args.head)),
     ("graft_c4_rules", "graft.spark.GraftC4Rules",

@@ -395,7 +395,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_simhash64", "graft_minhash", "graft_jaccard",
       "graft_minhash_shingle", "graft_jaccard_shingle", "graft_hamming64",
       "graft_compress_ratio",
-      "graft_fingerprint64", "graft_lang_id", "graft_nfc", "graft_image_header",
+      "graft_fingerprint64", "graft_lang_id", "graft_nfc", "graft_demojibake",
+      "graft_image_header",
       "graft_audio_header", "graft_mp3_header", "graft_video_header",
       "graft_exif", "graft_blockhash", "graft_hamming_hex",
       "graft_pdf_info", "graft_pdf_text",
