@@ -1839,6 +1839,28 @@ object SparkEntry {
     "q_lm_buckets" -> ((s, dir) =>
       graft.ops.LmModel.ccnetBuckets(docs(s, dir), "text")),
 
+    // Quality-filter calibration matrix (round 7 cont.): the agreement
+    // report between the three gated quality surfaces — heuristic
+    // score (>= 50), trained perceptron verdict (>= 0), and LM level
+    // check (lm_ok) — the table a pipeline owner reads before picking
+    // thresholds (high-disagreement cells = where the filters fight).
+    // Pure composition: each verdict is the already-gated replay; one
+    // map-side-combined 8-cell aggregate. Null text coalesces to ''
+    // at first use on BOTH sides (the null-alphabet rule).
+    "q_quality_calib" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val t = coalesce(col("text"), lit(""))
+      val lr = call_function("graft_lm_score", t)
+      val stage = d.select(
+        (TextOps.qualityScore(t) >= 50L).cast("int").as("hq"),
+        (call_function("graft_quality_score", t) >= 0L).cast("int").as("mq"),
+        lr.getField("lm_score").as("ls"), lr.getField("n_trigrams").as("nt"))
+      stage.select(col("hq"), col("mq"),
+          (col("ls") >= col("nt") * 2).cast("int").as("lq"))
+        .groupBy("hq", "mq", "lq").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // The CCNet pipeline END TO END (Wenzek et al. 2020): corpus-level
     // paragraph dedup → language id → LM perplexity tertiles → keep
     // head+middle. Same line construction as q_line_dedup; each stage
@@ -5532,6 +5554,31 @@ object SparkEntry {
         |  ${LmModel.sqlNTrigrams("st")} AS n_trigrams FROM s)
         |SELECT doc_id, lm_score, n_trigrams,
         |  lm_score >= n_trigrams * 2 AS lm_ok FROM c""".stripMargin
+    },
+
+    // the three gated quality replays composed into one agreement
+    // rollup; every verdict derives from the same coalesced text
+    "q_quality_calib" -> {
+      import graft.ops.LmModel
+      s"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |hv AS (SELECT doc_id, CAST(CASE WHEN
+        |    least(nc//125, 40) + CAST(floor(na*40/greatest(nc,1)) AS BIGINT)
+        |    + CASE WHEN nt > 0 AND nc >= 3*nt AND nc <= 12*nt THEN 20 ELSE 0 END
+        |    >= 50 THEN 1 ELSE 0 END AS INT) AS hq
+        |  FROM (SELECT doc_id, length(t) AS nc,
+        |          length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS na,
+        |          coalesce(${TextNorm.sqlTokenCount("t")}, 0) AS nt
+        |        FROM base)),
+        |mv AS (SELECT doc_id, CAST(CASE WHEN ${QualityModel.sqlScore("t")} >= 0
+        |    THEN 1 ELSE 0 END AS INT) AS mq FROM base),
+        |ls AS (SELECT doc_id, ${LmModel.sqlStream("t")} AS st FROM base),
+        |lv AS (SELECT doc_id, CAST(CASE WHEN
+        |    ${LmModel.sqlScoreFromStream("st")} >=
+        |    ${LmModel.sqlNTrigrams("st")} * 2
+        |    THEN 1 ELSE 0 END AS INT) AS lq FROM ls)
+        |SELECT hq, mq, lq, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM hv JOIN mv USING (doc_id) JOIN lv USING (doc_id)
+        |GROUP BY hq, mq, lq""".stripMargin
     },
 
     // replay of the exact-tertile walk: same score chain → bounded
