@@ -1757,6 +1757,26 @@ object SparkEntry {
       embs(s, dir).select(col("vec_id"),
         round(Similarity.l2Norm(col("embedding")), 2).as("norm2"))),
 
+    // Embedding-space decontamination (round 7 cont.): the semantic
+    // companion of q_decontam — flag corpus vectors whose cosine
+    // against ANY eval-set vector reaches the threshold (paraphrased
+    // benchmark text slips past n-gram overlap; its embedding does
+    // not). The eval set is a ×2-scaled slice of the corpus (a
+    // power-of-two scaling is float-exact and cosine-invariant, so the
+    // planted members are guaranteed over-threshold while the verdict
+    // itself replays on raw doubles — the q_ann IEEE-exactness rule).
+    // Broadcast distinct eval side + one max(struct) aggregate; ties
+    // break to the smallest eval id on both sides.
+    "q_embed_decontam" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val e = embs(s, dir)
+      val contam = e.filter(pmod(col("vec_id"), lit(17L)) === 3)
+        .select((col("vec_id") + 100000L).as("cid"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("cvec"))
+      Dedup.decontaminateEmbeddings(e, "vec_id", "embedding",
+        contam, "cid", "cvec", minCosine = 0.999)
+    }),
+
     "q_ann_self" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 20)
@@ -6087,6 +6107,27 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // the q_ann cosine replay against the ×2-scaled eval slice; the
+    // best match is the deterministic (cos desc, cid asc) head
+    "q_embed_decontam" ->
+      """WITH c AS (SELECT vec_id + 100000 AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS cv
+        |  FROM embeddings WHERE vec_id % 17 = 3),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+        |  / greatest(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+        |           * sqrt(list_sum(list_transform(c.cv, x -> x*x))), 1e-12) AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        |b AS (SELECT vec_id, cid, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM s)
+        |SELECT e.vec_id,
+        |  CAST(coalesce(CASE WHEN b.cos >= 0.999 THEN 1 ELSE 0 END, 0) AS INT)
+        |    AS contaminated,
+        |  CAST(coalesce(b.cid, -1) AS BIGINT) AS best_contam
+        |FROM embeddings e
+        |LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (vec_id)""".stripMargin,
 
     // the beam covers every shard at gate scale (ef >= shard rows +
     // chain connectivity), so the HNSW result is the exact brute-force

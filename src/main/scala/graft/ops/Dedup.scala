@@ -1000,4 +1000,43 @@ object Dedup {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         coalesce(col("nm"), lit(-1L)).as("near_min"))
   }
+
+  /** Embedding-space decontamination — the semantic companion of
+    * [[decontaminate]]: flag corpus vectors whose cosine against ANY
+    * eval-set vector reaches `minCosine` (benchmark text paraphrased
+    * or re-rendered slips past n-gram overlap; its embedding does
+    * not). Returns one row per corpus row: (id, contaminated int,
+    * best_contam — the matched eval id at (cosine desc, id asc),
+    * -1 when the eval set is empty).
+    *
+    * Scale shape: the eval set is distinct-collapsed and BROADCAST
+    * (the [[decontaminate]] rule — eval suites are thousands of rows,
+    * the corpus is billions), cosine is the native single-pass kernel,
+    * and the per-corpus-row reduction is one map-side-combined
+    * max(struct) aggregate — no shuffle of the corpus beyond it, no
+    * TopK state. Verdict determinism: ties on cosine break by the
+    * SMALLEST eval id (max(struct(cos, -cid))), and the cosine doubles
+    * replay cross-engine because +,*,/,sqrt are IEEE-exact in both
+    * (the bm25 libm rule — nothing transcendental here). */
+  def decontaminateEmbeddings(corpus: DataFrame, idCol: String, vecCol: String,
+                              contam: DataFrame, contamIdCol: String,
+                              contamVecCol: String,
+                              minCosine: Double): DataFrame = {
+    val ev = broadcast(contam
+      .select(col(contamIdCol).as("__cid"), col(contamVecCol).as("__cvec"))
+      .distinct())
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(ev)
+      .select(col("id"),
+        graft.ops.Similarity.cosine(col("v"), col("__cvec")).as("cos"),
+        col("__cid"))
+    val best = scored.groupBy("id")
+      .agg(max(struct(col("cos"), (-col("__cid")).as("ncid"))).as("b"))
+      .select(col("id"), col("b.cos").as("cos"), (-col("b.ncid")).as("cid"))
+    corpus.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce((col("cos") >= minCosine).cast("int"), lit(0))
+          .as("contaminated"),
+        coalesce(col("cid"), lit(-1L)).as("best_contam"))
+  }
 }
