@@ -1766,11 +1766,15 @@ object SparkEntry {
     // planted members are guaranteed over-threshold while the verdict
     // itself replays on raw doubles — the q_ann IEEE-exactness rule).
     // Broadcast distinct eval side + one max(struct) aggregate; ties
-    // break to the smallest eval id on both sides.
+    // break to the smallest eval id on both sides. The eval slice is
+    // CAPPED (vec_id < 1000): a real eval suite is fixed-size, and the
+    // sf1 probe showed an uncapped slice turning the broadcast join
+    // quadratic (eval side must never scale with the corpus).
     "q_embed_decontam" -> ((s, dir) => {
       GraftFunctions.registerAll(s)
       val e = embs(s, dir)
-      val contam = e.filter(pmod(col("vec_id"), lit(17L)) === 3)
+      val contam = e
+        .filter(pmod(col("vec_id"), lit(17L)) === 3 && col("vec_id") < 1000)
         .select((col("vec_id") + 100000L).as("cid"),
           transform(col("embedding"), x => x * lit(2.0f)).as("cvec"))
       Dedup.decontaminateEmbeddings(e, "vec_id", "embedding",
@@ -6113,7 +6117,7 @@ object SparkEntry {
     "q_embed_decontam" ->
       """WITH c AS (SELECT vec_id + 100000 AS cid,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS cv
-        |  FROM embeddings WHERE vec_id % 17 = 3),
+        |  FROM embeddings WHERE vec_id % 17 = 3 AND vec_id < 1000),
         |s AS (SELECT e.vec_id, c.cid,
         |  list_sum(list_transform(generate_series(1, len(e.embedding)),
         |      i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))

@@ -955,44 +955,70 @@ object Dedup {
     * included with zeroed counts (undecodable images are dirty data,
     * never dropped silently).
     *
-    * Scale shape: the hash frame is Snapshot-ed ONCE (the kernel never
-    * re-evaluates in the band explode, the self-join's pushed
-    * isnotnull, or the verdict join), candidate generation is a
-    * band-bucket equi-join (never an all-pairs cross), verification is
-    * per-pair compute, and the verdict is one map-side-combined
-    * aggregate joined back on the id. Identical-hash clusters bound
-    * bucket width at web scale the same way exact dedup does; a
-    * near-black-image hot bucket should be star-guarded upstream by
-    * dropping constant-color hashes before calling this. */
+    * Scale shape — the EXACT-GROUP COLLAPSE is the load-bearing piece
+    * (the sf1 probe caught the naive member-level band join at 94× for
+    * 10× rows): identical hashes collapse to ONE representative before
+    * banding, so the self-join is over DISTINCT hashes (web corpora
+    * are exact-duplicate-heavy; a 10⁶-copy logo must cost one row, not
+    * 10¹² pairs), and group sizes fan the verdicts back arithmetically
+    * (a member of an m-group has m−1 hamming-0 partners by identity —
+    * no pair materialization). The hash frame is Snapshot-ed ONCE (the
+    * kernel never re-evaluates in any consumer); per-group min1/min2
+    * make the member-level near_min exact (the group minimum's best
+    * partner is the SECOND-smallest id). Member-level results are
+    * IDENTICAL to the naive all-member pair join (ScaleGuardSpec pins
+    * the equality; the q_image_dedup oracle IS the naive mirror). */
   def blockhashNearDup(df: DataFrame, idCol: String, hashCol: String,
                        bands: Int = 4, maxHamming: Int = 2): DataFrame = {
     require(bands >= 1 && 16 % bands == 0, s"bands must divide 16: $bands")
     require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming: $maxHamming")
     val w = 16 / bands
-    // ONE snapshot of the (possibly kernel-derived) hash column: the
-    // band explode, the isnotnull below, AND the verdict join all read
-    // the materialized frame — the kernel evaluates exactly once/row
+    // ONE snapshot of the (possibly kernel-derived) hash column
     val base = Snapshot(df.select(col(idCol).as("id"), col(hashCol).as("h")))
-    val h = base.filter(col("h").isNotNull)
-    val banded = h
-      .select(col("id"), col("h"),
+    val members = base.filter(col("h").isNotNull)
+    // exact-group collapse: one row per distinct hash (m, min1, min2)
+    val g1 = members.groupBy("h")
+      .agg(count(lit(1)).as("m"), min(col("id")).as("min1"))
+    val g2 = members.join(g1, Seq("h"))
+      .filter(col("id") =!= col("min1"))
+      .groupBy("h").agg(min(col("id")).as("min2"))
+    val groups = Snapshot(g1.join(g2, Seq("h"), "left"))
+    val banded = groups
+      .select(col("h"), col("m"), col("min1"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bv", expr(s"substr(h, b * $w + 1, $w)"))
+    // distinct-hash candidate pairs (h-order dedupes the band multi-hit)
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b2"),
-        col("x.h").as("ha"), col("y.h").as("hb"))
+          col("x.h") < col("y.h"))
+      .select(col("x.h").as("ha"), col("y.h").as("hb"),
+        col("x.m").as("ma"), col("y.m").as("mb"),
+        col("x.min1").as("na"), col("y.min1").as("nb"))
       .distinct()
     val judged = pairs.withColumn("ham",
       org.apache.spark.sql.functions.call_function(
         "graft_hamming_hex", col("ha"), col("hb")))
-    val dir0 = judged.select(col("a").as("id"), col("b2").as("other"), col("ham"))
-      .unionAll(judged.select(col("b2").as("id"), col("a").as("other"), col("ham")))
-    val verdicts = dir0.groupBy("id")
-      .agg(count(lit(1)).as("n_cand"),
-        count(when(col("ham") <= maxHamming, 1)).as("n_near"),
-        min(when(col("ham") <= maxHamming, col("other"))).as("nm"))
+    val dir0 = judged.select(col("ha").as("h"), col("mb").as("om"),
+        col("nb").as("omin"), col("ham"))
+      .unionAll(judged.select(col("hb").as("h"), col("ma").as("om"),
+        col("na").as("omin"), col("ham")))
+    // per-HASH cross-group summary (band partners weighted by group size)
+    val cross = dir0.groupBy("h")
+      .agg(sum(col("om")).as("x_cand"),
+        sum(when(col("ham") <= maxHamming, col("om")).otherwise(lit(0L)))
+          .as("x_near"),
+        min(when(col("ham") <= maxHamming, col("omin"))).as("x_min"))
+    val perHash = groups.join(cross, Seq("h"), "left")
+    // fan back to members: m−1 identical partners + the cross summary
+    val verdicts = members.join(perHash, Seq("h"))
+      .select(col("id"),
+        (col("m") - 1 + coalesce(col("x_cand"), lit(0L))).as("n_cand"),
+        (col("m") - 1 + coalesce(col("x_near"), lit(0L))).as("n_near"),
+        least(
+          when(col("m") > 1,
+            when(col("id") === col("min1"), col("min2"))
+              .otherwise(col("min1"))),
+          col("x_min")).as("nm"))
     base.join(verdicts, Seq("id"), "left")
       .select(col("id").as(idCol),
         col("h").isNotNull.cast("int").as("has_hash"),

@@ -1086,4 +1086,53 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(out(1L) == ((0L, 0L, 0.0, false)), "sub-n doc must have 0 ngrams")
     assert(out(2L) == ((3L, 0L, 0.0, false)))
   }
+
+  test("blockhashNearDup: group collapse equals the naive member-level pair join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.spark.GraftFunctions.registerAll(spark)
+    // corpus with heavy exact-dup groups (the 94x sf1 probe shape),
+    // near groups one byte apart, singletons, and null hashes
+    val rnd = new scala.util.Random(0xb10c)
+    val rows = (0L until 400L).map { id =>
+      val fam = id % 8
+      val payload =
+        if (id % 37 == 5) ""                                  // null hash
+        else if (fam < 3) f"family$fam%d-same"                // exact groups
+        else f"family$fam%d-v${rnd.nextInt(3)}%d"             // near-ish variants
+      (id, payload)
+    }.toDF("id", "p")
+    val hashed = rows.select(col("id"),
+      call_function("graft_blockhash",
+        when(col("p") === "", lit(Array.empty[Byte]))
+          .otherwise(col("p").cast("binary"))).as("bh"))
+    val fast = Dedup.blockhashNearDup(hashed, "id", "bh", bands = 4, maxHamming = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    // naive mirror: member-level band join + hamming + per-member agg
+    val h = hashed.filter(col("bh").isNotNull)
+    val banded = h.select(col("id"), col("bh"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr("substr(bh, b * 4 + 1, 4)"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b2"),
+        call_function("graft_hamming_hex", col("x.bh"), col("y.bh")).as("ham"))
+      .distinct()
+    val dir0 = pairs.select(col("a").as("id"), col("b2").as("other"), col("ham"))
+      .unionAll(pairs.select(col("b2"), col("a"), col("ham")))
+    val naive = hashed.join(
+        dir0.groupBy("id").agg(count(lit(1)).as("n_cand"),
+          count(when(col("ham") <= 2, 1)).as("n_near"),
+          min(when(col("ham") <= 2, col("other"))).as("nm")),
+        Seq("id"), "left")
+      .select(col("id"), col("bh").isNotNull.cast("int").as("has_hash"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("nm"), lit(-1L)).as("near_min"))
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fast.toSeq == naive.toSeq)
+    // sanity: the exact groups actually exercised the collapse
+    assert(fast.count(_._4 > 40) > 50, "expected heavy identical-hash groups")
+  }
 }
