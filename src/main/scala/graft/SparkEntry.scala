@@ -3641,6 +3641,53 @@ object SparkEntry {
           col("r.payload_digest").as("payload_digest"), col("r.ok").as("ok"))
     }),
 
+    // WARC payload-digest dedup (round 7 cont.): the CDX-style "same
+    // bytes fetched from N urls" dedup a crawl store runs before
+    // extraction — records dedupe on the index's payload_digest, the
+    // canonical copy is the smallest (doc_id, idx). Payloads are
+    // planted to collide across the doc_id%25 families (responses)
+    // while metadata payloads stay unique; the record frame is
+    // Snapshot-ed ONCE (it feeds the digest groupBy AND the verdict
+    // join — the kernel-explode multi-consumer discipline). The
+    // oracle replays the family arithmetic.
+    "q_warc_dedup" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val crlf = "\r\n"
+      val h = md5(concat(lit("wd"),
+        pmod(col("doc_id"), lit(25L)).cast("string")).cast("binary"))
+      val html = concat(lit("<p>"), h, lit("</p>"))
+      val http = concat(lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html" + crlf + crlf), html)
+      val rec1 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://s/"), col("doc_id").cast("string"),
+        lit(crlf + "Content-Length: "), length(http).cast("string"),
+        lit(crlf + crlf), http, lit(crlf + crlf))
+      val pay2 = concat(lit("meta "),
+        md5(col("doc_id").cast("string").cast("binary")))
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "Content-Length: "), length(pay2).cast("string"),
+        lit(crlf + crlf), pay2, lit(crlf + crlf))
+      val blob = concat(rec1, rec2)
+      val recs = graft.ops.Snapshot(d.select(col("doc_id"),
+          explode_outer(GraftFunctions.graft_warc_index(blob.cast("binary")))
+            .as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("doc_id"), col("r.idx").as("idx"),
+          col("r.warc_type").as("warc_type"),
+          col("r.payload_digest").as("digest")))
+      val stats = recs.groupBy("digest")
+        .agg(count(lit(1)).as("dup_count"),
+          min(struct(col("doc_id"), col("idx"))).as("canon"))
+      recs.join(stats, Seq("digest"))
+        .select(col("doc_id"), col("idx"), col("warc_type"),
+          col("dup_count"),
+          (col("doc_id") === col("canon.doc_id") &&
+            col("idx") === col("canon.idx")).cast("int").as("is_canonical"))
+    }),
+
     // Streaming WARC ingestion (round 5): blobs arrive as TWO
     // micro-batch files (even/odd ids) through a checkpointed file
     // source; the record-split + extraction stage is STATELESS, so the
@@ -4266,6 +4313,89 @@ object SparkEntry {
         Map("image" -> 576L, "audio" -> 300L))
       Pack.concatChunk(d.select(col("doc_id"), n.as("n")),
         "doc_id", "n", budget = 1024)
+    }),
+
+    // Interleaved-span schema audit (round 7 cont.): the data-quality
+    // gate on the engine's OWN input contract (doc_id, spans
+    // array<struct<kind,text,media_ref,offset>>) — at ingest scale a
+    // producer bug shows up as unknown kinds, empty payloads, or
+    // non-monotonic offsets, and a validation pass must FLAG rows,
+    // never drop or throw. Pure per-row HOF compute over the array
+    // (cheap constructed subtree — not the kernel-HOF cliff class);
+    // families plant each violation; the oracle replays the family
+    // verdict matrix.
+    "q_span_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t1 = concat(lit("T"), substring(md5(coalesce(col("text"),
+        lit(""))), 1, 8))
+      def sp(kind: String, text: Column, ref: Column, off: Int) =
+        struct(lit(kind).as("kind"), text.as("text"),
+          ref.as("media_ref"), lit(off).as("offset"))
+      val img = concat(lit("img://"), col("doc_id").cast("string"))
+      val fam = pmod(col("doc_id"), lit(5L))
+      val spans = when(fam === 0, array(
+          sp("text", t1, lit(""), 0), sp("image", lit(""), img, 100),
+          sp("text", lit("T2"), lit(""), 200)))
+        .when(fam === 1, array(
+          sp("text", t1, lit(""), 0), sp("image", lit(""), img, 200),
+          sp("text", lit("T2"), lit(""), 100)))
+        .when(fam === 2, array(
+          sp("blob", t1, lit(""), 0), sp("text", lit("T2"), lit(""), 50)))
+        .when(fam === 3, array(
+          sp("text", lit(""), lit(""), 0), sp("text", t1, lit(""), 10)))
+        .otherwise(array(
+          sp("image", lit(""), lit(""), 0), sp("audio", lit(""), img, 10)))
+      val audited = d.select(col("doc_id"), spans.as("spans"))
+        .select(col("doc_id"), size(col("spans")).as("n_spans"),
+          size(filter(col("spans"), s => !s.getField("kind")
+            .isin("text", "image", "audio", "video"))).as("n_bad_kind"),
+          // payload rule scoped to KNOWN kinds: text needs text, media
+          // kinds need media_ref; an unknown kind is n_bad_kind's
+          // problem alone (one violation, one counter)
+          size(filter(col("spans"), s =>
+            (s.getField("kind") === "text" && length(s.getField("text")) === 0) ||
+            (s.getField("kind").isin("image", "audio", "video") &&
+              length(s.getField("media_ref")) === 0))).as("n_empty_payload"),
+          expr("""CAST(forall(zip_with(
+            slice(transform(spans, s -> s.offset), 1, size(spans) - 1),
+            slice(transform(spans, s -> s.offset), 2, size(spans) - 1),
+            (a, b) -> a < b), x -> x) AS INT)""").as("monotonic"))
+      audited.withColumn("valid",
+        (col("n_bad_kind") === 0 && col("n_empty_payload") === 0 &&
+          col("monotonic") === 1).cast("int"))
+    }),
+
+    // Incremental index maintenance (round 7 cont.): the posting
+    // delta between two crawl snapshots — the search-index companion
+    // of q_snapshot_diff (recrawling 1% of 10^12 docs must not
+    // rebuild the index; it emits del tombstones for old postings and
+    // adds for new ones). Change classes come from SnapshotDiff.delta
+    // (the q_recrawl_priority mutation families); changed docs del
+    // ALL old terms and add ALL new terms (the standard tombstone
+    // form), removed docs del, added docs add. Tokens are the
+    // canonical alphabet, per-doc-distinct BEFORE the explode (the
+    // inverted-index rule). Scale shape: only delta docs explode —
+    // the unchanged corpus never leaves the anti-join.
+    "q_index_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      val changedT = when(pmod(col("doc_id"), lit(13L)) === 2,
+        concat(coalesce(col("text"), lit("")), lit("!")))
+        .otherwise(coalesce(col("text"), lit("")))
+      val b = d.filter(pmod(col("doc_id"), lit(17L)) =!= 3)
+        .select(col("doc_id"), changedT.as("t"))
+        .unionAll(d.filter(pmod(col("doc_id"), lit(19L)) === 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            coalesce(col("text"), lit("")).as("t")))
+      val delta = SnapshotDiff.delta(a, b, "doc_id", Seq("t"))
+      def terms(src: DataFrame, classes: Seq[String], op: String) =
+        delta.filter(col("change").isin(classes: _*))
+          .select(col("doc_id")).join(src, Seq("doc_id"))
+          .select(col("doc_id"), explode(array_distinct(
+            TextNorm.tokensCol(TextNorm.lowerCol(col("t"))))).as("term"))
+          .withColumn("op", lit(op))
+      terms(a, Seq("changed", "removed"), "del")
+        .unionAll(terms(b, Seq("changed", "added"), "add"))
     }),
 
     // Sliding-window chunking (round 7 cont.): RAG/context-window
@@ -6832,6 +6962,54 @@ object SparkEntry {
         |  CAST(coalesce(nm, -1) AS BIGINT) AS near_min
         |FROM h LEFT JOIN v ON h.doc_id = v.id""".stripMargin
     },
+
+    // replay by family arithmetic: responses share digests within the
+    // doc_id%25 family (count = family size, canonical = min doc_id's
+    // idx-0 record), metadata payloads are per-doc unique
+    "q_warc_dedup" ->
+      """WITH f AS (SELECT doc_id, doc_id % 25 AS k FROM documents),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS m
+        |  FROM f GROUP BY k)
+        |SELECT doc_id, CAST(0 AS INT) AS idx, 'response' AS warc_type,
+        |  n AS dup_count,
+        |  CAST(CASE WHEN doc_id = m THEN 1 ELSE 0 END AS INT) AS is_canonical
+        |FROM f JOIN c USING (k)
+        |UNION ALL
+        |SELECT doc_id, 1, 'metadata', 1, 1 FROM f""".stripMargin,
+
+    // the snapshot-diff family replay × the canonical token alphabet:
+    // changed docs del old tokens + add new (old||'!'), removed del,
+    // added add under the +10M id
+    "q_index_delta" ->
+      s"""WITH oldt AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+        |SELECT doc_id,
+        |  unnest(list_distinct(${TextNorm.sqlTokens(TextNorm.sqlLower("t"))}))
+        |    AS term, 'del' AS op
+        |FROM oldt
+        |WHERE (doc_id % 13 = 2 AND doc_id % 17 <> 3) OR doc_id % 17 = 3
+        |UNION ALL
+        |SELECT doc_id,
+        |  unnest(list_distinct(${TextNorm.sqlTokens(
+               TextNorm.sqlLower("t || '!'"))})), 'add'
+        |FROM oldt WHERE doc_id % 13 = 2 AND doc_id % 17 <> 3
+        |UNION ALL
+        |SELECT doc_id + 10000000,
+        |  unnest(list_distinct(${TextNorm.sqlTokens(TextNorm.sqlLower("t"))})),
+        |  'add'
+        |FROM oldt WHERE doc_id % 19 = 5""".stripMargin,
+
+    // replay by construction: the five families plant exactly one
+    // violation class each (valid / out-of-order / unknown kind /
+    // empty text / empty media_ref)
+    "q_span_audit" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 < 2 THEN 3 ELSE 2 END AS INT) AS n_spans,
+        |  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INT) AS n_bad_kind,
+        |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END AS INT)
+        |    AS n_empty_payload,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 1 END AS INT) AS monotonic,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS valid
+        |FROM documents""".stripMargin,
 
     // replay: canonical lower+tokenize, the list-slice bigram build,
     // the same two-level rollup; sums CAST AS BIGINT (the HUGEINT rule)
