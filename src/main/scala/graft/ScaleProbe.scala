@@ -44,7 +44,8 @@ object ScaleProbe {
     "q_noindex", "q_jsonld", "q_shuffle_shards", "q_nfc", "q_recrawl_rank",
     "q_image_dedup", "q_diversity", "q_oov_rate", "q_demojibake",
     "q_quality_calib", "q_embed_decontam",
-    "q_span_audit", "q_index_delta", "q_warc_dedup",
+    "q_span_audit", "q_index_delta", "q_warc_dedup", "q_table_types",
+    "q_url_bitext", "q_badwords",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",

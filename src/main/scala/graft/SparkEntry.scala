@@ -869,6 +869,63 @@ object SparkEntry {
     // unresolvable 'pt' (the inner join pins the resolution miss); a
     // no-links family (doc_id%97==11) emits no src rows but still
     // resolves as a TARGET.
+    // Lexicon safety filter (round 7 cont.): the blocklist-term gate
+    // every production cleaning stack runs (C4 dropped pages on a
+    // public "bad words" list) — hit counts over canonical tokens
+    // against a pinned lexicon, integer permille rate, flag at >= 5‰
+    // or >= 3 hits. Runs on RAW corpus text (the oracle replays the
+    // full token walk — no plant needed) plus a planted suffix family
+    // that pins the counting of repeated hits. One token pass, no
+    // shuffle — a pure projection filter at the scan.
+    "q_badwords" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = when(pmod(col("doc_id"), lit(9L)) === 2,
+        lit(" casino xxx casino")).otherwise(lit(""))
+      val t = concat(coalesce(col("text"), lit("")), planted)
+      val toks = TextNorm.tokensCol(TextNorm.lowerCol(t))
+      val hits = size(filter(toks,
+        x => x.isin("casino", "viagra", "lottery", "xxx")))
+      d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          hits.cast("long").as("n_hits"))
+        .withColumn("hit_pm",
+          expr("(1000 * n_hits) div greatest(n_tokens, 1)"))
+        .withColumn("flagged",
+          (col("hit_pm") >= 5 || col("n_hits") >= 3).cast("int"))
+    }),
+
+    // URL-pattern bitext mining (round 7 cont.): the second classic
+    // parallel-page signal next to hreflang — sites that encode the
+    // language as a PATH SEGMENT (/en/, /fr/, /de/). Pair key = the
+    // url with the segment stripped (host + rest), pairs = en pages ×
+    // same-key translations; pages without a segment (the /about
+    // family) never pair. Lookaround-free ASCII regexes (the Pii
+    // rule), one equi-join on the stripped key — never a cross join.
+    "q_url_bitext" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val k = expr("doc_id div 3")
+      val li = pmod(col("doc_id"), lit(3L))
+      val langSeg = when(li === 0, "en").when(li === 1, "fr").otherwise("de")
+      val url = when(pmod(col("doc_id"), lit(11L)) === 4,
+        concat(lit("https://s"), pmod(k, lit(5L)).cast("string"),
+          lit(".ex/about/p"), k.cast("string")))
+        .otherwise(concat(lit("https://s"), pmod(k, lit(5L)).cast("string"),
+          lit(".ex/"), langSeg, lit("/p"), k.cast("string")))
+      val base = d.select(col("doc_id"), url.as("url"))
+        .withColumn("lang_seg",
+          regexp_extract(col("url"), "^https://[^/]+/(en|fr|de)/", 1))
+        .filter(col("lang_seg") =!= "")
+        .withColumn("pair_key",
+          regexp_replace(col("url"), "^https://([^/]+)/(en|fr|de)/", "$1/"))
+      val en = base.filter(col("lang_seg") === "en")
+        .select(col("pair_key"), col("doc_id").as("src_doc"))
+      val tr = base.filter(col("lang_seg") =!= "en")
+        .select(col("pair_key"), col("doc_id").as("dst_doc"),
+          col("lang_seg").as("dst_lang"))
+      en.join(tr, "pair_key")
+        .select(col("pair_key"), col("src_doc"), col("dst_doc"),
+          col("dst_lang"))
+    }),
+
     "q_parallel_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       val langArr = Seq("en", "de", "fr", "ja", "ar")
@@ -1397,6 +1454,53 @@ object SparkEntry {
         .agg(concat_ws("\n", transform(
           sort_array(collect_list(struct(col("row_id"), col("line").as("l")))),
           x => x.getField("l"))).as("csv"))
+    }),
+
+    // Typed table-column inference (round 7 cont.): the table
+    // UNDERSTANDING step after extraction — per (table, column),
+    // classify body cells (canonical trim; lookaround-free ASCII
+    // regexes, the Pii rule) and infer the dominant type by the
+    // strict ladder all-int → all-int-or-float → all-date → str
+    // (empty cells are 'str' — no wildcards). One table_cells parse
+    // per row, one map-side-combined (doc, table, col) aggregate; the
+    // oracle replays the family matrix (the md5 string cell carries a
+    // letter prefix so it can never match the numeric classes).
+    "q_table_types" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val w = concat(lit("w"), substring(md5(coalesce(col("text"),
+        lit(""))), 1, 6))
+      val fam = pmod(col("doc_id"), lit(3L))
+      val r2c0 = when(fam === 0, (col("doc_id") * 3).cast("string"))
+        .when(fam === 1, lit("2.5")).otherwise(lit("oops"))
+      val r2c1 = when(fam === 1, lit("8")).otherwise(lit("7.25"))
+      val r2c2 = when(fam === 2, lit("not-a-date")).otherwise(lit("1999-12-31"))
+      val html = concat(
+        lit("<table><tr><th>A</th><th>B</th><th>C</th><th>D</th></tr><tr><td>"),
+        col("doc_id").cast("string"),
+        lit("</td><td>3.5</td><td>2024-01-15</td><td>"), w,
+        lit("</td></tr><tr><td>"), r2c0, lit("</td><td>"), r2c1,
+        lit("</td><td>"), r2c2, lit("</td><td>x</td></tr></table>"))
+      val cells = d.select(col("doc_id"),
+          explode_outer(call_function("graft_table_cells", html)).as("c"))
+        .filter(col("c").isNotNull)
+        .filter(col("c.is_header") === 0)
+      val t = TextNorm.trimCol(col("c.text"))
+      val isInt = t.rlike("^-?[0-9]+$")
+      val isNum = t.rlike("^-?[0-9]+(\\.[0-9]+)?$")
+      val isDate = t.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+      cells.groupBy(col("doc_id"), col("c.table_id").as("table_id"),
+          col("c.col_id").as("col_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          count(when(isInt, 1)).as("ni"),
+          count(when(isNum, 1)).as("nn"),
+          count(when(isDate, 1)).as("nd"))
+        .select(col("doc_id"), col("table_id"), col("col_id"),
+          col("n_cells"),
+          when(col("ni") === col("n_cells"), "int")
+            .when(col("nn") === col("n_cells"), "float")
+            .when(col("nd") === col("n_cells"), "date")
+            .otherwise("str").as("dtype"))
     }),
 
     // HTML → Markdown (round 7 cont.): structure-preserving extraction
@@ -6962,6 +7066,59 @@ object SparkEntry {
         |  CAST(coalesce(nm, -1) AS BIGINT) AS near_min
         |FROM h LEFT JOIN v ON h.doc_id = v.id""".stripMargin
     },
+
+    // full canonical-token replay over the raw text + the planted
+    // repeat family; permille is integer floor div
+    "q_badwords" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower(
+             "coalesce(text, '') || CASE WHEN doc_id % 9 = 2" +
+             " THEN ' casino xxx casino' ELSE '' END"))} AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk,
+        |    x -> x IN ('casino', 'viagra', 'lottery', 'xxx'))) AS BIGINT)
+        |    AS n_hits
+        |  FROM b)
+        |SELECT doc_id, n_tokens, n_hits,
+        |  CAST((1000 * n_hits) // greatest(n_tokens, 1) AS BIGINT) AS hit_pm,
+        |  CAST(CASE WHEN (1000 * n_hits) // greatest(n_tokens, 1) >= 5
+        |    OR n_hits >= 3 THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM c""".stripMargin,
+
+    // replay by family arithmetic: family k = ids {3k, 3k+1, 3k+2}
+    // with langs en/fr/de on host s(k%5); the %11=4 members carry no
+    // segment and drop from both sides of the join
+    "q_url_bitext" ->
+      """WITH f AS (SELECT doc_id, doc_id // 3 AS k,
+        |    CAST(doc_id % 3 AS INT) AS li
+        |  FROM documents WHERE doc_id % 11 <> 4),
+        |e AS (SELECT k, doc_id AS src_doc FROM f WHERE li = 0),
+        |o AS (SELECT k, doc_id AS dst_doc,
+        |    CASE li WHEN 1 THEN 'fr' ELSE 'de' END AS dst_lang
+        |  FROM f WHERE li > 0)
+        |SELECT 's' || CAST(k % 5 AS VARCHAR) || '.ex/p' || CAST(k AS VARCHAR)
+        |    AS pair_key,
+        |  src_doc, dst_doc, dst_lang
+        |FROM e JOIN o USING (k)""".stripMargin,
+
+    // replay by family matrix: (int,float,date,str) for fam 0,
+    // float-promotion for fam 1, str-fallbacks for fam 2; every
+    // column has exactly 2 body cells
+    "q_table_types" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS fam
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, 0 AS col_id,
+        |    CASE fam WHEN 0 THEN 'int' WHEN 1 THEN 'float' ELSE 'str' END AS dtype
+        |  FROM f
+        |  UNION ALL SELECT doc_id, 1, 'float' FROM f
+        |  UNION ALL SELECT doc_id, 2,
+        |    CASE fam WHEN 2 THEN 'str' ELSE 'date' END FROM f
+        |  UNION ALL SELECT doc_id, 3, 'str' FROM f)
+        |SELECT doc_id, CAST(0 AS INT) AS table_id, CAST(col_id AS INT) AS col_id,
+        |  CAST(2 AS BIGINT) AS n_cells, dtype
+        |FROM m""".stripMargin,
 
     // replay by family arithmetic: responses share digests within the
     // doc_id%25 family (count = family size, canonical = min doc_id's
