@@ -3894,6 +3894,88 @@ object SparkEntry {
         element_at(TextOps.sentences(t), 1).as("first_sentence"))
     }),
 
+    // DOM structural diff (round 7 cont.): the recrawl "what changed
+    // in the PAGE STRUCTURE" signal (q_snapshot_diff sees bytes; this
+    // sees the parse) — per-tag element counts of two versions
+    // full-outer-joined, rows emitted only where the count moved.
+    // Two node-table parses per row (old + new), element nodes only;
+    // the oracle replays the mutation families (ad insertion / list
+    // removal / heading demotion) against the base construction.
+    "q_dom_diff" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val base = "<div><h1>T</h1><p>a</p><p>b</p>" +
+        "<ul><li>x</li><li>y</li></ul></div>"
+      val fam = pmod(col("doc_id"), lit(4L))
+      val newHtml = when(fam === 0, lit(base))
+        .when(fam === 1, lit(base + "<aside><p>ad</p></aside>"))
+        .when(fam === 2, lit("<div><h1>T</h1><p>a</p><p>b</p></div>"))
+        .otherwise(lit("<div><h2>T</h2><p>a</p><p>b</p>" +
+          "<ul><li>x</li><li>y</li></ul></div>"))
+      def tagCounts(html: Column, as: String) =
+        d.select(col("doc_id"),
+            explode_outer(call_function("graft_node_table", html)).as("n"))
+          .filter(col("n").isNotNull)
+          .filter(col("n.ntype") === "element")
+          .groupBy(col("doc_id"), col("n.tag").as("tag"))
+          .agg(count(lit(1)).as(as))
+      tagCounts(lit(base), "n_old")
+        .join(tagCounts(newHtml, "n_new"), Seq("doc_id", "tag"), "full_outer")
+        .select(col("doc_id"), col("tag"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .filter(col("n_old") =!= col("n_new"))
+        .withColumn("delta", col("n_new") - col("n_old"))
+    }),
+
+    // Release datasheet (round 7 cont.): the one-row data card a
+    // dataset release ships — doc/token/language totals, exact-dup
+    // excess (docs minus distinct canonical text hashes — the
+    // q_dedup_exact convention), null-text count, and integer mean
+    // quality. ONE map-side-combined aggregate over the corpus (the
+    // distincts expand to partial aggregates — no window, no second
+    // scan); every number replays from already-gated conventions.
+    "q_datasheet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = coalesce(col("text"), lit(""))
+      val h = coalesce(md5(TextNorm.lowerCol(TextNorm.trimCol(col("text")))),
+        lit(""))
+      d.agg(count(lit(1)).as("n_docs"),
+          sum(TextNorm.tokenCountCol(col("text"))).as("total_tokens"),
+          countDistinct(coalesce(col("lang"), lit("und"))).as("n_langs"),
+          countDistinct(h).as("n_distinct_text"),
+          count(when(col("text").isNull, 1)).as("n_null_text"),
+          sum(TextOps.qualityScore(t)).as("sum_q"))
+        .select(col("n_docs"), col("total_tokens"), col("n_langs"),
+          col("n_distinct_text"),
+          (col("n_docs") - col("n_distinct_text")).as("n_dup_excess"),
+          col("n_null_text"),
+          expr("CAST(sum_q div n_docs AS BIGINT)").as("mean_quality"))
+    }),
+
+    // Integer readability (round 7 cont.): the LIX-style grade signal
+    // quality stacks use to target an audience band — words/sentence +
+    // 100·long-words/words, BOTH as integer floor divisions (the
+    // oracle-alphabet rule). "Long" = >= 7 CODEPOINTS, tested with
+    // `(?s)^.{7}` — both engines match DOTALL '.' per codepoint (the
+    // (?s) is load-bearing: without it Java excludes U+0085/U+2028/
+    // U+2029 while RE2 excludes only \n), which is what makes the
+    // count engine-identical on astral and control-char text. One
+    // sentence-kernel pass + one token pass per row, no shuffle.
+    "q_readability" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = coalesce(col("text"), lit(""))
+      val st = TextOps.sentenceStats(t)
+      val toks = TextNorm.tokensCol(TextNorm.lowerCol(t))
+      d.select(col("doc_id"),
+          st.getField("n_sentences").as("n_sentences"),
+          size(toks).cast("long").as("n_words"),
+          size(filter(toks, x => x.rlike("(?s)^.{7}"))).cast("long").as("n_long"))
+        .withColumn("lix",
+          expr("CAST(n_words div greatest(n_sentences, 1)" +
+            " + (100 * n_long) div greatest(n_words, 1) AS BIGINT)"))
+    }),
+
     // Corpus-aware distinctive terms (round 5): integer-exact TF-IDF
     // ranking (df asc, tf desc, token asc) replayed by a DuckDB window
     // on real text — floats never enter the hash.
@@ -7591,6 +7673,71 @@ object SparkEntry {
         |    AS BIGINT) AS max_sentence_chars,
         |  sents[1] AS first_sentence
         |FROM ss""".stripMargin,
+
+    // replay by mutation family: +aside/+p, -ul/-li×2, h1→h2;
+    // identical pages emit nothing
+    "q_dom_diff" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS fam
+        |  FROM documents)
+        |SELECT doc_id, tag, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new, CAST(n_new - n_old AS BIGINT)
+        |    AS delta
+        |FROM (
+        |  SELECT doc_id, 'aside' AS tag, 0 AS n_old, 1 AS n_new
+        |  FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 'p', 2, 3 FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 'ul', 1, 0 FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 'li', 2, 0 FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 'h1', 1, 0 FROM f WHERE fam = 3
+        |  UNION ALL SELECT doc_id, 'h2', 0, 1 FROM f WHERE fam = 3)""".stripMargin,
+
+    // the gated conventions composed into one row: canonical token
+    // count, the exact-dedup hash, the quality chain; integer mean
+    "q_datasheet" ->
+      s"""WITH b AS (SELECT doc_id, text, lang,
+        |  coalesce(md5(${TextNorm.sqlLower(TextNorm.sqlTrim("text"))}), '')
+        |    AS h,
+        |  coalesce(${TextNorm.sqlTokenCount("text")}, 0) AS ntok,
+        |  coalesce(text, '') AS t FROM documents),
+        |q AS (SELECT doc_id, h, ntok, lang, text,
+        |  least(nc//125, 40) + CAST(floor(na*40/greatest(nc,1)) AS BIGINT)
+        |    + CASE WHEN nt > 0 AND nc >= 3*nt AND nc <= 12*nt THEN 20
+        |        ELSE 0 END AS qv
+        |  FROM (SELECT *, length(t) AS nc,
+        |          length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS na,
+        |          ${TextNorm.sqlTokenCount("t")} AS nt FROM b))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT coalesce(lang, 'und')) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_text,
+        |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_excess,
+        |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_null_text,
+        |  CAST(sum(qv) // count(*) AS BIGINT) AS mean_quality
+        |FROM q""".stripMargin,
+
+    // the sentence-split and token replays + the two integer floor
+    // divisions; (?s)-mode '.' is one codepoint in RE2 exactly as in
+    // Java — WITHOUT DOTALL the engines disagree on U+0085/U+2028/
+    // U+2029 (Java excludes all line terminators, RE2 only \n; the
+    // canonical ws split leaves those inside tokens)
+    "q_readability" ->
+      s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents),
+        |ss AS (SELECT doc_id, CAST(len(list_filter(list_transform(
+        |    regexp_extract_all(tx, '[^.!?]+[.!?]+|[^.!?]+$$'),
+        |    s -> ${TextNorm.sqlTrim("s")}), s -> s <> '')) AS BIGINT)
+        |    AS n_sentences,
+        |  ${TextNorm.sqlTokens(TextNorm.sqlLower("tx"))} AS tk
+        |  FROM t),
+        |c AS (SELECT doc_id, n_sentences,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '(?s)^.{7}')))
+        |    AS BIGINT) AS n_long
+        |  FROM ss)
+        |SELECT doc_id, n_sentences, n_words, n_long,
+        |  CAST(n_words // greatest(n_sentences, 1)
+        |    + (100 * n_long) // greatest(n_words, 1) AS BIGINT) AS lix
+        |FROM c""".stripMargin,
 
     // same token alphabet; per-doc distinct then df count + ascending
     // row_number ≤ 5 replay the bounded posting buffer exactly (the
