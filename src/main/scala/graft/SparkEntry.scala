@@ -1060,6 +1060,32 @@ object SparkEntry {
       Rank.pagerank(edges, "src", "dst", iters = 3)
     }),
 
+    // Integer HITS hubs/authorities (round 7 cont.): the second
+    // classic link-centrality signal next to PageRank — directories
+    // score as hubs, content hosts as authorities (a crawl seeder
+    // wants both lists). Same link-table edge construction as
+    // q_host_rank; norm-free integer sums (Rank.hits) so the oracle
+    // unrolls both alternating rounds exactly.
+    "q_hits" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val html = concat(
+        lit("<a href=\"https://h"),
+        pmod(col("doc_id") + 1, lit(20L)).cast("string"),
+        lit(".ex/p\">x</a><a href=\"https://h"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".ex/q\">y</a>"))
+      val links = d.select(
+          concat(lit("h"), pmod(col("doc_id"), lit(20L)).cast("string"),
+            lit(".ex")).as("src"),
+          explode_outer(call_function("graft_link_table", html)).as("l"))
+        .filter(col("l").isNotNull)
+      val edges = links
+        .select(col("src"), UrlOps.host(col("l.href")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Rank.hits(edges, "src", "dst", iters = 2)
+    }),
+
     // Authority-weighted domain quality (round 7 cont.): the
     // crawl-budget allocation signal — per-host quality aggregates
     // joined with the host's integer PageRank (the q_host_rank edge
@@ -5249,6 +5275,38 @@ object SparkEntry {
         |${round("r2", "r3")}
         |SELECT host, pr FROM r3""".stripMargin
     },
+
+    // the two alternating integer rounds unrolled over the same
+    // distinct edge set: a1 = 10^6·indeg, h1 = Σ a1(dst), a2 = Σ
+    // h1(src of in-edges), h2 = Σ a2(dst); isolated sides settle at 0
+    "q_hits" ->
+      """WITH e0 AS (
+        |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex' AS src,
+        |    'h' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.ex' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.ex',
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.ex' FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT n.host, CAST(coalesce(s.v, 0) AS BIGINT) AS auth
+        |  FROM n LEFT JOIN (SELECT dst AS host,
+        |    CAST(count(*) * 1000000 AS BIGINT) AS v FROM e GROUP BY dst) s
+        |  USING (host)),
+        |h1 AS (SELECT n.host, CAST(coalesce(s.v, 0) AS BIGINT) AS hub
+        |  FROM n LEFT JOIN (SELECT e.src AS host,
+        |    CAST(sum(a1.auth) AS BIGINT) AS v
+        |    FROM e JOIN a1 ON a1.host = e.dst GROUP BY e.src) s USING (host)),
+        |a2 AS (SELECT n.host, CAST(coalesce(s.v, 0) AS BIGINT) AS auth
+        |  FROM n LEFT JOIN (SELECT e.dst AS host,
+        |    CAST(sum(h1.hub) AS BIGINT) AS v
+        |    FROM e JOIN h1 ON h1.host = e.src GROUP BY e.dst) s USING (host)),
+        |h2 AS (SELECT n.host, CAST(coalesce(s.v, 0) AS BIGINT) AS hub
+        |  FROM n LEFT JOIN (SELECT e.src AS host,
+        |    CAST(sum(a2.auth) AS BIGINT) AS v
+        |    FROM e JOIN a2 ON a2.host = e.dst GROUP BY e.src) s USING (host))
+        |SELECT n.host, a2.auth, h2.hub
+        |FROM n JOIN a2 USING (host) JOIN h2 USING (host)""".stripMargin,
 
     // the two chains composed: the q_domain_report quality replay
     // aggregated per host x the q_host_rank three-round replay

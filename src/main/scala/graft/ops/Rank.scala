@@ -52,4 +52,39 @@ object Rank {
     }
     r
   }
+
+  /** Integer HITS (Kleinberg 1999, public paper) — the hub/authority
+    * companion of [[pagerank]]: a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v}
+    * a(v), alternated for `iters` rounds from a flat `scale` start,
+    * NORM-FREE (the classic algorithm renormalizes each round; pure
+    * integer sums replay exactly in SQL while the float normalization
+    * would not — documented trade-off: magnitudes grow ~(max degree)²
+    * per round, so the iteration cap doubles as the overflow guard:
+    * scale·degree^(2·iters) must stay far under 2^63).
+    *
+    * Scale shape: the edge list distinct-collapses and Snapshots ONCE
+    * (the iterative-input re-execution lesson); each half-round is one
+    * key join + one map-side-combined groupBy shuffling only (host,
+    * long). Nodes with no in/out edges settle at 0 on that side. */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iteration count out of range: $iters")
+    val edges = Snapshot(edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = Snapshot(edges.select(col("src").as("host"))
+      .union(edges.select(col("dst"))).distinct())
+    var h = nodes.select(col("host"), lit(scale).as("hub"))
+    var a = nodes.select(col("host"), lit(scale).as("auth"))
+    for (_ <- 1 to iters) {
+      val ain = edges.join(h.withColumnRenamed("host", "src"), "src")
+        .groupBy("dst").agg(sum("hub").as("s"))
+      a = nodes.join(ain.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("auth"))
+      val hin = edges.join(a.withColumnRenamed("host", "dst"), "dst")
+        .groupBy("src").agg(sum("auth").as("s"))
+      h = nodes.join(hin.withColumnRenamed("src", "host"), Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("hub"))
+    }
+    a.join(h, "host")
+  }
 }
