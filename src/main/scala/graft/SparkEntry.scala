@@ -3208,6 +3208,38 @@ object SparkEntry {
         x.getField("ok").as("ok"))
     }),
 
+    // Image geo-PII flag (round 7 cont.): the scrub-before-release
+    // gate — an EXIF GPSInfo pointer (tag 0x8825) in IFD0 means the
+    // image carries location PII. Presence only (the walk never
+    // dereferences the GPS IFD — the additive `gps` field rides the
+    // same one-pass decode); TIFF blobs are construction arithmetic
+    // with a doc-varying width so the decode is exercised per row,
+    // and the junk family pins the unknown verdict (-1, never a
+    // throw). The oracle replays the family matrix.
+    "q_image_pii" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      def hb(v: Column, k: Int) =
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      val w = (pmod(col("doc_id"), lit(500L)) + 1).cast("int")
+      val wLE = concat(hb(w, 0), hb(w, 1))
+      val widthEntry = concat(lit("00010300" + "01000000"), wLE, lit("0000"))
+      val gpsEntry = lit("25880400" + "01000000" + "00010000")
+      val fam = pmod(col("doc_id"), lit(3L))
+      val hexStr = when(fam === 0, concat(
+          lit("49492A00" + "08000000" + "0200"), widthEntry, gpsEntry,
+          lit("00000000")))
+        .when(fam === 1, concat(
+          lit("49492A00" + "08000000" + "0100"), widthEntry,
+          lit("00000000")))
+        .otherwise(lit("524946467878"))
+      val x = call_function("graft_exif", unhex(hexStr))
+      d.select(col("doc_id"),
+        x.getField("width").as("width"),
+        x.getField("gps").as("gps"),
+        x.getField("ok").cast("int").as("exif_ok"))
+    }),
+
     // Byte-level blockhash near-dup grouping (round 7 cont., SURVEY §16
     // lever 3): the decode-free perceptual-hash analog. Payloads are
     // md5-built 64-byte families; a pure family (doc_id%3==0) shares the
@@ -7048,6 +7080,17 @@ object SparkEntry {
     // extra skipped entry (pre+85/109); pre = 24 hex for the JPEG APP1
     // wrapper. SHORT values read 2 bytes left-justified, LONG all 4,
     // each in the row's byte order.
+    // replay by family matrix: width = (doc_id%500)+1 (the construction
+    // value), gps follows the planted 0x8825 entry, junk is unknown
+    "q_image_pii" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |    ELSE doc_id % 500 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0
+        |    ELSE -1 END AS INT) AS gps,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS INT) AS exif_ok
+        |FROM documents""".stripMargin,
+
     "q_image_exif" -> {
       def hx2i(e: String): String =
         "list_reduce(list_transform(regexp_split_to_array(" + e +

@@ -1525,6 +1525,9 @@ object MediaUdfs {
     StructField("height", IntegerType, nullable = false),
     StructField("orientation", IntegerType, nullable = false),
     StructField("entries", IntegerType, nullable = false),
+    // additive (round 7, q_image_pii): 1 iff IFD0 carries a GPSInfo
+    // pointer (tag 0x8825) — presence only, never dereferenced
+    StructField("gps", IntegerType, nullable = false),
     StructField("ok", BooleanType, nullable = false)
   ))
 
@@ -1541,8 +1544,8 @@ object MediaUdfs {
     * pointer must be in bounds (APP1-length-bounded in the JPEG case)
     * or the verdict is unknown. Total function: malformed input →
     * ("", -1, -1, -1, -1, false), never a throw. */
-  def decodeExif(b: Array[Byte]): (String, Int, Int, Int, Int, Boolean) = {
-    val BAD = ("", -1, -1, -1, -1, false)
+  def decodeExif(b: Array[Byte]): (String, Int, Int, Int, Int, Int, Boolean) = {
+    val BAD = ("", -1, -1, -1, -1, -1, false)
     if (b == null || b.length < 8) return BAD
     @inline def u(i: Int): Int = b(i) & 0xFF
     // locate the TIFF region: bare, or inside a JPEG APP1 "Exif\0\0"
@@ -1592,11 +1595,12 @@ object MediaUdfs {
     val count = r16(ifd)
     // the full entry table plus the next-IFD pointer must fit
     if (ifd + 2 + count * 12 + 4 > to) return BAD
-    var width = -1; var height = -1; var orient = -1
+    var width = -1; var height = -1; var orient = -1; var gps = 0
     var k = 0
     while (k < count) {
       val e = ifd + 2 + k * 12
       val tag = r16(e)
+      if (tag == 0x8825) gps = 1 // GPSInfo IFD pointer: presence only
       val typ = r16(e + 2)
       val n = r32(e + 4)
       if (n == 1L && (typ == 3 || typ == 4)) {
@@ -1609,12 +1613,12 @@ object MediaUdfs {
       }
       k += 1
     }
-    (if (le) "II" else "MM", width, height, orient, count, true)
+    (if (le) "II" else "MM", width, height, orient, count, gps, true)
   }
 
   def exifHeader(b: Array[Byte]): InternalRow = {
-    val (bo, w, h, o, n, ok) = decodeExif(b)
-    InternalRow(UTF8String.fromString(bo), w, h, o, n, ok)
+    val (bo, w, h, o, n, gps, ok) = decodeExif(b)
+    InternalRow(UTF8String.fromString(bo), w, h, o, n, gps, ok)
   }
 
   val blockhashEvals = new java.util.concurrent.atomic.AtomicLong
