@@ -1482,6 +1482,37 @@ object SparkEntry {
           x => x.getField("l"))).as("csv"))
     }),
 
+    // Grid-fill table extraction (round 7 cont.): the rowspan-aware
+    // variant — cells land on the grid column a browser would paint
+    // (graft_table_grid simulates rowspan occupancy; plain
+    // graft_table_cells is the documented source-order view). The
+    // four families pin the shift cases: a rowspan pushing the next
+    // row's first cell right, a colspan×rowspan block, interleaved
+    // spans across three rows, and junk/zero rowspan values clamping
+    // to 1. One parse per row; the oracle replays the layouts.
+    "q_table_grid" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val v = escTxt(substring(coalesce(col("text"), lit("")), 1, 4))
+      val fam = pmod(col("doc_id"), lit(4L))
+      val html = when(fam === 0, concat(
+          lit("<table><tr><td rowspan=\"2\">A</td><td>B"), v,
+          lit("</td></tr><tr><td>C</td></tr></table>")))
+        .when(fam === 1, lit("<table><tr><td rowspan=\"2\" colspan=\"2\">X" +
+          "</td><td>Y</td></tr><tr><td>Z</td></tr><tr><td>W</td></tr></table>"))
+        .when(fam === 2, lit("<table><tr><td>a</td><td rowspan=\"3\">b</td>" +
+          "<td>c</td></tr><tr><td rowspan=\"2\">d</td><td>e</td></tr>" +
+          "<tr><td>f</td></tr></table>"))
+        .otherwise(lit("<table><tr><th rowspan=\"x\">H1</th>" +
+          "<th rowspan=\"0\">H2</th></tr><tr><td>K</td></tr></table>"))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_table_grid", html)).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), col("c.table_id").as("table_id"),
+          col("c.row_id").as("row_id"), col("c.col_id").as("col_id"),
+          col("c.is_header").as("is_header"), col("c.text").as("cell_text"))
+    }),
+
     // Typed table-column inference (round 7 cont.): the table
     // UNDERSTANDING step after extraction — per (table, column),
     // classify body cells (canonical trim; lookaround-free ASCII
@@ -7284,6 +7315,35 @@ object SparkEntry {
         |    AS pair_key,
         |  src_doc, dst_doc, dst_lang
         |FROM e JOIN o USING (k)""".stripMargin,
+
+    // replay by layout family: the hand-computed grid positions
+    // (rowspan occupancy shifts) with the in-body text view on the
+    // corpus-derived cell
+    "q_table_grid" -> {
+      val v = sqlBodyText("substr(coalesce(text, ''), 1, 4)")
+      s"""WITH f AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS fam, $v AS v
+        |  FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS table_id, CAST(r AS INT) AS row_id,
+        |  CAST(c AS INT) AS col_id, CAST(h AS INT) AS is_header,
+        |  t AS cell_text
+        |FROM (
+        |  SELECT doc_id, 0 AS r, 0 AS c, 0 AS h, 'A' AS t FROM f WHERE fam = 0
+        |  UNION ALL SELECT doc_id, 0, 1, 0, 'B' || v FROM f WHERE fam = 0
+        |  UNION ALL SELECT doc_id, 1, 1, 0, 'C' FROM f WHERE fam = 0
+        |  UNION ALL SELECT doc_id, 0, 0, 0, 'X' FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 0, 2, 0, 'Y' FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 1, 2, 0, 'Z' FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 2, 0, 0, 'W' FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 0, 0, 0, 'a' FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 0, 1, 0, 'b' FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 0, 2, 0, 'c' FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 1, 0, 0, 'd' FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 1, 2, 0, 'e' FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 2, 2, 0, 'f' FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 0, 0, 1, 'H1' FROM f WHERE fam = 3
+        |  UNION ALL SELECT doc_id, 0, 1, 1, 'H2' FROM f WHERE fam = 3
+        |  UNION ALL SELECT doc_id, 1, 0, 0, 'K' FROM f WHERE fam = 3)""".stripMargin
+    },
 
     // replay by family matrix: (int,float,date,str) for fam 0,
     // float-promotion for fam 1, str-fallbacks for fam 2; every

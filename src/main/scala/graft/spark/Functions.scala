@@ -505,6 +505,103 @@ object HtmlUdfs {
     }
   }
 
+  /** Grid-fill table extraction: `graft_table_grid(html)` — the
+    * RENDERING-order variant of [[tableCells]]: rowspan occupancy IS
+    * simulated, so each cell lands on the grid column a browser would
+    * paint it in (the column a data-extraction consumer needs to line
+    * headers up with values). Same struct, same nearest-ancestor table
+    * assignment and colspan advance; differences, all documented:
+    *  - a cell's col_id = the first free grid column at or after the
+    *    row cursor (columns occupied by live rowspans are skipped);
+    *  - rowspan parses like colspan (leading digits, default 1,
+    *    clamp [1,1000]; the spec's rowspan=0 "extend to end of group"
+    *    is simplified to 1 — documented);
+    *  - occupancy is per table and per column index, capped at 10,000
+    *    columns (a hostile colspan chain must not allocate unbounded
+    *    state — cells beyond the cap stop advancing the grid).
+    * One parse per row; the q_table_grid oracle replays fixed span
+    * layouts by construction. */
+  val tableGridEvals = new java.util.concurrent.atomic.AtomicLong
+
+  private def rowspanOf(cell: Node): Int = {
+    val v = firstAttrVal(cell, "rowspan")
+    if (v == null) return 1
+    var i = 0
+    while (i < v.length && (v.charAt(i) == ' ' || v.charAt(i) == '\t' ||
+      v.charAt(i) == '\n' || v.charAt(i) == '\f' || v.charAt(i) == '\r')) i += 1
+    var x = 0; var any = false
+    while (i < v.length && v.charAt(i) >= '0' && v.charAt(i) <= '9' && x <= 1000) {
+      x = x * 10 + (v.charAt(i) - '0'); any = true; i += 1
+    }
+    if (!any || x < 1) 1 else math.min(x, 1000)
+  }
+
+  def tableGrid(html: UTF8String): ArrayData = {
+    tableGridEvals.incrementAndGet()
+    graft.html.ArenaParse.withDoc(html.toString) { doc =>
+      val rows = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var nextTableId = 0
+      val MaxCols = 10000
+      // per-table state: id, nextRowId, and remaining-rowspan per column
+      final class TState(val id: Int) {
+        var rowId = 0
+        val occ = new scala.collection.mutable.ArrayBuffer[Int](8)
+        def free(c: Int): Boolean = c >= occ.length || occ(c) <= 0
+        def take(c0: Int, span: Int, rs: Int): Unit = {
+          var c = c0
+          while (c < c0 + span && c < MaxCols) {
+            while (occ.length <= c) occ += 0
+            occ(c) = math.max(occ(c), rs)
+            c += 1
+          }
+        }
+        def nextRow(): Unit = {
+          var i = 0
+          while (i < occ.length) { if (occ(i) > 0) occ(i) -= 1; i += 1 }
+        }
+      }
+      val tStack = new scala.collection.mutable.ArrayBuffer[TState](4)
+      def walk(n: Node): Unit = {
+        var pushed = false
+        if (n.kind == NodeKind.Element && n.ns == Ns.HTML) {
+          if (n.name == "table") {
+            tStack += new TState(nextTableId); nextTableId += 1; pushed = true
+          } else if (n.name == "tr" && tStack.nonEmpty) {
+            val t = tStack(tStack.length - 1)
+            val rowId = t.rowId; t.rowId += 1
+            t.nextRow()
+            var col = 0
+            var c = n.firstChild
+            while (c != null) {
+              if (c.kind == NodeKind.Element && c.ns == Ns.HTML &&
+                  (c.name == "td" || c.name == "th")) {
+                while (col < MaxCols && !t.free(col)) col += 1
+                val sb = new java.lang.StringBuilder
+                descTextOf(c, sb)
+                rows += InternalRow(t.id, rowId, col,
+                  if (c.name == "th") 1 else 0,
+                  UTF8String.fromString(sb.toString))
+                val cs = colspanOf(c)
+                val rs = rowspanOf(c)
+                // marker = rs because nextRow() decrements at row START:
+                // a value of rs survives exactly the rs-1 FOLLOWING rows
+                if (rs > 1) t.take(col, cs, rs)
+                col += cs
+              }
+              c = c.next
+            }
+          }
+        }
+        var c = n.firstChild
+        while (c != null) { walk(c); c = c.next }
+        if (pushed) tStack.remove(tStack.length - 1)
+      }
+      var c = doc.firstChild
+      while (c != null) { walk(c); c = c.next }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
   /** Sitemap extraction: `graft_sitemap(html)` → array<struct<entry_id,
     * kind,loc,lastmod,priority>> — crawl-discovery parsing of
     * sitemap.xml / sitemap-index.xml THROUGH the HTML parser: real
@@ -1938,6 +2035,22 @@ case class GraftTableCells(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftTableCells =
     copy(child = newChild)
   override def prettyName: String = "graft_table_cells"
+}
+
+/** Grid-fill table extraction: `graft_table_grid(html)` — the
+  * rowspan-occupancy variant of graft_table_cells (same struct); one
+  * parse per row; explode with the outer+isNotNull discipline. */
+case class GraftTableGrid(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.tableCellArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.tableGrid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.tableGrid($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftTableGrid =
+    copy(child = newChild)
+  override def prettyName: String = "graft_table_grid"
 }
 
 /** Sitemap extraction: `graft_sitemap(html)` → array<struct<entry_id,

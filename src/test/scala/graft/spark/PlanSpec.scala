@@ -405,7 +405,8 @@ class PlanSpec extends AnyFunSuite {
       "graft_robots_allows", "graft_robots_meta", "graft_repetition_ok",
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
-      "graft_page_meta", "graft_table_cells", "graft_sitemap", "graft_feed",
+      "graft_page_meta", "graft_table_cells", "graft_table_grid",
+      "graft_sitemap", "graft_feed",
       "graft_pub_date", "graft_subtitles", "graft_hreflang", "graft_jsonld",
       "graft_warc_compose",
       "graft_warc_compose_wet",
