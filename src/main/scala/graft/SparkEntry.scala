@@ -3271,6 +3271,52 @@ object SparkEntry {
         x.getField("ok").cast("int").as("exif_ok"))
     }),
 
+    // GPS coordinate extraction (round 7 cont.): the scrub pipeline's
+    // second half after q_image_pii's presence flag — decode the GPS
+    // IFD's (deg, min, sec) RATIONAL triples to integer micro-degrees
+    // (three floor-divided terms, the documented convention; S/W
+    // negate). The construction builds the full two-IFD TIFF with the
+    // rational arrays at hand-computed offsets; a no-GPS family and a
+    // truncated family pin the unknown verdict. The oracle replays the
+    // construction arithmetic.
+    "q_gps" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      def hb(v: Column, k: Int) =
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")
+      def le32(v: Column) = concat(hb(v, 0), hb(v, 1), hb(v, 2), hb(v, 3))
+      val latDeg = pmod(col("doc_id"), lit(90L)).cast("int")
+      val latMin = pmod(col("doc_id"), lit(60L)).cast("int")
+      val latSec = pmod(col("doc_id"), lit(6000L)).cast("int")
+      val lonDeg = pmod(col("doc_id"), lit(180L)).cast("int")
+      val lonMin = pmod(col("doc_id") * 7, lit(60L)).cast("int")
+      val lonSec = pmod(col("doc_id") * 13, lit(6000L)).cast("int")
+      val fam = pmod(col("doc_id"), lit(4L))
+      val latRef = when(fam === 1, lit("53")).otherwise(lit("4E"))
+      val lonRef = when(fam === 1 || fam === 2, lit("57")).otherwise(lit("45"))
+      val one = le32(lit(1)); val hundred = le32(lit(100))
+      val full = concat(
+        lit("49492A00" + "08000000" + "0100" +
+          "2588" + "0400" + "01000000" + "1A000000" + "00000000" + "0400"),
+        lit("0100" + "0200" + "02000000"), latRef, lit("000000"),
+        lit("0200" + "0500" + "03000000" + "50000000"),
+        lit("0300" + "0200" + "02000000"), lonRef, lit("000000"),
+        lit("0400" + "0500" + "03000000" + "68000000" + "00000000"),
+        le32(latDeg), one, le32(latMin), one, le32(latSec), hundred,
+        le32(lonDeg), one, le32(lonMin), one, le32(lonSec), hundred)
+      val noGps = lit("49492A00" + "08000000" + "0100" +
+        "00010300" + "01000000" + "40010000" + "00000000")
+      val hexStr = when(pmod(col("doc_id"), lit(13L)) === 7,
+          substring(full, 1, 40))
+        .when(fam === 3, noGps)
+        .otherwise(full)
+      val g = call_function("graft_gps", unhex(hexStr))
+      d.select(col("doc_id"),
+        g.getField("lat_udeg").as("lat_udeg"),
+        g.getField("lon_udeg").as("lon_udeg"),
+        g.getField("ok").cast("int").as("gps_ok"))
+    }),
+
     // Byte-level blockhash near-dup grouping (round 7 cont., SURVEY §16
     // lever 3): the decode-free perceptual-hash analog. Payloads are
     // md5-built 64-byte families; a pure family (doc_id%3==0) shares the
@@ -7111,6 +7157,27 @@ object SparkEntry {
     // extra skipped entry (pre+85/109); pre = 24 hex for the JPEG APP1
     // wrapper. SHORT values read 2 bytes left-justified, LONG all 4,
     // each in the row's byte order.
+    // replay of the construction arithmetic: the three floor-div
+    // micro-degree terms with the family signs; truncated and no-GPS
+    // docs read (0, 0, not ok)
+    "q_gps" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS fam,
+        |  doc_id % 13 = 7 AS cut,
+        |  (doc_id % 90) * 1000000
+        |    + ((doc_id % 60) * 1000000) // 60
+        |    + ((doc_id % 6000) * 1000000) // 360000 AS latu,
+        |  (doc_id % 180) * 1000000
+        |    + (((doc_id * 7) % 60) * 1000000) // 60
+        |    + (((doc_id * 13) % 6000) * 1000000) // 360000 AS lonu
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN cut OR fam = 3 THEN 0
+        |    WHEN fam = 1 THEN -latu ELSE latu END AS BIGINT) AS lat_udeg,
+        |  CAST(CASE WHEN cut OR fam = 3 THEN 0
+        |    WHEN fam IN (1, 2) THEN -lonu ELSE lonu END AS BIGINT) AS lon_udeg,
+        |  CAST(CASE WHEN cut OR fam = 3 THEN 0 ELSE 1 END AS INT) AS gps_ok
+        |FROM f""".stripMargin,
+
     // replay by family matrix: width = (doc_id%500)+1 (the construction
     // value), gps follows the planted 0x8825 entry, junk is unknown
     "q_image_pii" ->

@@ -1713,6 +1713,119 @@ object MediaUdfs {
     (if (le) "II" else "MM", width, height, orient, count, gps, true)
   }
 
+  /** GPS coordinate decode: follows IFD0's GPSInfo pointer (0x8825)
+    * into the GPS IFD and decodes GPSLatitudeRef(1)/GPSLatitude(2)/
+    * GPSLongitudeRef(3)/GPSLongitude(4) — the lat/lon RATIONAL(5)
+    * triples (deg, min, sec) live at their offset-valued entries, the
+    * ONE place this walk dereferences an offset (bounds-checked; the
+    * header walk proper still never does). Returns micro-degrees as
+    * three floor-divided integer terms
+    *   udeg = (n1·10^6)//d1 + (n2·10^6)//(60·d2) + (n3·10^6)//(3600·d3)
+    * (documented convention — integer-exact, so a SQL oracle replays
+    * it; a zero denominator zeroes its term), negated for S/W. Total:
+    * anything malformed or absent → (0, 0, false). */
+  def decodeGps(b: Array[Byte]): (Long, Long, Boolean) = {
+    val BAD = (0L, 0L, false)
+    val (bo, _, _, _, _, _, ok0) = decodeExif(b)
+    if (!ok0) return BAD
+    // re-locate the TIFF region (same walk as decodeExif)
+    @inline def u(i: Int): Int = b(i) & 0xFF
+    var base = 0
+    var to = b.length
+    if (u(0) == 0xFF && u(1) == 0xD8) {
+      @inline def jbe16(i: Int): Int = (u(i) << 8) | u(i + 1)
+      var i = 2
+      var found = false
+      while (!found && i + 3 < b.length) {
+        var j = i
+        while (j < b.length && u(j) == 0xFF) j += 1
+        if (j >= b.length) return BAD
+        val m = u(j)
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i = j + 1
+        else {
+          val len = jbe16(j + 1)
+          if (m == 0xE1 && u(j + 3) == 'E' && u(j + 4) == 'x' &&
+              u(j + 5) == 'i' && u(j + 6) == 'f' && u(j + 7) == 0 &&
+              u(j + 8) == 0) {
+            base = j + 9
+            to = math.min(b.length, j + len + 1)
+            found = true
+          } else i = j + 1 + len
+        }
+      }
+      if (!found) return BAD
+    }
+    val le = u(base) == 0x49
+    @inline def r16(i: Int): Int =
+      if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+    @inline def r32(i: Int): Long =
+      if (le) (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
+      else (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    val ifd = base + r32(base + 4).toInt
+    val count = r16(ifd)
+    var gpsOff = -1L
+    var k = 0
+    while (k < count) {
+      val e = ifd + 2 + k * 12
+      if (r16(e) == 0x8825 && r16(e + 2) == 4 && r32(e + 4) == 1L)
+        gpsOff = r32(e + 8)
+      k += 1
+    }
+    if (gpsOff < 8 || base + gpsOff + 2 > to) return BAD
+    val g = base + gpsOff.toInt
+    val gn = r16(g)
+    if (g + 2 + gn * 12 + 4 > to) return BAD
+    var latRef = 0; var lonRef = 0
+    var latOff = -1L; var lonOff = -1L
+    k = 0
+    while (k < gn) {
+      val e = g + 2 + k * 12
+      val tag = r16(e)
+      val typ = r16(e + 2)
+      val n = r32(e + 4)
+      if (typ == 2 && n >= 1L) {
+        if (tag == 1) latRef = u(e + 8)
+        else if (tag == 3) lonRef = u(e + 8)
+      } else if (typ == 5 && n == 3L) {
+        if (tag == 2) latOff = r32(e + 8)
+        else if (tag == 4) lonOff = r32(e + 8)
+      }
+      k += 1
+    }
+    if (latOff < 0 || lonOff < 0 || latRef == 0 || lonRef == 0) return BAD
+    def udeg(off0: Long): Long = {
+      val o = base + off0.toInt
+      if (off0 < 8 || o + 24 > to) return Long.MinValue
+      var s = 0L
+      var t = 0
+      while (t < 3) {
+        val num = r32(o + t * 8)
+        val den = r32(o + t * 8 + 4)
+        val scale = if (t == 0) 1L else if (t == 1) 60L else 3600L
+        if (den > 0) s += (num * 1000000L) / (den * scale)
+        t += 1
+      }
+      s
+    }
+    val lat = udeg(latOff)
+    val lon = udeg(lonOff)
+    if (lat == Long.MinValue || lon == Long.MinValue) return BAD
+    val latS = if (latRef == 'S') -lat else lat
+    val lonS = if (lonRef == 'W') -lon else lon
+    (latS, lonS, true)
+  }
+
+  def gpsHeader(b: Array[Byte]): InternalRow = {
+    val (lat, lon, ok) = decodeGps(b)
+    InternalRow(lat, lon, ok)
+  }
+
+  val gpsStructType: StructType = StructType(Seq(
+    StructField("lat_udeg", LongType, nullable = false),
+    StructField("lon_udeg", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)
+  ))
+
   def exifHeader(b: Array[Byte]): InternalRow = {
     val (bo, w, h, o, n, gps, ok) = decodeExif(b)
     InternalRow(UTF8String.fromString(bo), w, h, o, n, gps, ok)
@@ -1833,6 +1946,22 @@ case class GraftVideoHeader(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftVideoHeader =
     copy(child = newChild)
   override def prettyName: String = "graft_video_header"
+}
+
+/** GPS coordinates: `graft_gps(bytes)` → struct(lat_udeg, lon_udeg,
+  * ok) — integer micro-degrees from the EXIF GPS IFD (see
+  * MediaUdfs.decodeGps for the floor-div convention the oracle
+  * replays). Total. */
+case class GraftGps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaUdfs.gpsStructType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MediaUdfs.gpsHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.MediaUdfs.gpsHeader($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftGps =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gps"
 }
 
 /** Native expression: `graft_exif(binary)` →

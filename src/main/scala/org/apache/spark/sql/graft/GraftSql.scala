@@ -125,6 +125,8 @@ object GraftSql {
       args => GraftVideoHeader(args.head)),
     ("graft_exif", "graft.spark.GraftExif",
       args => GraftExif(args.head)),
+    ("graft_gps", "graft.spark.GraftGps",
+      args => GraftGps(args.head)),
     ("graft_blockhash", "graft.spark.GraftBlockhash",
       args => GraftBlockhash(args.head)),
     ("graft_hamming_hex", "graft.spark.GraftHammingHex",

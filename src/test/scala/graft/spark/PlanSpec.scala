@@ -398,7 +398,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_fingerprint64", "graft_lang_id", "graft_nfc", "graft_demojibake",
       "graft_image_header",
       "graft_audio_header", "graft_mp3_header", "graft_video_header",
-      "graft_exif", "graft_blockhash", "graft_hamming_hex",
+      "graft_exif", "graft_gps", "graft_blockhash", "graft_hamming_hex",
       "graft_pdf_info", "graft_pdf_text",
       "graft_attr_match_counts", "graft_repetition", "graft_bpe_count",
       "graft_ngrams", "graft_warc_records", "graft_warc_index",
