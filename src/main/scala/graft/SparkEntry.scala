@@ -1482,6 +1482,35 @@ object SparkEntry {
           x => x.getField("l"))).as("csv"))
     }),
 
+    // Per-block density report (round 7 cont.): the OBSERVABILITY face
+    // of the north-star boilerplate scorer — one row per text-bearing
+    // block with the exact quantities the keep/drop rule reads
+    // (codepoint text/link mass, descendant elements, tag depth) and
+    // the verdict. The four families fire each rule exactly once:
+    // kept prose, the link-density rule, the text-density rule, and
+    // the tag-depth rule on a 25-deep nest (wrapper blocks never
+    // appear — only the innermost text-bearing one). One parse/row;
+    // the oracle replays the family arithmetic.
+    "q_density_blocks" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val prose = concat(lit("P-"), md5(coalesce(col("text"), lit(""))))
+      val deepTxt = "deeply nested prose block with enough chars to pass"
+      val fam = pmod(col("doc_id"), lit(4L))
+      val html = when(fam === 0, concat(lit("<p>"), prose, lit("</p>")))
+        .when(fam === 1, lit("<div><a href=\"/x\">LNKLNKLN</a></div>"))
+        .when(fam === 2,
+          lit("<div>abcdefghijkl<em>mm</em><em>nn</em></div>"))
+        .otherwise(lit("<div>" * 25 + deepTxt + "</div>" * 25))
+      d.select(col("doc_id"),
+          explode_outer(call_function("graft_density_blocks", html)).as("b"))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id"), col("b.block_id").as("block_id"),
+          col("b.tag").as("tag"), col("b.depth").as("depth"),
+          col("b.text_cp").as("text_cp"), col("b.link_cp").as("link_cp"),
+          col("b.tags").as("tags"), col("b.kept").as("kept"))
+    }),
+
     // Grid-fill table extraction (round 7 cont.): the rowspan-aware
     // variant — cells land on the grid column a browser would paint
     // (graft_table_grid simulates rowspan occupancy; plain
@@ -7382,6 +7411,28 @@ object SparkEntry {
         |    AS pair_key,
         |  src_doc, dst_doc, dst_lang
         |FROM e JOIN o USING (k)""".stripMargin,
+
+    // replay by family arithmetic: each rule's quantities are
+    // construction constants (md5 is always 32 hex chars; the deep
+    // literal's length computes in-query)
+    "q_density_blocks" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS fam,
+        |  length('deeply nested prose block with enough chars to pass')
+        |    AS dl
+        |  FROM documents)
+        |SELECT doc_id, CAST(b AS INT) AS block_id, tag,
+        |  CAST(d AS INT) AS depth, CAST(t AS INT) AS text_cp,
+        |  CAST(l AS INT) AS link_cp, CAST(g AS INT) AS tags,
+        |  CAST(k AS INT) AS kept
+        |FROM (
+        |  SELECT doc_id, 0 AS b, 'p' AS tag, 2 AS d, 34 AS t, 0 AS l,
+        |    0 AS g, 1 AS k FROM f WHERE fam = 0
+        |  UNION ALL SELECT doc_id, 0, 'div', 2, 8, 8, 1, 0
+        |  FROM f WHERE fam = 1
+        |  UNION ALL SELECT doc_id, 0, 'div', 2, 16, 0, 2, 0
+        |  FROM f WHERE fam = 2
+        |  UNION ALL SELECT doc_id, 24, 'div', 26, dl, 0, 0, 0
+        |  FROM f WHERE fam = 3)""".stripMargin,
 
     // replay by layout family: the hand-computed grid positions
     // (rowspan occupancy shifts) with the in-body text view on the

@@ -132,6 +132,65 @@ object Extractor {
     "h5", "h6", "pre"
   )
 
+  /** Per-block density REPORT — the observability face of the Density
+    * config: one row per TEXT-BEARING block (the same blocks
+    * stripBoilerplate scores; wrapper blocks never appear) with the
+    * exact quantities the keep/drop rule reads. block_id = pre-order
+    * ordinal over ALL block-tag elements (stable whether or not a
+    * block bears text); depth = ancestor element count (document
+    * excluded); text/link are CODEPOINT counts (the canonical length
+    * alphabet); kept replays stripBoilerplate's rule verbatim —
+    * OpsSpec pins agreement against the actual extraction. */
+  final case class BlockScore(blockId: Int, tag: String, depth: Int,
+                              textCp: Int, linkCp: Int, tags: Int,
+                              kept: Boolean)
+
+  def densityBlocks(html: String,
+                    cfg: ExtractConfig = Density): Seq[BlockScore] =
+    ArenaParse.withDoc(html) { doc =>
+      final class B(val id: Int, val tag: String, val depth: Int) {
+        var text = 0; var link = 0; var tags = 0
+      }
+      val order = new ArrayBuffer[B](8)
+      var nextId = 0
+      def walk(n: Node, block: B, depth: Int, inLink: Boolean): Unit = {
+        n.kind match {
+          case NodeKind.Text =>
+            if (block != null && !TextPrep.isWhitespaceOnly(n.text)) {
+              val cp = n.text.codePointCount(0, n.text.length)
+              if (block.text == 0 && block.link == 0 && cp > 0)
+                order += block
+              block.text += cp
+              if (inLink) block.link += cp
+            }
+          case NodeKind.Element =>
+            if (cfg.skipTags.contains(n.name)) return
+            if (block != null) block.tags += 1
+            val isBlock = n.ns == Ns.HTML && blockTags.contains(n.name)
+            val nb =
+              if (isBlock) { val b = new B(nextId, n.name, depth); nextId += 1; b }
+              else block
+            val il = inLink || (n.ns == Ns.HTML && n.name == "a")
+            var c = n.firstChild
+            while (c != null) { walk(c, nb, depth + 1, il); c = c.next }
+          case NodeKind.Document =>
+            var c = n.firstChild
+            while (c != null) { walk(c, block, depth, inLink); c = c.next }
+          case _ =>
+        }
+      }
+      walk(doc, null, 0, inLink = false)
+      order.map { b =>
+        val ld = if (b.text == 0) 1.0 else b.link.toDouble / b.text
+        var drop = b.text < cfg.minBlockChars && ld > cfg.maxLinkDensity
+        if (!drop && cfg.minTextDensity > 0 &&
+            b.text.toLong < cfg.minTextDensity.toLong * (b.tags + 1)) drop = true
+        if (!drop && cfg.maxBlockDepth > 0 && b.depth > cfg.maxBlockDepth)
+          drop = true
+        BlockScore(b.id, b.tag, b.depth, b.text, b.link, b.tags, !drop)
+      }.toSeq
+    }
+
   private def stripBoilerplate(doc: Node, spans: ArrayBuffer[Span],
                                cfg: ExtractConfig): Seq[Span] = {
     val density = cfg.minTextDensity > 0 || cfg.maxBlockDepth > 0

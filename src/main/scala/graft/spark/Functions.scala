@@ -814,6 +814,35 @@ object HtmlUdfs {
     }
   }
 
+  /** Per-block density report: `graft_density_blocks(html)` →
+    * array<struct<block_id,tag,depth,text_cp,link_cp,tags,kept>> —
+    * the observability face of extract_dense_text (see
+    * Extractor.densityBlocks; kept replays the Density keep/drop rule
+    * verbatim, OpsSpec pins agreement with the actual extraction).
+    * One parse per row; explode with the outer+isNotNull discipline. */
+  val densityBlockStructType: StructType = StructType(Seq(
+    StructField("block_id", IntegerType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("text_cp", IntegerType, nullable = false),
+    StructField("link_cp", IntegerType, nullable = false),
+    StructField("tags", IntegerType, nullable = false),
+    StructField("kept", IntegerType, nullable = false)
+  ))
+  val densityBlockArrayType: ArrayType =
+    ArrayType(densityBlockStructType, containsNull = false)
+
+  val densityBlocksEvals = new java.util.concurrent.atomic.AtomicLong
+
+  def densityBlocks(html: UTF8String): ArrayData = {
+    densityBlocksEvals.incrementAndGet()
+    val rows = graft.html.Extractor.densityBlocks(html.toString)
+    new GenericArrayData(rows.map { b =>
+      InternalRow(b.blockId, UTF8String.fromString(b.tag), b.depth,
+        b.textCp, b.linkCp, b.tags, if (b.kept) 1 else 0)
+    }.toArray[Any])
+  }
+
   /** JSON-LD payloads: `graft_jsonld(html)` → array<struct<script_id,
     * raw>> — the structured-data blocks (`<script type="application/
     * ld+json">`) a knowledge-extraction pipeline feeds to a JSON
@@ -2229,6 +2258,21 @@ case class GraftHreflang(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GraftHreflang =
     copy(child = newChild)
   override def prettyName: String = "graft_hreflang"
+}
+
+/** Per-block density report: `graft_density_blocks(html)` — one parse
+  * per row; explode with the outer+isNotNull discipline. */
+case class GraftDensityBlocks(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = HtmlUdfs.densityBlockArrayType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlUdfs.densityBlocks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.HtmlUdfs.densityBlocks($c)")
+  override protected def withNewChildInternal(newChild: Expression): GraftDensityBlocks =
+    copy(child = newChild)
+  override def prettyName: String = "graft_density_blocks"
 }
 
 /** JSON-LD payloads: `graft_jsonld(html)` → array<struct<script_id,

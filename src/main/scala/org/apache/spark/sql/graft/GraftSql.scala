@@ -33,6 +33,7 @@ object GraftSql {
     ("graft_hreflang", "graft.spark.GraftHreflang", args => GraftHreflang(args.head)),
     ("graft_jsonld", "graft.spark.GraftJsonld", args => GraftJsonld(args.head)),
     ("graft_table_grid", "graft.spark.GraftTableGrid", args => GraftTableGrid(args.head)),
+    ("graft_density_blocks", "graft.spark.GraftDensityBlocks", args => GraftDensityBlocks(args.head)),
     ("extract_interleaved_spans", "graft.spark.ExtractInterleavedSpans",
       args => ExtractInterleavedSpans(args.head)),
     ("graft_cosine", "graft.spark.GraftCosine",

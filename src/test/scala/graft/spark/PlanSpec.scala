@@ -406,6 +406,7 @@ class PlanSpec extends AnyFunSuite {
       "graft_quality_model", "graft_node_table", "graft_bpe_tokens",
       "graft_quality_score", "graft_link_table",
       "graft_page_meta", "graft_table_cells", "graft_table_grid",
+      "graft_density_blocks",
       "graft_sitemap", "graft_feed",
       "graft_pub_date", "graft_subtitles", "graft_hreflang", "graft_jsonld",
       "graft_warc_compose",
