@@ -45,7 +45,7 @@ object ScaleProbe {
     "q_image_dedup", "q_diversity", "q_oov_rate", "q_demojibake",
     "q_quality_calib", "q_embed_decontam",
     "q_span_audit", "q_index_delta", "q_warc_dedup", "q_table_types",
-    "q_url_bitext", "q_badwords", "q_readability", "q_datasheet", "q_dom_diff", "q_hits", "q_image_pii", "q_table_grid", "q_gps", "q_density_blocks",
+    "q_url_bitext", "q_badwords", "q_readability", "q_datasheet", "q_dom_diff", "q_hits", "q_image_pii", "q_table_grid", "q_gps", "q_density_blocks", "q_dedup_nfc",
     // planted-corpus dedup (fixed 100-doc md5 corpus) — expected ~flat
     "q_minhash_dedup", "q_cjk_dedup", "q_simhash_dedup", "q_ngram_jaccard",
     "q_substr_dedup", "q_fuzzy_dedup", "q_fuzzy_dedup_v2", "q_semdedup",

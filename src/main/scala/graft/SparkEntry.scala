@@ -4950,6 +4950,30 @@ object SparkEntry {
         (payload =!= norm).cast("int").as("changed"))
     }),
 
+    // NFC-canonical dedup keys (round 7 cont.): why q_nfc exists —
+    // "café" typed composed and decomposed must dedup together. The
+    // construction plants both spellings of the same content per
+    // family pair (even doc = composed, odd = decomposed, same family
+    // text); the dedup key is md5(nfc(canonical-lower-trim)) so the
+    // pair collapses to one group of 2. The oracle replays with
+    // DuckDB's nfc_normalize in the same key position.
+    "q_dedup_nfc" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val d = docs(s, dir)
+      val famTxt = md5(concat(lit("nf"),
+        expr("doc_id div 2").cast("string")))
+      val t = when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("caf\u00E9 "), famTxt))
+        .otherwise(concat(lit("cafe\u0301 "), famTxt))
+      val key = md5(call_function("graft_nfc",
+        TextNorm.lowerCol(TextNorm.trimCol(t))))
+      d.select(col("doc_id"), key.as("k"))
+        .groupBy("k")
+        .agg(min(col("doc_id")).as("canon_id"),
+          count(lit(1)).as("dup_count"))
+        .select(col("canon_id"), col("dup_count"))
+    }),
+
     // Mojibake repair (round 7 cont.): UTF-8-decoded-as-Latin-1 text
     // ("Ã©" for "é" — the classic web-corpus corruption) fixed by the
     // pure-byte-view / strict-UTF-8 rule shared with the PDF literal
@@ -8631,6 +8655,20 @@ object SparkEntry {
         |  CAST(CASE WHEN payload <> nfc_normalize(payload) THEN 1 ELSE 0 END
         |    AS INT) AS changed
         |FROM e""".stripMargin,
+
+    // the same canonical key chain with utf8proc nfc_normalize in the
+    // NFC slot: composed/decomposed pair members hash identically
+    "q_dedup_nfc" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233) || ' '
+        |    ELSE 'cafe' || chr(769) || ' ' END
+        |    || md5('nf' || CAST(doc_id // 2 AS VARCHAR)) AS t0
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |  md5(nfc_normalize(${TextNorm.sqlLower(TextNorm.sqlTrim("t0"))}))
+        |    AS k FROM t)
+        |SELECT min(doc_id) AS canon_id, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM k GROUP BY k""".stripMargin,
 
     // replay by construction: the repaired strings ARE the decoded
     // literals (2-byte C3A9 -> é, 4-byte F090 8D88 -> U+10348); the
