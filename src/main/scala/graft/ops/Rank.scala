@@ -73,6 +73,20 @@ object Rank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val nodes = Snapshot(edges.select(col("src").as("host"))
       .union(edges.select(col("dst"))).distinct())
+    // overflow guard (ADVICE r7): magnitudes grow as scale·deg^(2·iters)
+    // and a non-ANSI long sum() WRAPS SILENTLY — the iters cap alone
+    // only bounds deg ~40 (iters=4) / ~10^4 (iters=2), which real host
+    // graphs exceed. One cheap degree aggregate over the checkpointed
+    // edges enforces the documented bound before any iteration runs.
+    val degRow = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst")))
+      .groupBy("h").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head
+    val maxDeg = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
+    require(BigInt(scale) * BigInt(maxDeg).pow(2 * iters) <= BigInt(Long.MaxValue),
+      s"hits overflow bound: scale=$scale * maxDegree=$maxDeg^${2 * iters} " +
+        "exceeds 2^63 - lower scale or iters (integer HITS is norm-free; " +
+        "magnitudes grow ~degree^2 per round)")
     var h = nodes.select(col("host"), lit(scale).as("hub"))
     var a = nodes.select(col("host"), lit(scale).as("auth"))
     for (_ <- 1 to iters) {

@@ -1670,40 +1670,51 @@ object MediaUdfs {
     * pointer must be in bounds (APP1-length-bounded in the JPEG case)
     * or the verdict is unknown. Total function: malformed input →
     * ("", -1, -1, -1, -1, false), never a throw. */
-  def decodeExif(b: Array[Byte]): (String, Int, Int, Int, Int, Int, Boolean) = {
-    val BAD = ("", -1, -1, -1, -1, -1, false)
-    if (b == null || b.length < 8) return BAD
+  /** Locate the TIFF region: a bare blob, or inside a JPEG whose
+    * marker walk reaches an APP1 segment with the `Exif\0\0`
+    * identifier. ONE locator shared by [[decodeExif]] and
+    * [[decodeGps]] (ADVICE r7 medium: decodeGps carried a weaker copy
+    * of this walk — missing the len>=2 / Exif-length / EOI / FF-align
+    * guards — so a decoy APP1 could lock the two onto DIFFERENT TIFF
+    * regions; one shared walk cannot drift). Returns (base, to) or
+    * null when no region exists. */
+  private def tiffRegion(b: Array[Byte]): (Int, Int) = {
+    if (b == null || b.length < 8) return null
     @inline def u(i: Int): Int = b(i) & 0xFF
-    // locate the TIFF region: bare, or inside a JPEG APP1 "Exif\0\0"
-    var base = 0
-    var to = b.length
     if (u(0) == 0xFF && u(1) == 0xD8) {
       @inline def jbe16(i: Int): Int = (u(i) << 8) | u(i + 1)
       var i = 2
-      var found = false
-      while (!found && i + 3 < b.length) {
-        if (u(i) != 0xFF) return BAD
+      while (i + 3 < b.length) {
+        if (u(i) != 0xFF) return null
         var j = i
         while (j < b.length && u(j) == 0xFF) j += 1 // fill bytes
-        if (j >= b.length) return BAD
+        if (j >= b.length) return null
         val m = u(j)
-        if (m == 0xD9) return BAD // EOI before any Exif APP1
+        if (m == 0xD9) return null // EOI before any Exif APP1
         if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i = j + 1
         else {
-          if (j + 2 >= b.length) return BAD
+          if (j + 2 >= b.length) return null
           val len = jbe16(j + 1)
-          if (len < 2) return BAD
+          if (len < 2) return null
           if (m == 0xE1 && len >= 8 && j + 8 < b.length &&
               u(j + 3) == 'E' && u(j + 4) == 'x' && u(j + 5) == 'i' &&
-              u(j + 6) == 'f' && u(j + 7) == 0 && u(j + 8) == 0) {
-            base = j + 9
-            to = math.min(b.length, j + len + 1) // APP1 bounds the TIFF
-            found = true
-          } else i = j + 1 + len
+              u(j + 6) == 'f' && u(j + 7) == 0 && u(j + 8) == 0)
+            // APP1 bounds the TIFF
+            return (j + 9, math.min(b.length, j + len + 1))
+          else i = j + 1 + len
         }
       }
-      if (!found) return BAD
-    }
+      null
+    } else (0, b.length)
+  }
+
+  def decodeExif(b: Array[Byte]): (String, Int, Int, Int, Int, Int, Boolean) = {
+    val BAD = ("", -1, -1, -1, -1, -1, false)
+    val region = tiffRegion(b)
+    if (region == null) return BAD
+    val base = region._1
+    val to = region._2
+    @inline def u(i: Int): Int = b(i) & 0xFF
     if (base + 8 > to) return BAD
     val le =
       if (u(base) == 0x49 && u(base + 1) == 0x49) true
@@ -1757,41 +1768,28 @@ object MediaUdfs {
     val BAD = (0L, 0L, false)
     val (bo, _, _, _, _, _, ok0) = decodeExif(b)
     if (!ok0) return BAD
-    // re-locate the TIFF region (same walk as decodeExif)
+    // the SAME shared locator decodeExif used (ADVICE r7: a weaker
+    // inline copy here could lock onto a different TIFF region than
+    // the one decodeExif validated — move-in-lockstep by construction)
+    val region = tiffRegion(b)
+    if (region == null) return BAD
+    val base = region._1
+    val to = region._2
     @inline def u(i: Int): Int = b(i) & 0xFF
-    var base = 0
-    var to = b.length
-    if (u(0) == 0xFF && u(1) == 0xD8) {
-      @inline def jbe16(i: Int): Int = (u(i) << 8) | u(i + 1)
-      var i = 2
-      var found = false
-      while (!found && i + 3 < b.length) {
-        var j = i
-        while (j < b.length && u(j) == 0xFF) j += 1
-        if (j >= b.length) return BAD
-        val m = u(j)
-        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i = j + 1
-        else {
-          val len = jbe16(j + 1)
-          if (m == 0xE1 && u(j + 3) == 'E' && u(j + 4) == 'x' &&
-              u(j + 5) == 'i' && u(j + 6) == 'f' && u(j + 7) == 0 &&
-              u(j + 8) == 0) {
-            base = j + 9
-            to = math.min(b.length, j + len + 1)
-            found = true
-          } else i = j + 1 + len
-        }
-      }
-      if (!found) return BAD
-    }
     val le = u(base) == 0x49
     @inline def r16(i: Int): Int =
       if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
     @inline def r32(i: Int): Long =
       if (le) (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong | (u(i + 3).toLong << 24)
       else (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
-    val ifd = base + r32(base + 4).toInt
+    // bounds-check the IFD offset in LONG space before truncating
+    // (decodeExif validated the same offset over the same region, but
+    // re-checking here keeps this walk total on its own)
+    val ifdOff = r32(base + 4)
+    if (ifdOff < 8 || base + ifdOff + 2 > to) return BAD
+    val ifd = base + ifdOff.toInt
     val count = r16(ifd)
+    if (ifd + 2 + count * 12 + 4 > to) return BAD
     var gpsOff = -1L
     var k = 0
     while (k < count) {
@@ -1823,8 +1821,12 @@ object MediaUdfs {
     }
     if (latOff < 0 || lonOff < 0 || latRef == 0 || lonRef == 0) return BAD
     def udeg(off0: Long): Long = {
+      // validate in LONG space BEFORE truncating (ADVICE r7 high: an
+      // unsigned 32-bit offset >= 2^31 truncates negative, slips past
+      // an int-space bound check, and indexes b negatively — a ~120-
+      // byte crafted EXIF crashed the whole query)
+      if (off0 < 8 || base + off0 + 24 > to) return Long.MinValue
       val o = base + off0.toInt
-      if (off0 < 8 || o + 24 > to) return Long.MinValue
       var s = 0L
       var t = 0
       while (t < 3) {
@@ -1845,7 +1847,10 @@ object MediaUdfs {
   }
 
   def gpsHeader(b: Array[Byte]): InternalRow = {
-    val (lat, lon, ok) = decodeGps(b)
+    // catch-all backstop: graft_gps is documented TOTAL over untrusted
+    // image bytes ('anything malformed -> (0,0,false), never a throw')
+    val (lat, lon, ok) =
+      try decodeGps(b) catch { case _: RuntimeException => (0L, 0L, false) }
     InternalRow(lat, lon, ok)
   }
 
