@@ -51,17 +51,34 @@ object Redirects {
         .filter(col("id").isNotNull && col("tgt").isNotNull))
     var m = e.select(col("id"), col("tgt"), lit(1L).as("steps"))
     var reach = 1L
-    while (reach < maxHops) {
+    var live = true
+    while (live && reach < maxHops) {
       val jump = m.select(col("id").as("jid"), col("tgt").as("jtgt"),
         col("steps").as("jsteps"))
       // resolved walks (tgt has no entry in the map) ride through the
       // left join unchanged; live walks jump 2^r more hops and add the
       // jumped segment's exact step count
-      m = checkpointed(m.join(jump, m("tgt") === jump("jid"), "left")
+      val ck = checkpointed(m.join(jump, m("tgt") === jump("jid"), "left")
         .select(col("id"),
           coalesce(col("jtgt"), col("tgt")).as("tgt"),
-          (col("steps") + coalesce(col("jsteps"), lit(0L))).as("steps")))
+          (col("steps") + coalesce(col("jsteps"), lit(0L))).as("steps"),
+          col("jtgt").isNotNull.as("__moved")))
+      // early FIXPOINT exit (round 8): once no walk moved in a round,
+      // every remaining round composes with the identity — the output
+      // equals the full next-pow2(maxHops) walk exactly, at a fraction
+      // of the shuffle rounds. Real redirect chains are 1-3 hops, so
+      // maxHops=64 paid 6 full-corpus self-joins where 2 suffice. A
+      // CYCLE keeps moving every round (its reached node always has an
+      // out-edge), so cyclic corpora still walk the full capped reach —
+      // the cap semantics the oracle's bounded recursion replays are
+      // unchanged. The probe scans only the just-checkpointed frame
+      // (the Dedup.clusters convergence discipline).
+      m = ck.select("id", "tgt", "steps")
       reach *= 2
+      // probe only while rounds remain — the last round's probe would
+      // be pure overhead (nothing left to skip)
+      if (reach < maxHops)
+        live = !ck.filter(col("__moved")).limit(1).isEmpty
     }
     // a walk is finished iff its reached node has no outgoing edge;
     // after the rounds above every acyclic chain <= maxHops is finished

@@ -485,7 +485,8 @@ object Similarity {
   def hnswTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                queries: DataFrame, queryId: String, queryVec: String,
                k: Int = 10, m: Int = 8, efSearch: Int = 64,
-               shards: Int = 4): DataFrame = {
+               shards: Int = 4,
+               maxRowsPerShard: Int = 2000000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qArr = queries.select(col(queryId).cast("long"), col(queryVec))
@@ -502,6 +503,19 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val nodes = it.toArray.sortBy(_._1)
+        // corpus-side scale guard (VERDICT r7 #1): each shard
+        // materializes its rows on ONE task's heap, so a 100× caller on
+        // the default shards=4 would OOM a task silently. Fail fast
+        // with the sizing rule instead (the query-side require's
+        // mirror; zero extra jobs at any scale). For corpus-scale ANN
+        // prefer ivfHnswTopK — cells bound the per-graph rows by
+        // construction.
+        require(nodes.length <= maxRowsPerShard,
+          s"hnswTopK shard holds ${nodes.length} vectors > " +
+            s"maxRowsPerShard=$maxRowsPerShard - pass shards >= " +
+            "ceil(corpusRows / maxRowsPerShard) (each shard is built on " +
+            "one task's heap), or use ivfHnswTopK, the production shape " +
+            "at corpus scale")
         val qs = qB.value
         if (nodes.isEmpty || qs.isEmpty) Iterator.empty
         else {
@@ -532,14 +546,15 @@ object Similarity {
   def hnswI8TopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                  queries: DataFrame, queryId: String, queryVec: String,
                  k: Int = 10, m: Int = 8, efSearch: Int = 64,
-                 shards: Int = 4): DataFrame = {
+                 shards: Int = 4,
+                 maxRowsPerShard: Int = 2000000): DataFrame = {
     def q8f(c: Column): Column =
       transform(quantizeI8(c), b => b.cast("float"))
     hnswTopK(
       corpus.select(col(corpusId), q8f(col(corpusVec)).as(corpusVec)),
       corpusId, corpusVec,
       queries.select(col(queryId), q8f(col(queryVec)).as(queryVec)),
-      queryId, queryVec, k, m, efSearch, shards)
+      queryId, queryVec, k, m, efSearch, shards, maxRowsPerShard)
   }
 
   /** IVF-HNSW hybrid — the production ANN shape at corpus scale: the
@@ -563,7 +578,8 @@ object Similarity {
   def ivfHnswTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                   queries: DataFrame, queryId: String, queryVec: String,
                   centroids: Array[Array[Float]], k: Int = 10,
-                  nprobe: Int = 1, m: Int = 8, efSearch: Int = 64): DataFrame = {
+                  nprobe: Int = 1, m: Int = 8, efSearch: Int = 64,
+                  maxCellRows: Int = 4000000): DataFrame = {
     import org.apache.spark.sql.graft.GraftSql
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -586,6 +602,13 @@ object Similarity {
         val byCell = it.toArray.groupBy(_._3)
         val qs = qB.value
         byCell.iterator.flatMap { case (cell, rows) =>
+          // oversize-cell guard (VERDICT r7 #1 residual, the
+          // Dedup.semanticDedup discipline): a hot IVF cell lands whole
+          // on one task — fail fast with the remedy instead of an OOM.
+          require(rows.length <= maxCellRows,
+            s"ivfHnswTopK cell $cell holds ${rows.length} vectors > " +
+              s"maxCellRows=$maxCellRows - train more centroids (smaller " +
+              "cells) or raise maxCellRows if the task heap affords it")
           val nodes = rows.map(t => (t._1, t._2)).sortBy(_._1)
           val g = new HnswShard(nodes.map(_._1), nodes.map(_._2), m)
           g.build()

@@ -327,6 +327,36 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(r16 >= 0.95, f"hnsw ef=16 recall regressed: $r16%.4f (measured 1.0)")
   }
 
+  test("hnswTopK/ivfHnswTopK: corpus-side per-task row bounds fail fast (VERDICT r7 #1)") {
+    import spark.implicits._
+    val all = gradedEmbeddings
+    val corpus = all.toDF("vec_id", "embedding")
+    val queries = all.take(3).toDF("qid", "qvec")
+    // a corpus whose shards exceed the bound must fail fast with the
+    // sizing rule in the message, not OOM a task at 100x scale
+    val eShard = intercept[org.apache.spark.SparkException] {
+      Similarity.hnswTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, shards = 2, maxRowsPerShard = 10).collect()
+    }
+    assert(eShard.getMessage.contains("maxRowsPerShard"),
+      s"shard-bound failure must name the sizing rule: ${eShard.getMessage}")
+    // same corpus under the default bound: unchanged results (the
+    // exhaustive-beam pin above is the full equality check; this case
+    // only proves the guard is inert at gate scale)
+    assert(Similarity.hnswTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, shards = 2).count() > 0)
+    // ivfHnswTopK: one hot cell (every vector nearest one centroid)
+    // above maxCellRows must fail fast with the remedy
+    val cents = Array(Array.fill(8)(1.0f), Array.fill(8)(-1.0f))
+    val eCell = intercept[org.apache.spark.SparkException] {
+      Similarity.ivfHnswTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", cents, k = 5, nprobe = 1,
+        maxCellRows = 10).collect()
+    }
+    assert(eCell.getMessage.contains("maxCellRows"),
+      s"cell-bound failure must name the remedy: ${eCell.getMessage}")
+  }
+
   test("hnswI8TopK: exhaustive beam equals i8 brute force bit-for-bit; quantized recall floor") {
     import spark.implicits._
     val all = gradedEmbeddings
