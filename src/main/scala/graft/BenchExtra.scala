@@ -58,6 +58,45 @@ object BenchExtra {
           val best = if (ts.isEmpty) Double.NaN else ts.min
           println(f"$n%-28s min=${best}%.3f  all=${times(n).reverse.map(t => f"$t%.3f").mkString(",")}")
         }
+      case "mksf1" :: src :: dst :: Nil =>
+        // rebuild the round-7 synthetic sf1 (BASELINE.md §round-7): 10
+        // shards of the source SF with per-shard TEXT MARKERS (cross-
+        // shard texts distinct — the pair structure of a real 10×
+        // corpus, not 10 identical copies), per-shard CYCLIC coordinate
+        // shifts (embeddings decorrelate across shards), and DISTINCT
+        // USERS per shard in events. Offsets keep every id family
+        // (pmod constructions, planted doc_id<100 corpora) intact.
+        import org.apache.spark.sql.functions._
+        val shards = 10
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        (0 until shards).map { i =>
+          docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            when(col("text").isNull, col("text"))
+              .otherwise(concat(col("text"), lit(s" shardmark$i"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        val embs = spark.read.parquet(s"$src/embeddings.parquet")
+        (0 until shards).map { i =>
+          val n = size(col("embedding"))
+          val shifted =
+            if (i == 0) col("embedding")
+            else concat(slice(col("embedding"), lit(i + 1), n),
+              slice(col("embedding"), lit(1), lit(i)))
+          embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            when(col("embedding").isNull, col("embedding"))
+              .otherwise(shifted).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        (0 until shards).map { i =>
+          ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+            col("ts"), (col("user_id") + lit(i * 1000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dst/events.parquet")
+        println(s"synthetic sf1 written to $dst")
       case "ab" :: reps :: qs :: Nil =>
         // same-window A/B of the graft.widen flag: this box's steal
         // varies ±30% on a ~minute scale, so only back-to-back arms in

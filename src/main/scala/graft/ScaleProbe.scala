@@ -53,7 +53,27 @@ object ScaleProbe {
     // ANN over embeddings
     "q_ann_self", "q_ann_topk", "q_ann_i8", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_ann_pqr", "q_embed_neardup", "q_embed_norm", "q_ann_hnsw",
-    "q_ann_ivf_hnsw", "q_ann_hnsw_i8")
+    "q_ann_ivf_hnsw", "q_ann_hnsw_i8",
+    // round-8 completion (VERDICT r7 #1): the remaining never-probed
+    // queries — per-row HTML/WARC/PDF/URL kernel families (expected
+    // near-linear), small planted/graded corpora (expected flat), and
+    // the bounded streaming drains (fixed constructions at every SF —
+    // expected flat; kept in-suite so the census is the full 186)
+    "q_ann_graded", "q_ann_opq", "q_audio_headers", "q_budget_select",
+    "q_charset_sniff", "q_clean_pipeline", "q_clean_pipeline_v2",
+    "q_corpus_report", "q_embed_graded", "q_fingerprint", "q_html_attrs",
+    "q_html_boiler", "q_html_entities", "q_html_extract", "q_html_foster",
+    "q_html_fragment", "q_html_links", "q_html_media", "q_html_meta",
+    "q_html_misnest", "q_html_nodes", "q_html_pre", "q_html_quirks",
+    "q_html_rcdata", "q_html_script_skip", "q_html_serialize",
+    "q_html_tables", "q_html_tokens", "q_lang_id", "q_len_hist",
+    "q_multimodal_real", "q_multimodal_stub", "q_pdf_cmap", "q_pdf_extract",
+    "q_pii", "q_pipeline_e2e", "q_quality", "q_robots", "q_sample",
+    "q_sentences", "q_sketch_cms", "q_sketch_hll", "q_stream_dedup",
+    "q_stream_dedup_ttl", "q_stream_warc", "q_stream_window", "q_terms",
+    "q_text_stats", "q_token_ids", "q_url_filter", "q_url_normalize",
+    "q_url_psl", "q_video_headers", "q_warc", "q_warc_charset",
+    "q_warc_compose", "q_warc_extract", "q_warc_index")
 
   def main(args: Array[String]): Unit = {
     val dirA = args(0)

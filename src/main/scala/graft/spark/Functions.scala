@@ -518,7 +518,10 @@ object HtmlUdfs {
     *    is simplified to 1 — documented);
     *  - occupancy is per table and per column index, capped at 10,000
     *    columns (a hostile colspan chain must not allocate unbounded
-    *    state — cells beyond the cap stop advancing the grid).
+    *    state). AT the cap, cells keep emitting with MONOTONICALLY
+    *    increasing col_ids (colspan >= 1 always advances the cursor)
+    *    WITHOUT occupancy tracking — grid coordinates stay unique
+    *    (ADVICE r7 adjudication; OpsSpec pins the past-cap row).
     * One parse per row; the q_table_grid oracle replays fixed span
     * layouts by construction. */
   val tableGridEvals = new java.util.concurrent.atomic.AtomicLong
