@@ -606,7 +606,12 @@ object Dedup {
     * rounds at corpus scale. Each iteration = two key-joins + one
     * aggregate, all on (id, label) longs. Returns (id, cluster) where
     * cluster = min id in the component; ids not in any pair map to
-    * themselves. */
+    * themselves. CONTRACT (round 8): pair endpoints must be drawn from
+    * `ids` — the round-1 neighbor-min reads edge endpoints verbatim
+    * (the identity-label specialization), so a dangling endpoint would
+    * become a cluster label instead of being silently ignored. Every
+    * caller derives pairs from the id universe (LSH candidates over
+    * the same corpus), so this is a documentation of fact. */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                maxIterations: Int = 10): DataFrame = {
     val spark = ids.sparkSession
@@ -625,10 +630,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each node adopts the min cluster label among itself + neighbors
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("cluster")).as("nmin"))
+      // each node adopts the min cluster label among itself + neighbors.
+      // ROUND-1 SPECIALIZATION (round 8): labels are the identity map
+      // before any propagation, so min-of-neighbor-labels is just
+      // min(dst) — one aggregate straight off the checkpointed edges,
+      // no join (the join's shuffle + broadcast stages were pure
+      // overhead on every clusters() call)
+      val neighborMin =
+        if (i == 0)
+          edges.groupBy(col("src").as("id2")).agg(min(col("dst")).as("nmin"))
+        else edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("id2"))
+          .agg(min(col("cluster")).as("nmin"))
       // carry the previous label through the round so convergence is
       // decidable from the checkpointed frame alone — no extra
       // join-two-full-frames job per round (round-2 verdict minor)

@@ -52,6 +52,7 @@ object Redirects {
     var m = e.select(col("id"), col("tgt"), lit(1L).as("steps"))
     var reach = 1L
     var live = true
+    var probeAt = 4L
     while (live && reach < maxHops) {
       val jump = m.select(col("id").as("jid"), col("tgt").as("jtgt"),
         col("steps").as("jsteps"))
@@ -75,10 +76,18 @@ object Redirects {
       // (the Dedup.clusters convergence discipline).
       m = ck.select("id", "tgt", "steps")
       reach *= 2
-      // probe only while rounds remain — the last round's probe would
-      // be pure overhead (nothing left to skip)
-      if (reach < maxHops)
+      // GEOMETRIC probe schedule (reach 4, 16, 64, ...): round 1 almost
+      // always has movement (any chain of length >= 2), and on a
+      // corpus WITH cycles every probe is pure overhead — probing
+      // every 2nd round keeps the short-chain early exit (real chains
+      // are 1-3 hops → the reach-4 probe fires) while capping wasted
+      // probes on cyclic corpora at O(log log) of the rounds. Worst
+      // case one extra round vs per-round probing, which costs about
+      // what the skipped probes save. No probe on the final round.
+      if (reach == probeAt && reach < maxHops) {
         live = !ck.filter(col("__moved")).limit(1).isEmpty
+        probeAt *= 4
+      }
     }
     // a walk is finished iff its reached node has no outgoing edge;
     // after the rounds above every acyclic chain <= maxHops is finished
