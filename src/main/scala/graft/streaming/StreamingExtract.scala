@@ -40,6 +40,46 @@ object StreamingExtract {
       Thread.sleep(50)
   }
 
+  /** Write the drain's mtime-sequenced batch files in ONE Spark job
+    * (round 8): the per-batch `coalesce(1).write` loop paid one job
+    * per batch; a single union + partitionBy("__b") write produces the
+    * same one-file-per-batch layout (partition columns are directory-
+    * encoded, so file schemas are unchanged). ORDER-FREE DRAINS ONLY —
+    * the dynamic-partition writer sorts by the partition column with
+    * no within-batch order guarantee, so the doc-order stateful drains
+    * (dedup/semdedup/fetch, whose verdicts read within-batch arrival
+    * order) keep their per-batch loop. An empty batch writes no
+    * partition directory and falls back to a direct write (batch
+    * indices must not shift). */
+  private def writeBatchFilesUnordered(batches: Seq[DataFrame],
+                                       base: java.io.File): java.io.File = {
+    import org.apache.spark.sql.functions._
+    val inDir = new java.io.File(base, "in")
+    inDir.mkdirs()
+    val stage = new java.io.File(base, "stage")
+    batches.zipWithIndex.map { case (b, i) => b.withColumn("__b", lit(i)) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.partitionBy("__b").mode("overwrite")
+      .parquet(stage.toString)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val pdir = new java.io.File(stage, s"__b=$i")
+      val src = Option(pdir.listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
+      src match {
+        case Some(f) => java.nio.file.Files.move(f.toPath, dst.toPath)
+        case None => // empty batch: write it directly (rare path)
+          val part = new java.io.File(base, s"part$i")
+          b.coalesce(1).write.mode("overwrite").parquet(part.toString)
+          val pf = part.listFiles().find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet file written for batch $i"))
+          java.nio.file.Files.move(pf.toPath, dst.toPath)
+      }
+      dst.setLastModified(1600000000000L + i * 600000L)
+    }
+    inDir
+  }
+
   /** Continuous mode: follow `inputDir` forever (micro-batches). */
   def start(spark: SparkSession, inputDir: String, outDir: String,
             checkpointDir: String, cfg: Pipeline.Config = Pipeline.Config(),
@@ -207,17 +247,9 @@ object StreamingExtract {
     val tsType = batches.head.schema("ts").dataType
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
     val base = java.nio.file.Files.createTempDirectory(tag)
-    val inDir = new java.io.File(base.toFile, "in")
-    inDir.mkdirs()
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(base.toFile, s"part$i")
-      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet file written for batch $i"))
-      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
-      java.nio.file.Files.move(src.toPath, dst.toPath)
-      dst.setLastModified(1600000000000L + i * 600000L)
-    }
+    // event-time aggregation: within-batch row order is irrelevant, so
+    // the one-job union write applies
+    val inDir = writeBatchFilesUnordered(batches, base.toFile)
     val schema = StructType(Seq(
       StructField("lang", StringType), StructField("ts", tsType)))
     val stream = spark.readStream.schema(schema)
@@ -306,17 +338,8 @@ object StreamingExtract {
     val spark = batches.head.sparkSession
     import org.apache.spark.sql.types.{StructType, StructField, StringType, BinaryType}
     val base = java.nio.file.Files.createTempDirectory("graft-stream-warc")
-    val inDir = new java.io.File(base.toFile, "in")
-    inDir.mkdirs()
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(base.toFile, s"part$i")
-      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet file written for batch $i"))
-      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
-      java.nio.file.Files.move(src.toPath, dst.toPath)
-      dst.setLastModified(1600000000000L + i * 600000L)
-    }
+    // stateless per-row extraction: order-free, one-job union write
+    val inDir = writeBatchFilesUnordered(batches, base.toFile)
     val schema = StructType(Seq(
       StructField("doc_id", StringType), StructField("blob", BinaryType)))
     val stream = spark.readStream.schema(schema)
@@ -404,17 +427,9 @@ object StreamingExtract {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
     val base = java.nio.file.Files.createTempDirectory("graft-stream-seg")
-    val inDir = new java.io.File(base.toFile, "in")
-    inDir.mkdirs()
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(base.toFile, s"part$i")
-      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet file written for batch $i"))
-      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
-      java.nio.file.Files.move(src.toPath, dst.toPath)
-      dst.setLastModified(1600000000000L + i * 600000L)
-    }
+    // composeSegments keys its prefix sum by ascending id — input row
+    // order is irrelevant, so the one-job union write applies
+    val inDir = writeBatchFilesUnordered(batches, base.toFile)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("uri", StringType),
       StructField("date", StringType), StructField("body", StringType)))
@@ -467,17 +482,9 @@ object StreamingExtract {
     val spark = batches.head.sparkSession
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-stream-cdc")
-    val inDir = new java.io.File(base.toFile, "in")
-    inDir.mkdirs()
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(base.toFile, s"part$i")
-      b.coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = part.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet file written for batch $i"))
-      val dst = new java.io.File(inDir, f"b$i%03d.parquet")
-      java.nio.file.Files.move(src.toPath, dst.toPath)
-      dst.setLastModified(1600000000000L + i * 600000L)
-    }
+    // the per-batch diff is a set-semantics join — order-free, one-job
+    // union write
+    val inDir = writeBatchFilesUnordered(batches, base.toFile)
     val stream = spark.readStream.schema(batches.head.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val outDir = new java.io.File(base.toFile, "out")
